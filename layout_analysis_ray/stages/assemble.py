@@ -1,0 +1,197 @@
+"""Per-document block formation, ordering and emission (stateless stage).
+
+Analogue of the reference chain ``label_clustering -> get_coordinates ->
+paragraphs_postprocessing`` plus the separator-based reading order
+(``/root/reference/src/DocumentAnalyzer.py:111-115,77-103``,
+``/root/reference/src/Postprocessing.py:30-57``,
+``/root/reference/src/SeparatorHelperMethods.py:62-74``), generalized to spans:
+
+- flow docs (html/text): 1-D connected components over the span sequence —
+  consecutive CONTENT spans form a block, BOUNDARY/BOILER spans close it;
+- pdf docs: bbox postprocess (shared ``conformance.postprocess_rects``) then
+  XY-cut reading order (shared ``conformance.xycut_order``);
+- poison docs emit a single 'error' span (quarantine instead of task failure,
+  SURVEY.md §4 "retries").
+
+Consumes the score columns added by ``SpanScorer``; emits doc-grain rows with
+re-segmented, re-ordered output spans ``(kind, text, media_ref, offset)``.
+The per-block work is a Python loop, but blocks per document are tiny (tens);
+all string-heavy work happened vectorized in the scorer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import conformance as C
+from ..sources.synth import DOCS_SCHEMA
+
+
+def _flat_np(col, dtype=None) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    v = pc.list_flatten(col)
+    out = np.asarray(v.to_numpy(zero_copy_only=False))
+    return out if dtype is None else out.astype(dtype)
+
+
+def _flat_list(col) -> list:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.list_flatten(col).to_pylist()
+
+
+def _media_out_kind(kind: str) -> str:
+    return C.OUT_IMAGE if kind == C.KIND_IMAGE else C.OUT_FIGURE
+
+
+def assemble_batch(batch: pa.Table) -> pa.Table:
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    lengths = np.asarray(
+        pc.fill_null(pc.list_value_length(spans), 0).to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    doc_offs = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=doc_offs[1:])
+
+    flat = pc.list_flatten(spans)
+    kinds = flat.field("kind").to_pylist()
+    media_refs = flat.field("media_ref").to_pylist()
+    src_off = np.asarray(flat.field("offset").to_numpy(zero_copy_only=False))
+
+    label = _flat_np(batch.column("span_label"))
+    heading = _flat_np(batch.column("span_heading"))
+    tabular = _flat_np(batch.column("span_tabular"))
+    err = _flat_np(batch.column("span_err"))
+    visible = _flat_list(batch.column("span_visible"))
+    bx0 = _flat_np(batch.column("span_x0"))
+    by0 = _flat_np(batch.column("span_y0"))
+    bx1 = _flat_np(batch.column("span_x1"))
+    by1 = _flat_np(batch.column("span_y1"))
+
+    doc_ids = batch.column("doc_id").to_pylist()
+    is_media_kind = {k: (k in C.MEDIA_KINDS) for k in set(kinds)}
+    is_pdf_kind = [k == C.KIND_PDF_BLOCK for k in kinds]
+
+    out_rows = []
+    for d in range(len(doc_ids)):
+        lo, hi = doc_offs[d], doc_offs[d + 1]
+        idx = np.arange(lo, hi)
+        if idx.size:
+            idx = idx[np.argsort(src_off[lo:hi], kind="stable")]
+
+        pdf_idx = [i for i in idx if is_pdf_kind[i]]
+        if pdf_idx:
+            out = _assemble_pdf(
+                idx, pdf_idx, kinds, media_refs, visible, src_off,
+                err, tabular, bx0, by0, bx1, by1, is_media_kind,
+            )
+        else:
+            out = _assemble_flow(
+                idx, kinds, media_refs, visible, label, heading, tabular,
+                is_media_kind,
+            )
+        out_rows.append(
+            {
+                "doc_id": doc_ids[d],
+                "spans": [
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for (k, t, m, o) in out
+                ],
+            }
+        )
+    return pa.Table.from_pylist(out_rows, schema=DOCS_SCHEMA)
+
+
+def _assemble_flow(idx, kinds, media_refs, visible, label, heading, tabular,
+                   is_media_kind):
+    blocks: list[tuple] = []
+    cur: list[str] = []
+    cur_tab = False
+
+    def close():
+        nonlocal cur, cur_tab
+        if cur:
+            blocks.append(
+                (C.OUT_TABLE if cur_tab else C.OUT_PARAGRAPH, "\n".join(cur), "")
+            )
+        cur = []
+        cur_tab = False
+
+    # Media keep rule: nearest preceding non-media span must be CONTENT;
+    # a media span with no preceding non-media span uses the nearest
+    # following one.  One forward pass.
+    kept_media: dict[int, bool] = {}
+    last_non_media = None
+    pending: list[int] = []
+    for i in idx:
+        if is_media_kind[kinds[i]]:
+            if last_non_media is not None:
+                kept_media[i] = label[last_non_media] == C.LABEL_CONTENT
+            else:
+                pending.append(i)
+        else:
+            for m in pending:
+                kept_media[m] = label[i] == C.LABEL_CONTENT
+            pending = []
+            last_non_media = i
+    for m in pending:  # doc with only media spans
+        kept_media[m] = False
+
+    for i in idx:
+        k = kinds[i]
+        if is_media_kind[k]:
+            close()
+            if kept_media[i]:
+                blocks.append((_media_out_kind(k), "", media_refs[i]))
+            continue
+        if label[i] == C.LABEL_CONTENT:
+            if heading[i]:
+                close()
+                blocks.append((C.OUT_TITLE, visible[i], ""))
+            else:
+                cur.append(visible[i])
+                cur_tab = cur_tab or bool(tabular[i])
+        else:
+            close()
+    close()
+    return [(k, t, m, o) for o, (k, t, m) in enumerate(blocks)]
+
+
+def _assemble_pdf(idx, pdf_idx, kinds, media_refs, visible, src_off, err,
+                  tabular, bx0, by0, bx1, by1, is_media_kind):
+    for i in pdf_idx:  # pdf_idx follows offset order: first malformed wins
+        if err[i]:
+            return [(C.OUT_ERROR, C.poison_error_text(int(src_off[i])), "", 0)]
+
+    rects = [(bx0[i], by0[i], bx1[i], by1[i]) for i in pdf_idx]
+    page_w = max((r[2] for r in rects), default=0.0)
+    page_h = max((r[3] for r in rects), default=0.0)
+    keep = C.postprocess_rects(rects)
+    order = C.xycut_order([rects[i] for i in keep])
+
+    out = []
+    for pos in order:
+        i = pdf_idx[keep[pos]]
+        rect = rects[keep[pos]]
+        vis = C.collapse_ws(visible[i])
+        if (
+            len(vis) < C.TITLE_MAX_LEN
+            and rect[1] < C.TITLE_TOP_FRAC * page_h
+            and (rect[2] - rect[0]) >= C.TITLE_MIN_WIDTH_FRAC * page_w
+        ):
+            kind = C.OUT_TITLE
+        elif tabular[i]:
+            kind = C.OUT_TABLE
+        else:
+            kind = C.OUT_PARAGRAPH
+        out.append((kind, vis, ""))
+
+    if out:
+        for i in idx:
+            if is_media_kind[kinds[i]]:
+                out.append((_media_out_kind(kinds[i]), "", media_refs[i]))
+    return [(k, t, m, o) for o, (k, t, m) in enumerate(out)]

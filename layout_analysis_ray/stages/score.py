@@ -1,0 +1,176 @@
+"""SpanScorer: the stateful scoring stage (actor pool).
+
+Analogue of the reference's per-document U-Net inference
+(``get_probability_mask``, ``/root/reference/src/DocumentAnalyzer.py:44-50``),
+which pathologically re-opened a TF session and restored the checkpoint for
+*every document*.  Here the "model" (regex kernels + thresholds from
+``conformance.py``) is loaded once per actor in ``__init__`` and applied to
+whole Arrow batches vectorized with ``pyarrow.compute`` — the headline
+architectural win of the Ray Data design (SURVEY.md §4).
+
+Input:  doc-grain batches ``(doc_id, spans)``.
+Output: the same batch plus parallel per-span list columns:
+``span_label`` (int8: 0 boiler / 1 content / 2 boundary), ``span_heading``,
+``span_tabular``, ``span_err`` (bool), ``span_visible`` (string),
+``span_x0/y0/x1/y1`` (float64, pdf blocks only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import conformance as C
+
+_EMPTY = pa.scalar("", type=pa.string())
+
+
+def _collapse(arr: pa.Array) -> pa.Array:
+    out = pc.replace_substring_regex(arr, C.RE_WS, " ")
+    return pc.utf8_trim(out, C.WS_CHARS)
+
+
+def _np(arr) -> np.ndarray:
+    return np.asarray(arr.to_numpy(zero_copy_only=False))
+
+
+class SpanScorer:
+    """Callable class for ``map_batches(..., concurrency=N)``.
+
+    ``init_count`` is a per-process counter used by tests to prove
+    once-per-actor initialization (SURVEY.md §7.2 step 4).
+    """
+
+    init_count = 0
+
+    def __init__(self) -> None:
+        SpanScorer.init_count += 1
+        # Once-per-actor "model load": python-side kernels for the small
+        # non-vectorizable paths (pdf JSON parse, multi-line tabular test).
+        self._parse_pdf = C.parse_pdf_block
+        self._is_tabular = C.is_tabular_text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+
+        lengths = _np(pc.fill_null(pc.list_value_length(spans), 0)).astype(np.int64)
+        offs = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offs[1:])
+        flat = pc.list_flatten(spans)
+        n = len(flat)
+
+        kind = flat.field("kind")
+        raw = flat.field("text")
+
+        is_html = _np(pc.equal(kind, C.KIND_HTML))
+        is_text = _np(pc.equal(kind, C.KIND_TEXT))
+        is_pdf = _np(pc.equal(kind, C.KIND_PDF_BLOCK))
+
+        # --- vectorized html/text kernels (Arrow RE2) --------------------
+        stripped = pc.replace_substring_regex(raw, C.RE_TAG, " ")
+        vis_html = _collapse(stripped)
+        no_anchor = pc.replace_substring_regex(raw, C.RE_ANCHOR, " ")
+        vis_no_anchor = _collapse(pc.replace_substring_regex(no_anchor, C.RE_TAG, " "))
+        vis_text = _collapse(raw)
+
+        vis_arr = pc.if_else(
+            pa.array(is_html), vis_html, pc.if_else(pa.array(is_text), vis_text, _EMPTY)
+        )
+
+        raw_len = _np(pc.utf8_length(raw)).astype(np.float64)
+        vis_len = _np(pc.utf8_length(vis_arr)).astype(np.float64)
+        link_len = np.maximum(
+            0.0,
+            _np(pc.utf8_length(vis_html)).astype(np.float64)
+            - _np(pc.utf8_length(vis_no_anchor)).astype(np.float64),
+        )
+
+        heading = _np(pc.match_substring_regex(raw, C.RE_HEADING))
+        hr = _np(pc.match_substring_regex(raw, C.RE_HR))
+        table_tag = _np(pc.match_substring_regex(raw, C.RE_TABLE_TAG))
+        rule = _np(pc.match_substring_regex(vis_arr, C.RE_RULE))
+        boiler_kw = _np(pc.match_substring_regex(raw, C.RE_BOILER))
+        has_nl = _np(pc.match_substring(raw, "\n"))
+
+        label = np.zeros(n, dtype=np.int8)  # default LABEL_BOILER
+        head_out = np.zeros(n, dtype=bool)
+        tab_out = np.zeros(n, dtype=bool)
+        err = np.zeros(n, dtype=bool)
+        x0 = np.zeros(n, dtype=np.float64)
+        y0 = np.zeros(n, dtype=np.float64)
+        x1 = np.zeros(n, dtype=np.float64)
+        y1 = np.zeros(n, dtype=np.float64)
+
+        # html labels (conformance.label_html_span, vectorized)
+        nonempty = vis_len > 0
+        link_density = link_len / np.maximum(1.0, vis_len)
+        text_density = vis_len / np.maximum(1.0, raw_len)
+        html_boiler = (
+            (link_density > C.LINK_DENSITY_MAX)
+            | (vis_len < C.MIN_TEXT_LEN)
+            | (text_density < C.TEXT_DENSITY_MIN)
+        )
+        m = is_html & ~nonempty & hr
+        label[m] = C.LABEL_BOUNDARY
+        m = is_html & nonempty & heading
+        label[m] = C.LABEL_CONTENT
+        head_out[m] = True
+        m = is_html & nonempty & ~heading & ~html_boiler
+        label[m] = C.LABEL_CONTENT
+        tab_out[is_html & table_tag] = True
+
+        # text labels (conformance.label_text_span, vectorized)
+        m = is_text & nonempty & rule
+        label[m] = C.LABEL_BOUNDARY
+        text_boiler = (vis_len < C.BOILER_TEXT_MAX_LEN) & boiler_kw
+        m = is_text & nonempty & ~rule & ~text_boiler
+        label[m] = C.LABEL_CONTENT
+
+        # multi-line plain-text spans: tabular test needs per-line analysis
+        cand = np.nonzero(is_text & has_nl)[0]
+        if cand.size:
+            texts = raw.take(pa.array(cand)).to_pylist()
+            for i, t in zip(cand, texts):
+                tab_out[i] = self._is_tabular(t)
+
+        # pdf blocks: JSON parse (python; per-span payloads are small)
+        vis_list = None
+        pidx = np.nonzero(is_pdf)[0]
+        if pidx.size:
+            label[pidx] = C.LABEL_CONTENT
+            vis_list = vis_arr.to_pylist()
+            payloads = raw.take(pa.array(pidx)).to_pylist()
+            for i, payload in zip(pidx, payloads):
+                try:
+                    bx0, by0, bx1, by1, btext = self._parse_pdf(payload)
+                except ValueError:
+                    err[i] = True
+                    continue
+                x0[i], y0[i], x1[i], y1[i] = bx0, by0, bx1, by1
+                vis_list[i] = btext
+                tab_out[i] = self._is_tabular(btext)
+
+        if vis_list is not None:
+            vis_arr = pa.array(vis_list, type=pa.string())
+
+        po = pa.array(offs, type=pa.int32())
+
+        def lst(values: pa.Array | np.ndarray, typ=None) -> pa.ListArray:
+            if isinstance(values, np.ndarray):
+                values = pa.array(values, type=typ)
+            return pa.ListArray.from_arrays(po, values)
+
+        return (
+            batch.append_column("span_label", lst(label, pa.int8()))
+            .append_column("span_heading", lst(head_out, pa.bool_()))
+            .append_column("span_tabular", lst(tab_out, pa.bool_()))
+            .append_column("span_err", lst(err, pa.bool_()))
+            .append_column("span_visible", lst(vis_arr))
+            .append_column("span_x0", lst(x0, pa.float64()))
+            .append_column("span_y0", lst(y0, pa.float64()))
+            .append_column("span_x1", lst(x1, pa.float64()))
+            .append_column("span_y1", lst(y1, pa.float64()))
+        )
