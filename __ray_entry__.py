@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query with IDENTICAL column names and exact integer
+arithmetic (cents / ppm / floor division) so value hashes match bit-for-bit.
+Queries without SQL entries (extraction, MinHash, SimHash, LSH) are
+non-SQL-expressible and get the driver's rows-only check; their real
+correctness gate is the pytest oracle-equality suite.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import; nothing here calls
+``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +18,291 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: interleaved docs derived from sf0.001 -> extraction ->
+    exploded span rows (doc_id, kind, text, media_ref, offset)."""
+    from layout_analysis_ray.pipelines.extract import explode, extract_pipeline
+    from layout_analysis_ray.sources.synth import docs_from_parquet
+
+    return explode(extract_pipeline(docs_from_parquet(SF_SMOKE)))
+
+
+def _extract_spans(sf_dir: str):
+    from layout_analysis_ray.pipelines.extract import explode, extract_pipeline
+    from layout_analysis_ray.sources.synth import docs_from_parquet
+
+    return explode(extract_pipeline(docs_from_parquet(sf_dir)))
+
+
+def _extract_kind_counts(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from layout_analysis_ray.pipelines.relational import _partial_then_global
+
+    ds = _extract_spans(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": batch["kind"],
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return _partial_then_global(
+        ds.map_batches(prep, batch_format="pyarrow"), ["kind"], ["n"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from layout_analysis_ray.functions import dedup, similarity, text, windows
+    from layout_analysis_ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction family (non-SQL; pytest-gated vs oracle)
+        "extract_spans": _extract_spans,
+        "extract_kind_counts": _extract_kind_counts,
+        # relational operators
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_top_orders": rel.q3_top_orders,
+        "q5_region_revenue": rel.q5_region_revenue,
+        "part_type_stats": rel.part_type_stats,
+        "top_docs_by_chars": rel.top_docs_by_chars,
+        "distinct_event_types": rel.distinct_event_types,
+        "semi_join_customers": rel.semi_join_customers,
+        "anti_join_customers": rel.anti_join_customers,
+        "split_hash_buckets": rel.split_hash_buckets,
+        # stream-shaped windows
+        "events_tumbling_1h": windows.tumbling_hourly,
+        "events_sessionize": windows.sessionize,
+        "events_running_total": windows.running_total,
+        "events_props_json": windows.props_json_extract,
+        # text analysis
+        "doc_token_stats": text.token_stats,
+        "doc_lang_id": text.lang_id,
+        "doc_quality": text.quality,
+        "doc_fingerprint": text.fingerprint,
+        "html_visible_stats": text.html_visible_stats,
+        # dedup family
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
+        "dedup_simhash": dedup.dedup_simhash,
+        "ngram_jaccard_consecutive": dedup.ngram_jaccard_consecutive,
+        # similarity search
+        "embedding_knn": similarity.knn_brute,
+        "embedding_neardup_pairs": similarity.neardup_pairs,
+        "ann_lsh_buckets": similarity.lsh_buckets,
+    }
+
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_STOPS = "('the','a','and','of','to','in','is','on','for','with')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+              SUM(CAST(round(l_quantity*100) AS BIGINT)) // 100 AS sum_qty,
+              SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_price_cents,
+              SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS sum_disc_price_e4,
+              (SUM(CAST(round(l_quantity*100) AS BIGINT)) * 10000) // COUNT(*) AS avg_qty_ppm,
+              COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o_orderkey,
+              epoch_us(o_orderdate) // 86400000000 AS o_orderdate_day,
+              SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_e4
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate > TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2
+            ORDER BY revenue_e4 DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT n_name,
+              SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_e4
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+            GROUP BY n_name
+        """,
+        "part_type_stats": """
+            SELECT p_type, COUNT(*) AS n_parts,
+              SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS sum_price_cents,
+              (SUM(CAST(round(p_retailprice*100) AS BIGINT)) * 10000) // COUNT(*) AS avg_price_ppm
+            FROM part GROUP BY p_type
+        """,
+        "top_docs_by_chars": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 50
+        """,
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "semi_join_customers": """
+            SELECT c_mktsegment, COUNT(*) AS n FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            GROUP BY c_mktsegment
+        """,
+        "anti_join_customers": """
+            SELECT c_mktsegment, COUNT(*) AS n FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderdate < TIMESTAMP '1995-07-01')
+            GROUP BY c_mktsegment
+        """,
+        "split_hash_buckets": """
+            SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+                   COUNT(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "events_tumbling_1h": """
+            SELECT event_type,
+              epoch_us(ts) // 3600000000 AS epoch_hour,
+              SUM(CAST(round(value*100) AS BIGINT)) AS value_cents,
+              COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tus,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ptus
+              FROM events),
+            m AS (
+              SELECT user_id, event_id, tus,
+                     CASE WHEN ptus IS NULL OR tus - ptus > 1800000000 THEN 1 ELSE 0 END AS brk
+              FROM e),
+            s AS (
+              SELECT user_id,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m),
+            c AS (SELECT user_id, sid, COUNT(*) AS cnt FROM s GROUP BY 1, 2)
+            SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions,
+                   MAX(cnt) AS max_session_events
+            FROM c GROUP BY user_id
+        """,
+        "events_running_total": """
+            SELECT event_id, user_id,
+              SUM(CAST(round(value*100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS running_cents
+            FROM events
+        """,
+        "events_props_json": """
+            SELECT event_id,
+              CAST(coalesce(nullif(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), ''), '-1') AS BIGINT) AS k
+            FROM events
+        """,
+        "doc_token_stats": f"""
+            SELECT doc_id, len({_TOKS}) AS n_tokens,
+                   len(list_distinct({_TOKS})) AS n_uniq_tokens
+            FROM documents
+        """,
+        "doc_lang_id": f"""
+            WITH c AS (
+              SELECT doc_id,
+                len(list_filter({_TOKS}, w -> w IN ('the','and','of'))) AS en,
+                len(list_filter({_TOKS}, w -> w IN ('el','la','los'))) AS es,
+                len(list_filter({_TOKS}, w -> w IN ('der','und','das'))) AS de,
+                len(list_filter({_TOKS}, w -> w IN ('le','les','des'))) AS fr
+              FROM documents)
+            SELECT doc_id, CASE
+              WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+              WHEN en = greatest(en, es, de, fr) THEN 'en'
+              WHEN es = greatest(en, es, de, fr) THEN 'es'
+              WHEN de = greatest(en, es, de, fr) THEN 'de'
+              ELSE 'fr' END AS lang_pred
+            FROM c
+        """,
+        "doc_quality": f"""
+            WITH c AS (
+              SELECT doc_id, len({_TOKS}) AS n_tokens,
+                len(list_filter({_TOKS}, w -> w IN {_STOPS})) AS n_stop,
+                length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+                length(text) AS n_chars
+              FROM documents),
+            r AS (
+              SELECT doc_id, n_tokens,
+                CASE WHEN n_tokens > 0 THEN (n_stop * 1000000) // n_tokens ELSE 0 END AS stop_ppm,
+                CASE WHEN n_chars > 0 THEN (n_alpha * 1000000) // n_chars ELSE 0 END AS alpha_ppm
+              FROM c)
+            SELECT doc_id, n_tokens, stop_ppm, alpha_ppm,
+              (4 * least(n_tokens * 10000, 1000000) + 3 * stop_ppm + 3 * alpha_ppm) // 10 AS quality_ppm
+            FROM r
+        """,
+        "doc_fingerprint": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+              CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END AS n_shingles,
+              CASE WHEN len(toks) >= 3 THEN
+                list_min(list_transform(range(1, len(toks) - 1),
+                         i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+              ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
+            FROM t
+        """,
+        "html_visible_stats": """
+            SELECT doc_id, length(text) AS raw_len,
+              length(trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                                         '[ \t\r\n\f\v]+', ' ', 'g'))) AS visible_len
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
+                   COUNT(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard_consecutive": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                     WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                     ELSE CAST([] AS VARCHAR[]) END AS sh
+              FROM t)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
+                   THEN (len(list_intersect(a.sh, b.sh)) * 1000000)
+                        // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                   ELSE 0 END AS jaccard_ppm
+            FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        """,
+        "embedding_knn": """
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 10),
+            s AS (
+              SELECT q.qid, e.vec_id,
+                row_number() OVER (PARTITION BY q.qid
+                  ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                           e.vec_id) AS rnk
+              FROM q, embeddings e WHERE e.vec_id <> q.qid)
+            SELECT qid AS query_id, vec_id AS neighbor_id,
+                   CAST(rnk AS BIGINT) AS "rank"
+            FROM s WHERE rnk <= 5
+        """,
+        "embedding_neardup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a, embeddings b
+            WHERE b.vec_id > a.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.30
+        """,
+    }

@@ -1,0 +1,233 @@
+"""Benchmark harness.
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)`` and
+prints ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling``: runs the headline extraction twice in fresh subprocesses at
+num_cpus=8 and 32 on the same input and reports both throughputs plus the
+scaling efficiency (BASELINE.md two-cluster-size protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Bench corpus target ~50k docs (FIXTURES.md): replicate the derived docs
+# deterministically so the pipeline has real work at 32 CPUs.
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "200"))
+
+HEADLINE = "extract"
+
+
+def _warm_cache(sf_dir: str) -> None:
+    for name in ("documents", "lineitem", "events", "embeddings"):
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
+
+def _bench_input(sf_dir: str, replicate: int) -> str:
+    """Materialize the interleaved bench corpus to /tmp once (untimed): the
+    headline metric is extraction throughput from storage, not synthetic
+    input generation."""
+    from layout_analysis_ray.sources.synth import docs_from_parquet
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/tmp/graft_bench_input_{tag}_r{replicate}"
+    if not os.path.isdir(out) or not os.listdir(out):
+        docs_from_parquet(sf_dir, replicate=replicate, num_blocks=64).write_parquet(
+            out
+        )
+    # warm page cache
+    for f_name in os.listdir(out):
+        with open(os.path.join(out, f_name), "rb") as f:
+            while f.read(1 << 22):
+                pass
+    return out
+
+
+def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from layout_analysis_ray.functions import dedup, similarity, text, windows
+    from layout_analysis_ray.pipelines import relational as rel
+    from layout_analysis_ray.pipelines.extract import extract_pipeline
+    from layout_analysis_ray.sources.synth import docs_from_parquet
+
+    _warm_cache(sf_dir)
+
+    n_docs = 0
+    timings: dict[str, float] = {}
+
+    def consume(ds) -> int:
+        total = 0
+        for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            total += b.num_rows
+        return total
+
+    # headline: end-to-end extraction from storage, streaming consumption
+    import ray.data as rd
+
+    inp = _bench_input(sf_dir, REPLICATE)
+    t0 = time.perf_counter()
+    n_docs = consume(
+        extract_pipeline(
+            rd.read_parquet(inp, override_num_blocks=num_cpus * 4),
+            concurrency=max(2, num_cpus // 2),
+        )
+    )
+    timings[HEADLINE] = time.perf_counter() - t0
+
+    others = {
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_top_orders": rel.q3_top_orders,
+        "q5_region_revenue": rel.q5_region_revenue,
+        "events_tumbling_1h": windows.tumbling_hourly,
+        "events_sessionize": windows.sessionize,
+        "doc_token_stats": text.token_stats,
+        "doc_fingerprint": text.fingerprint,
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
+        "embedding_knn": similarity.knn_brute,
+        "embedding_neardup_pairs": similarity.neardup_pairs,
+    }
+    for name, fn in others.items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "iter_batches"):
+            consume(res)
+        timings[name] = time.perf_counter() - t0
+
+    ray.shutdown()
+    headline_sec = timings[HEADLINE]
+    return {
+        "metric": "end-to-end extraction seconds (docs_per_sec = throughput)",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline_sec, 1) if headline_sec else None,
+    }
+
+
+def run_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--headline-only"],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def headline_only(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from layout_analysis_ray.pipelines.extract import extract_pipeline
+    from layout_analysis_ray.sources.synth import docs_from_parquet
+
+    import ray.data as rd
+
+    inp = _bench_input(sf_dir, REPLICATE)
+    t0 = time.perf_counter()
+    n = 0
+    t_first = None
+    n_first = 0
+    ds = extract_pipeline(
+        rd.read_parquet(inp, override_num_blocks=num_cpus * 4),
+        concurrency=max(2, num_cpus // 2),
+    )
+    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        if t_first is None:
+            t_first = time.perf_counter()
+            n_first = b.num_rows
+        n += b.num_rows
+    t_end = time.perf_counter()
+    sec = t_end - t0
+    steady_sec = max(1e-9, t_end - (t_first or t0))
+    ray.shutdown()
+    return {
+        "value": round(sec, 3),
+        "unit": "sec",
+        "n_docs": n,
+        "num_cpus": num_cpus,
+        "docs_per_sec": round(n / sec, 1),
+        "startup_sec": round((t_first or t0) - t0, 3),
+        "docs_per_sec_steady": round((n - n_first) / steady_sec, 1),
+    }
+
+
+def main() -> None:
+    if "--headline-only" in sys.argv:
+        print(json.dumps(headline_only(SF_DIR, NUM_CPUS)))
+        return
+    if "--scaling" in sys.argv:
+        lo_n, hi_n = 8, 32
+        lo = run_subprocess(lo_n)
+        hi = run_subprocess(hi_n)
+        eff_total = (lo["value"] / hi["value"]) / (hi_n / lo_n)
+        eff_steady = (
+            hi["docs_per_sec_steady"] / lo["docs_per_sec_steady"]
+        ) / (hi_n / lo_n)
+        print(
+            json.dumps(
+                {
+                    "sf": SF_DIR,
+                    "num_cpus_lo": lo_n,
+                    "num_cpus_hi": hi_n,
+                    "sec_lo": lo["value"],
+                    "sec_hi": hi["value"],
+                    "docs_per_sec_lo": lo["docs_per_sec"],
+                    "docs_per_sec_hi": hi["docs_per_sec"],
+                    "docs_per_sec_steady_lo": lo["docs_per_sec_steady"],
+                    "docs_per_sec_steady_hi": hi["docs_per_sec_steady"],
+                    "startup_sec_lo": lo["startup_sec"],
+                    "startup_sec_hi": hi["startup_sec"],
+                    "scaling_efficiency": round(eff_steady, 3),
+                    "scaling_efficiency_total": round(eff_total, 3),
+                }
+            )
+        )
+        return
+    print(json.dumps(run_benchmarks(SF_DIR, NUM_CPUS)))
+
+
+if __name__ == "__main__":
+    main()

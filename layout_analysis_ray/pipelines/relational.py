@@ -1,0 +1,388 @@
+"""Relational query pipelines over the testdata star schema.
+
+These are the engine's general query-processing surface (SURVEY.md §2.4-§2.6
+J/A/T operators): equi-joins as broadcast lookups (small side via ``ray.put``,
+no shuffle), aggregations as per-batch Arrow partial aggregation followed by a
+tiny global ``groupby`` (SURVEY.md "pre-aggregate inside map_batches"), sorts
+and top-k on already-reduced results.
+
+Precision policy: every money/ratio aggregate is computed in exact integer
+units (cents / ppm) in BOTH the Ray pipeline and the DuckDB oracle SQL in
+``__ray_entry__.py``, so driver value-hash comparisons cannot drift on
+float-summation order or round-half semantics (Python rounds half-even,
+DuckDB half-away-from-zero).
+
+At 100 TB the broadcast maps below (orders/customer) stop fitting in a
+worker's heap; the scale path is the bucketed hash join in
+``layout_analysis_ray.functions.joins``, demonstrated by ``q_join_bucketed``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr) -> pa.Array:
+    """Exact 2-dp doubles -> int64 cents."""
+    return pc.cast(pc.round(pc.multiply(arr, 100.0)), pa.int64())
+
+
+def _partial_then_global(ds, keys: list[str], sum_cols: list[str]):
+    """Per-batch Arrow group_by partial aggregation, then a global groupby
+    over the (tiny) partials.  The shuffle moves one row per key per block
+    instead of every input row."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
+        return out.rename_columns(keys + sum_cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary
+# ---------------------------------------------------------------------------
+
+Q1_CUTOFF = "1998-09-01"
+
+
+def q1_pricing_summary(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch["l_shipdate"], pa.scalar(np.datetime64(Q1_CUTOFF, "us")))
+        )
+        qty_c = _cents(batch["l_quantity"])
+        price_c = _cents(batch["l_extendedprice"])
+        disc_c = _cents(batch["l_discount"])
+        disc_price = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty_cents": qty_c,
+                "price_cents": price_c,
+                "disc_price_e4": disc_price,  # cents * (100 - disc_cents)
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    agg = _partial_then_global(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["qty_cents", "price_cents", "disc_price_e4", "n"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pc.divide(batch["qty_cents"], pa.scalar(100, pa.int64())),
+                "sum_base_price_cents": batch["price_cents"],
+                "sum_disc_price_e4": batch["disc_price_e4"],
+                "avg_qty_ppm": pc.cast(
+                    pc.divide(
+                        pc.multiply(batch["qty_cents"], pa.scalar(10000, pa.int64())),
+                        batch["n"],
+                    ),
+                    pa.int64(),
+                ),
+                "count_order": batch["n"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q3-style: top unshipped orders (broadcast joins)
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1997-01-01"
+
+
+def q3_top_orders(sf_dir: str):
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust_keys = set(
+        cust.filter(lambda r: r["c_mktsegment"] == Q3_SEGMENT)
+        .select_columns(["c_custkey"])
+        .to_pandas()["c_custkey"]
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).to_arrow_refs()
+    import pyarrow as _pa
+
+    otab = _pa.concat_tables([ray.get(r) for r in orders])
+    cutoff = np.datetime64(Q3_DATE, "us")
+    mask = (
+        np.isin(otab["o_custkey"].to_numpy(zero_copy_only=False), list(cust_keys))
+        & (otab["o_orderdate"].to_numpy(zero_copy_only=False) < cutoff)
+    )
+    keep = otab.filter(pa.array(mask))
+    order_map = dict(
+        zip(
+            keep["o_orderkey"].to_numpy(zero_copy_only=False).tolist(),
+            (keep["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64) // 86_400_000_000).tolist(),
+        )
+    )
+    order_ref = ray.put(order_map)  # broadcast once; read per task
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def join_rev(batch: pa.Table) -> pa.Table:
+        omap = ray.get(order_ref)
+        batch = batch.filter(
+            pc.greater(batch["l_shipdate"], pa.scalar(np.datetime64(Q3_DATE, "us")))
+        )
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        sel = np.array([k in omap for k in ok], dtype=bool)
+        batch = batch.filter(pa.array(sel))
+        ok = ok[sel]
+        price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok),
+                "o_orderdate_day": pa.array([omap[k] for k in ok], pa.int64()),
+                "revenue_e4": pa.array(price_c * (100 - disc_c)),
+            }
+        )
+
+    agg = _partial_then_global(
+        li.map_batches(join_rev, batch_format="pyarrow"),
+        ["o_orderkey", "o_orderdate_day"],
+        ["revenue_e4"],
+    )
+    # top-10 on the aggregated (small) result; deterministic tie-break
+    pdf = agg.to_pandas()
+    pdf = pdf.sort_values(
+        ["revenue_e4", "o_orderkey"], ascending=[False, True]
+    ).head(10)
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Q5-style: revenue by nation within a region (chained broadcast lookups)
+# ---------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+
+
+def q5_region_revenue(sf_dir: str):
+    import ray
+
+    region = _read(sf_dir, "region").to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    rkeys = set(region[region["r_name"] == Q5_REGION]["r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    nation_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    supplier = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_nat = dict(zip(supplier["s_suppkey"], supplier["s_nationkey"]))
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust_nat = dict(zip(customer["c_custkey"], customer["c_nationkey"]))
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    order_cust = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
+
+    refs = ray.put((nation_name, supp_nat, cust_nat, order_cust))
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def join_rev(batch: pa.Table) -> pa.Table:
+        nn, sn, cn, oc = ray.get(refs)
+        okeys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        skeys = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+        names, revs = [], []
+        for i in range(len(okeys)):
+            s_nat = sn.get(skeys[i])
+            c_nat = cn.get(oc.get(okeys[i]))
+            if s_nat is not None and s_nat == c_nat and s_nat in nn:
+                names.append(nn[s_nat])
+                revs.append(int(price_c[i]) * (100 - int(disc_c[i])))
+        return pa.table(
+            {"n_name": pa.array(names, pa.string()), "revenue_e4": pa.array(revs, pa.int64())}
+        )
+
+    return _partial_then_global(
+        li.map_batches(join_rev, batch_format="pyarrow"), ["n_name"], ["revenue_e4"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simple operators: top-k, distinct, semi/anti join, hash split
+# ---------------------------------------------------------------------------
+
+def top_docs_by_chars(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(50)
+
+
+def distinct_event_types(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+ANTI_CUTOFF = "1995-07-01"
+
+
+def _custkeys_with_orders(sf_dir: str, before: str | None = None) -> set:
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    if before is not None:
+        cutoff = np.datetime64(before, "us")
+        orders = orders.map_batches(
+            lambda b: b.filter(pc.less(b["o_orderdate"], pa.scalar(cutoff))),
+            batch_format="pyarrow",
+        )
+    return set(orders.unique("o_custkey"))
+
+
+def semi_join_customers(sf_dir: str):
+    """Customers with >=1 order, counted per market segment (broadcast
+    key-set semi-join: no shuffle)."""
+    import ray
+
+    keys_ref = ray.put(_custkeys_with_orders(sf_dir))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def sel(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pa.array(
+            [k in keys for k in batch["c_custkey"].to_numpy(zero_copy_only=False)]
+        )
+        batch = batch.filter(mask)
+        return pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return _partial_then_global(
+        cust.map_batches(sel, batch_format="pyarrow"), ["c_mktsegment"], ["n"]
+    )
+
+
+def anti_join_customers(sf_dir: str):
+    """Customers with no orders before ANTI_CUTOFF, per market segment
+    (broadcast key-set anti-join; the cutoff keeps the result non-empty on
+    the synthetic data, where every customer eventually orders)."""
+    import ray
+
+    keys_ref = ray.put(_custkeys_with_orders(sf_dir, before=ANTI_CUTOFF))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def sel(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pa.array(
+            [k not in keys for k in batch["c_custkey"].to_numpy(zero_copy_only=False)]
+        )
+        batch = batch.filter(mask)
+        return pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return _partial_then_global(
+        cust.map_batches(sel, batch_format="pyarrow"), ["c_mktsegment"], ["n"]
+    )
+
+
+def split_hash_buckets(sf_dir: str):
+    """Deterministic train/val/test-style split: first hex char of
+    md5(doc_id) -> 16 buckets, counted.  The md5 keying matches the oracle
+    SQL exactly (analogue of the reference's random split
+    /root/reference/src/prepare_data/split_dataset.py:9-19, made
+    deterministic per SURVEY.md T5)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bs = [hashlib.md5(str(int(i)).encode()).hexdigest()[0] for i in ids]
+        return pa.table(
+            {
+                "bucket": pa.array(bs, pa.string()),
+                "n": pa.array(np.ones(len(bs), dtype=np.int64)),
+            }
+        )
+
+    return _partial_then_global(
+        ds.map_batches(bucket, batch_format="pyarrow"), ["bucket"], ["n"]
+    )
+
+
+def part_type_stats(sf_dir: str):
+    ds = _read(sf_dir, "part", columns=["p_type", "p_retailprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_type": batch["p_type"],
+                "price_cents": _cents(batch["p_retailprice"]),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    agg = _partial_then_global(
+        ds.map_batches(prep, batch_format="pyarrow"), ["p_type"], ["price_cents", "n"]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_type": batch["p_type"],
+                "n_parts": batch["n"],
+                "sum_price_cents": batch["price_cents"],
+                "avg_price_ppm": pc.cast(
+                    pc.divide(
+                        pc.multiply(batch["price_cents"], pa.scalar(10000, pa.int64())),
+                        batch["n"],
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -226,31 +226,57 @@ def gen_table(n_docs: int, seed: int = SEED) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
 
 
-def spans_batch_from_documents(batch: pa.Table, seed: int = SEED) -> pa.Table:
-    """map_batches fn: (doc_id:int64, text) -> interleaved (doc_id, spans)."""
+def spans_batch_from_documents(
+    batch: pa.Table, seed: int = SEED, replicate: int = 1, n_base: int = 0
+) -> pa.Table:
+    """map_batches fn: (doc_id:int64, text) -> interleaved (doc_id, spans).
+
+    ``replicate > 1`` deterministically expands each source doc into
+    ``replicate`` distinct documents (fresh doc_ids, shifted family/rng
+    index), used to scale the bench corpus (FIXTURES.md sizes) without
+    external data."""
     ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
     rows = []
     for i, txt in zip(ids, texts):
-        doc_id = f"doc-{int(i):08d}"
         words = (txt or "").split() or list(_VOCAB)
-        rows.append(
-            {"doc_id": doc_id, "spans": make_spans(int(i), doc_id, words, seed)}
-        )
+        for r in range(replicate):
+            idx = int(i) + r * n_base
+            doc_id = f"doc-{idx:08d}"
+            rows.append(
+                {"doc_id": doc_id, "spans": make_spans(idx, doc_id, words, seed)}
+            )
     return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
 
 
-def docs_from_parquet(sf_dir: str, seed: int = SEED):
+def docs_from_parquet(
+    sf_dir: str,
+    seed: int = SEED,
+    replicate: int = 1,
+    num_blocks: int | None = None,
+):
     """Ray Dataset of interleaved docs derived from {sf_dir}/documents.parquet.
 
     Column-pruned read (doc_id, text only); derivation is a stateless
     per-batch transform, so it streams and scales with the read.
+    ``num_blocks`` splits the (single-file) read so the pipeline can use all
+    cores — Ray's default block split follows file count, which is 1 here.
     """
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_base = 0
+    if replicate > 1:
+        import pyarrow.parquet as pq
+
+        n_base = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    kwargs = {}
+    if num_blocks:
+        kwargs["override_num_blocks"] = num_blocks
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], **kwargs
+    )
     return ds.map_batches(
-        lambda b: spans_batch_from_documents(b, seed),
+        lambda b: spans_batch_from_documents(b, seed, replicate, n_base),
         batch_format="pyarrow",
-        batch_size=512,
+        batch_size=256,
     )

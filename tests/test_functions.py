@@ -1,0 +1,122 @@
+"""Tests for the dedup/similarity/text operator families."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """documents.parquet with planted exact and near duplicates."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the engine "
+        "streams arrow batches through the actor pool with backpressure"
+    )
+    near = base.replace("lazy dog", "sleepy dog")  # one token changed
+    other = "completely different content about partitioned shuffles and manifests " * 2
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},          # exact dup of 0
+        {"doc_id": 2, "text": near},           # near dup of 0
+        {"doc_id": 3, "text": other},
+        {"doc_id": 4, "text": other + " tail"},
+    ]
+    d = tmp_path_factory.mktemp("planted")
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_dedup_exact_planted(ray_session, planted_dir):
+    from layout_analysis_ray.functions.dedup import dedup_exact
+
+    df = dedup_exact(planted_dir).to_pandas()
+    assert len(df) == 4  # 5 docs, one exact-dup pair collapsed
+    dup = df[df["n_dups"] == 2]
+    assert len(dup) == 1 and dup["doc_id"].iloc[0] == 0
+
+
+def test_dedup_minhash_planted(ray_session, planted_dir):
+    from layout_analysis_ray.functions.dedup import dedup_minhash_pairs
+
+    df = dedup_minhash_pairs(planted_dir).to_pandas()
+    pairs = set(zip(df["doc_a"], df["doc_b"]))
+    assert (0, 1) in pairs  # exact dup: jaccard 1.0
+    assert (0, 2) in pairs  # near dup shares most shingles
+    est = dict(zip(zip(df["doc_a"], df["doc_b"]), df["est_jaccard_ppm"]))
+    assert est[(0, 1)] == 1_000_000
+
+
+def test_simhash_properties(planted_dir):
+    from layout_analysis_ray.functions.dedup import simhash64
+
+    a = simhash64("the quick brown fox")
+    assert a == simhash64("the quick brown fox")  # deterministic
+    assert simhash64("") == 0
+    b = simhash64("the quick brown cat")
+    ham = bin(a ^ b).count("1")
+    assert ham <= 24  # near texts stay near in hamming space
+    c = simhash64("zzz completely unrelated words entirely qqq xyz")
+    assert bin(a ^ c).count("1") > ham
+
+
+def test_knn_lsh_recall(ray_session):
+    from layout_analysis_ray.functions.similarity import knn_brute, knn_lsh
+
+    sf = "/root/testdata/sf0.001"
+    brute = knn_brute(sf).to_pandas()
+    lsh = knn_lsh(sf).to_pandas()
+    b_pairs = set(zip(brute["query_id"], brute["neighbor_id"]))
+    l_pairs = set(zip(lsh["query_id"], lsh["neighbor_id"]))
+    recall = len(b_pairs & l_pairs) / len(b_pairs)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_knn_brute_shape(ray_session):
+    from layout_analysis_ray.functions.similarity import KNN_K, N_QUERIES, knn_brute
+
+    df = knn_brute("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == KNN_K * N_QUERIES
+    assert set(df.columns) == {"query_id", "neighbor_id", "rank"}
+    assert (df.groupby("query_id")["rank"].max() == KNN_K).all()
+    assert (df["query_id"] != df["neighbor_id"]).all()
+
+
+def test_minhash_partial_batch_invariance(planted_dir):
+    """Band signatures must not depend on batching."""
+    from layout_analysis_ray.functions.dedup import minhash_bands_batch
+
+    t = pq.read_table(planted_dir + "/documents.parquet")
+    whole = minhash_bands_batch(t).to_pandas()
+    parts = pd.concat(
+        [minhash_bands_batch(t.slice(i, 2)).to_pandas() for i in range(0, 5, 2)]
+    )
+    key = ["doc_id", "band_id"]
+    w = whole.sort_values(key).reset_index(drop=True)
+    p = parts.sort_values(key).reset_index(drop=True)
+    assert w.equals(p)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    rows = ds.take(20)
+    assert len(rows) > 0
+    assert set(rows[0]) == {"doc_id", "kind", "text", "media_ref", "offset"}
+
+
+def test_queries_oracle_keys_consistent():
+    import __ray_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)  # every oracle has a query
+    # the non-SQL set is exactly the by-design rows-only group
+    assert set(qs) - set(os_) == {
+        "extract_spans",
+        "extract_kind_counts",
+        "dedup_minhash_pairs",
+        "dedup_simhash",
+        "ann_lsh_buckets",
+    }
