@@ -58,6 +58,34 @@ def _extract_kind_counts(sf_dir: str):
     )
 
 
+def _extract_spans_skew(sf_dir: str):
+    """Skew-robust variant: chunk giant docs -> score -> salted groupby
+    reassembly; pytest proves span-equality with the happy path."""
+    from layout_analysis_ray.pipelines.extract import explode
+    from layout_analysis_ray.sources.synth import docs_from_parquet
+    from layout_analysis_ray.stages.skew import extract_pipeline_skew
+
+    return explode(extract_pipeline_skew(docs_from_parquet(sf_dir)))
+
+
+def _media_features(sf_dir: str):
+    """Driver-facing projection: scalar columns only (the embedding vector
+    stays inside the stage; e0_ppm summarizes it for the rows-only check)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from layout_analysis_ray.stages.media import media_features
+
+    def proj(b: pa.Table) -> pa.Table:
+        e0 = pc.list_element(b.column("embedding"), 0)
+        return b.drop_columns(["embedding"]).append_column(
+            "e0_ppm",
+            pc.cast(pc.floor(pc.multiply(pc.cast(e0, pa.float64()), 1e6)), pa.int64()),
+        )
+
+    return media_features(sf_dir).map_batches(proj, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from layout_analysis_ray.functions import dedup, similarity, text, windows
     from layout_analysis_ray.pipelines import relational as rel
@@ -66,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction family (non-SQL; pytest-gated vs oracle)
         "extract_spans": _extract_spans,
         "extract_kind_counts": _extract_kind_counts,
+        "extract_spans_skew": _extract_spans_skew,
+        "media_features": _media_features,
         # relational operators
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,

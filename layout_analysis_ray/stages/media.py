@@ -1,0 +1,134 @@
+"""Multimodal media stages: decode / feature-extract as actor-pool stages.
+
+The engine treats image/audio/video payloads as opaque references
+(``media_ref`` string column; at 100 TB the bytes would live in object
+storage and be fetched inside the actor) with typed metadata.  The decode
+kernel itself is STUBBED in this sandbox — no image/audio libraries are
+installed — behind a try-import: with PIL/cv2 present ``decode_mode`` becomes
+"real"; here it is "stub", a deterministic sha256-derived fake that exercises
+the full Ray-side plumbing (schema, batch size, actor pool signature, output
+layout), which is what the tests pin down.
+
+Reference analogue: ``load_img`` + per-doc model scoring
+(``/root/reference/src/DocumentAnalyzer.py:105-109,44-50``) — an image decode
+feeding a feature extractor; there it was scipy imread + TF session per doc,
+here it is an actor pool with the "model" loaded once in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+FEAT_DIM = 16
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_frames", pa.int32()),
+        ("decode_mode", pa.string()),
+        ("embedding", pa.list_(pa.float32(), FEAT_DIM)),
+    ]
+)
+
+
+def _try_real_decoder():
+    try:  # pragma: no cover - not installed in this sandbox
+        from PIL import Image  # noqa: F401
+
+        return "real"
+    except ImportError:
+        return "stub"
+
+
+class MediaFeaturizer:
+    """map_batches actor: media_ref -> (dims, frames, embedding).
+
+    ``__init__`` loads the decoder + featurizer once per actor (the stateful
+    part); ``__call__`` is vectorized over the batch.  Batches should be
+    sized in *bytes* not rows for real media (SURVEY.md §7.3): pass
+    ``batch_size`` small when payloads are large.
+    """
+
+    init_count = 0
+
+    def __init__(self) -> None:
+        MediaFeaturizer.init_count += 1
+        self.decode_mode = _try_real_decoder()
+        # once-per-actor "model load": a fixed projection matrix
+        rng = np.random.default_rng(12345)
+        self._proj = rng.standard_normal((32, FEAT_DIM)).astype(np.float32)
+
+    def _decode_stub(self, refs: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Deterministic fake decode: sha256(media_ref) -> pseudo-pixels."""
+        raw = np.empty((len(refs), 32), dtype=np.uint8)
+        for i, r in enumerate(refs):
+            raw[i] = np.frombuffer(hashlib.sha256(r.encode()).digest(), np.uint8)
+        dims = raw[:, :6].astype(np.int32)
+        return raw, dims
+
+    def _decode_real(self, refs: list[str]):  # pragma: no cover
+        raise NotImplementedError(
+            "real image decode requires PIL/cv2, not installed in this sandbox; "
+            "the stub path exercises identical Ray-side plumbing"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        ids = batch.column("doc_id")
+        if self.decode_mode == "real":  # pragma: no cover
+            self._decode_real(refs)
+        raw, dims = self._decode_stub(refs)
+
+        width = 256 + (dims[:, 0].astype(np.int32) << 3)
+        height = 256 + (dims[:, 1].astype(np.int32) << 3)
+        n_frames = 1 + (dims[:, 2] % 4).astype(np.int32)
+        # batched "inference": one matmul for the whole batch
+        feats = (raw.astype(np.float32) / 255.0) @ self._proj
+        norms = np.linalg.norm(feats, axis=1, keepdims=True)
+        feats = feats / np.maximum(norms, 1e-9)
+
+        return pa.table(
+            {
+                "doc_id": ids,
+                "media_ref": batch.column("media_ref"),
+                "width": pa.array(width, pa.int32()),
+                "height": pa.array(height, pa.int32()),
+                "n_frames": pa.array(n_frames, pa.int32()),
+                "decode_mode": pa.array([self.decode_mode] * len(refs), pa.string()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1), pa.float32()), FEAT_DIM
+                ),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+
+def media_features(sf_dir: str, *, concurrency=(1, 4), batch_size: int = 256):
+    """Extract media spans from the interleaved corpus and featurize them.
+
+    Small ``batch_size`` by design: with real payloads each row carries
+    megabytes, so batches are bounded by bytes, not rows.
+    """
+    import pyarrow.compute as pc
+
+    from ..pipelines.extract import explode, extract_pipeline
+    from ..sources.synth import docs_from_parquet
+
+    spans = explode(extract_pipeline(docs_from_parquet(sf_dir)))
+    media = spans.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("media_ref"), "")),
+        batch_format="pyarrow",
+    )
+    return media.map_batches(
+        MediaFeaturizer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -116,6 +116,8 @@ def test_queries_oracle_keys_consistent():
     assert set(qs) - set(os_) == {
         "extract_spans",
         "extract_kind_counts",
+        "extract_spans_skew",
+        "media_features",
         "dedup_minhash_pairs",
         "dedup_simhash",
         "ann_lsh_buckets",
