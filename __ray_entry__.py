@@ -87,7 +87,15 @@ def _media_features(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from layout_analysis_ray.functions import dedup, similarity, text, windows
+    from layout_analysis_ray.functions import (
+        dedup,
+        evaluate,
+        pagexml,
+        sampling,
+        similarity,
+        text,
+        windows,
+    )
     from layout_analysis_ray.pipelines import relational as rel
 
     return {
@@ -126,6 +134,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn": similarity.knn_brute,
         "embedding_neardup_pairs": similarity.neardup_pairs,
         "ann_lsh_buckets": similarity.lsh_buckets,
+        "ann_knn_lsh": similarity.knn_lsh,
+        "ann_ivf_assign": similarity.ivf_assign,
+        "ann_knn_ivf": similarity.knn_ivf,
+        # evaluation / sampling / sidecar export
+        "eval_skew_vs_happy": evaluate.eval_skew_vs_happy,
+        "split_train_test": sampling.train_test_split_hash,
+        "weighted_sample": sampling.weighted_sample,
+        "importance_weights": sampling.importance_weights,
+        "page_xml_export": pagexml.page_xml_export,
     }
 
 
@@ -334,5 +351,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE b.vec_id > a.vec_id
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.30
+        """,
+        # h = first 8 hex digits of md5(doc_id); test iff h*3 < 16^8
+        # (equivalently h <= 0x55555555, a fixed-width hex-string compare)
+        "split_train_test": """
+            SELECT doc_id,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <= '55555555'
+                   THEN 'test' ELSE 'train' END AS split
+            FROM documents
+        """,
+        # keep iff h * 20000 < n_chars * 16^8  (P(keep) = n_chars/20000)
+        "weighted_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  * 20000 < CAST(n_chars AS BIGINT) * 4294967296
+        """,
+        "importance_weights": """
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+              (CAST(n_chars AS BIGINT) * 1000000)
+                // (SELECT SUM(CAST(n_chars AS BIGINT)) FROM documents) AS prob_ppm
+            FROM documents
         """,
     }

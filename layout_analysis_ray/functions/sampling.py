@@ -1,0 +1,100 @@
+"""Sampling / splitting operators (reference T3-T5, S8/A4 analogues).
+
+All sampling here is DETERMINISTIC — driven by md5(doc_id), not RNG state —
+so results are identical across runs, parallelism levels and node counts
+(the property the reference lacks: its train/test split uses ``random.random``
+per book, ``/root/reference/src/prepare_data/split_dataset.py:9-19``, and its
+batch sampling uses global numpy RNG, ``src/train_detector.py:139-145``).
+
+- ``train_test_split_hash``: 2/3-1/3 split by hash threshold (T5 analogue).
+- ``weighted_sample``: importance-style deterministic thinning — keep a doc
+  when hash-uniform(doc_id) < n_chars / max_chars (T4 analogue; the
+  reference samples half of each batch weighted by a scores file,
+  ``src/train_detector.py:139-143``).
+- ``importance_weights``: the scores-file pipeline (S8 writer + A4
+  inverse-score normalization, ``src/prepare_data/prepare_data.py:164-178``):
+  per-doc score -> global sum (tiny aggregate) -> normalized probability.
+  Two-pass, but pass 2 only broadcasts one scalar.
+
+Everything is SQL-expressible, so all three carry DuckDB oracles in
+``__ray_entry__.oracle_sql`` with bit-exact integer arithmetic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+HASH_DENOM = 16**8  # first 8 hex digits of md5 -> uniform in [0, 1)
+
+
+def _read_docs(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _hash_u32(ids) -> np.ndarray:
+    return np.fromiter(
+        (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            for i in ids
+        ),
+        dtype=np.int64,
+        count=len(ids),
+    )
+
+
+def train_test_split_hash(sf_dir: str, test_denom: int = 3):
+    """(doc_id, split) — 'test' when md5-uniform < 1/test_denom else 'train'."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = _hash_u32(batch.column("doc_id").to_pylist())
+        is_test = h * test_denom < HASH_DENOM
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "split": pc.if_else(
+                    pa.array(is_test), pa.scalar("test"), pa.scalar("train")
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id"]).map_batches(fn, batch_format="pyarrow")
+
+
+def weighted_sample(sf_dir: str, max_chars: int = 20000):
+    """Deterministic weighted thinning: P(keep) = n_chars / max_chars."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = _hash_u32(batch.column("doc_id").to_pylist())
+        w = np.asarray(batch.column("n_chars").to_numpy(zero_copy_only=False))
+        keep = h * max_chars < w.astype(np.int64) * HASH_DENOM
+        return batch.select(["doc_id", "n_chars"]).filter(pa.array(keep))
+
+    return _read_docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def importance_weights(sf_dir: str):
+    """(doc_id, score, prob_ppm) — score = n_chars, prob normalized to the
+    corpus sum in ppm (integer floor division for bit-exact SQL parity)."""
+    docs = _read_docs(sf_dir, ["doc_id", "n_chars"])
+    total = docs.sum("n_chars")  # tiny global aggregate, broadcast as scalar
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n_chars"), pa.int64())
+        prob = pc.divide(pc.multiply(n, 1_000_000), total)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score": n,
+                "prob_ppm": prob,
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")

@@ -170,6 +170,129 @@ def lsh_buckets(sf_dir: str):
     return _read_emb(sf_dir).map_batches(bucketize, batch_format="pyarrow")
 
 
+IVF_CLUSTERS = 8
+IVF_NPROBE = 4
+IVF_ITERS = 2
+
+
+def _ivf_centroids(sf_dir: str) -> np.ndarray:
+    """Deterministic mini-kmeans over the corpus, Ray-native: centroids are
+    broadcast, each batch emits per-centroid partial sums (C x dim + counts),
+    the driver reduces the tiny partials and updates — Lloyd iterations with
+    no shuffle of the corpus (the pre-aggregate-inside-map_batches pattern)."""
+    import ray
+
+    ids0, m0 = _load_queries(sf_dir)  # reuse: any deterministic seed rows
+    # seed centroids: first IVF_CLUSTERS query vectors padded by jitter
+    rng = np.random.default_rng(7)
+    cents = _normalize(
+        np.concatenate(
+            [m0, rng.standard_normal((max(0, IVF_CLUSTERS - len(m0)), m0.shape[1]))]
+        )[:IVF_CLUSTERS]
+    )
+    ds = _read_emb(sf_dir)
+    for _ in range(IVF_ITERS):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            _, m = _emb_matrix(batch)
+            mn = _normalize(m)
+            assign = np.argmax(mn @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            np.add.at(sums, assign, mn)
+            np.add.at(counts, assign, 1)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c)), pa.int64()),
+                    "count": pa.array(counts),
+                    "sum": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for r in rows:
+            sums[r["cluster"]] += np.asarray(r["sum"])
+            counts[r["cluster"]] += r["count"]
+        nonzero = counts > 0
+        cents[nonzero] = _normalize(sums[nonzero] / counts[nonzero, None])
+    return cents
+
+
+def ivf_assign(sf_dir: str):
+    """(vec_id, cluster) — IVF coarse quantization of the corpus."""
+    import ray
+
+    cents = _ivf_centroids(sf_dir)
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        ids, m = _emb_matrix(batch)
+        a = np.argmax(_normalize(m) @ c.T, axis=1)
+        return pa.table(
+            {"vec_id": pa.array(ids), "cluster": pa.array(a.astype(np.int64))}
+        )
+
+    return _read_emb(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
+def knn_ivf(sf_dir: str, nprobe: int = IVF_NPROBE):
+    """IVF ANN top-K: each query probes its ``nprobe`` nearest clusters; only
+    vectors assigned to those clusters are cosine-scored.  With
+    ``nprobe == IVF_CLUSTERS`` this degrades to an exact scan (asserted equal
+    to knn_brute in tests); smaller nprobe trades recall for scan fraction."""
+    import ray
+
+    cents = _ivf_centroids(sf_dir)
+    qids, qm = _load_queries(sf_dir)
+    qn = _normalize(qm)
+    probes = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    ref = ray.put((qids, qn, probes, cents))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qi, qnorm, qprobe, c = ray.get(ref)
+        ids, m = _emb_matrix(batch)
+        mn = _normalize(m)
+        assign = np.argmax(mn @ c.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for k in range(len(qi)):
+            cand = np.nonzero(np.isin(assign, qprobe[k]) & (ids != qi[k]))[0]
+            if cand.size == 0:
+                continue
+            sims = mn[cand] @ qnorm[k]
+            take = min(KNN_K, cand.size)
+            ordk = cand[np.lexsort((ids[cand], -sims))][:take]
+            out_q.extend([int(qi[k])] * len(ordk))
+            out_n.extend(int(ids[i]) for i in ordk)
+            out_s.extend(float(mn[i] @ qnorm[k]) for i in ordk)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = _read_emb(sf_dir).map_batches(score, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(KNN_K)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"],
+                "neighbor_id": g["neighbor_id"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def knn_lsh(sf_dir: str):
     """ANN top-K via hyperplane LSH: candidates = corpus rows whose bucket
     code is within LSH_HAM_RADIUS bits of the query's code; only candidates

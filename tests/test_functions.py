@@ -121,4 +121,9 @@ def test_queries_oracle_keys_consistent():
         "dedup_minhash_pairs",
         "dedup_simhash",
         "ann_lsh_buckets",
+        "ann_knn_lsh",
+        "ann_ivf_assign",
+        "ann_knn_ivf",
+        "eval_skew_vs_happy",
+        "page_xml_export",
     }
