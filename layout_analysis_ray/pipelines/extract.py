@@ -27,6 +27,14 @@ DEFAULT_BATCH_SIZE = 512
 DEFAULT_CONCURRENCY = (1, 8)
 
 
+def scorer_pool_size(num_cpus: int) -> int:
+    """Scorer actor count for a node with ``num_cpus``: ~3/8 of the CPUs
+    (measured best split on the bench — scoring is ~45% of pipeline CPU, and
+    read/assemble/write task ops fill the rest), always leaving headroom so
+    task ops never starve (a pool == num_cpus deadlocks the pipeline)."""
+    return max(1, (num_cpus * 3 + 7) // 8)
+
+
 def extract_pipeline(
     docs,
     *,

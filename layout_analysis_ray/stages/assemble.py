@@ -48,19 +48,19 @@ def _media_out_kind(kind: str) -> str:
 
 
 def assemble_batch(batch: pa.Table) -> pa.Table:
-    spans = batch.column("spans")
-    if isinstance(spans, pa.ChunkedArray):
-        spans = spans.combine_chunks()
+    kind_col = batch.column("span_kind")
+    if isinstance(kind_col, pa.ChunkedArray):
+        kind_col = kind_col.combine_chunks()
     lengths = np.asarray(
-        pc.fill_null(pc.list_value_length(spans), 0).to_numpy(zero_copy_only=False)
+        pc.fill_null(pc.list_value_length(kind_col), 0).to_numpy(zero_copy_only=False)
     ).astype(np.int64)
     doc_offs = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=doc_offs[1:])
 
-    flat = pc.list_flatten(spans)
-    kinds = flat.field("kind").to_pylist()
-    media_refs = flat.field("media_ref").to_pylist()
-    src_off = np.asarray(flat.field("offset").to_numpy(zero_copy_only=False))
+    kind_arr = pc.list_flatten(kind_col)
+    kinds = kind_arr.to_pylist()
+    media_refs = _flat_list(batch.column("span_media"))
+    src_off = _flat_np(batch.column("span_offset"))
 
     label = _flat_np(batch.column("span_label"))
     heading = _flat_np(batch.column("span_heading"))
@@ -73,7 +73,6 @@ def assemble_batch(batch: pa.Table) -> pa.Table:
     by1 = _flat_np(batch.column("span_y1"))
 
     n_docs = batch.num_rows
-    kind_arr = flat.field("kind")
     is_media_kind = np.asarray(
         pc.is_in(kind_arr, value_set=pa.array(sorted(C.MEDIA_KINDS))).to_numpy(
             zero_copy_only=False

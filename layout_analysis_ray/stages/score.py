@@ -168,14 +168,27 @@ class SpanScorer:
                 values = pa.array(values, type=typ)
             return pa.ListArray.from_arrays(po, values)
 
-        return (
-            batch.append_column("span_label", lst(label, pa.int8()))
-            .append_column("span_heading", lst(head_out, pa.bool_()))
-            .append_column("span_tabular", lst(tab_out, pa.bool_()))
-            .append_column("span_err", lst(err, pa.bool_()))
-            .append_column("span_visible", lst(vis_arr))
-            .append_column("span_x0", lst(x0, pa.float64()))
-            .append_column("span_y0", lst(y0, pa.float64()))
-            .append_column("span_x1", lst(x1, pa.float64()))
-            .append_column("span_y1", lst(y1, pa.float64()))
-        )
+        # Slim output: the raw span text does NOT cross the stage boundary —
+        # everything downstream needs is the visible text + flags.  This
+        # roughly halves the scored-intermediate bytes through the object
+        # store (the memory-bandwidth hot path at high parallelism).
+        cols = {
+            "doc_id": batch.column("doc_id"),
+            "span_kind": lst(kind),
+            "span_media": lst(flat.field("media_ref")),
+            "span_offset": lst(flat.field("offset")),
+            "span_label": lst(label, pa.int8()),
+            "span_heading": lst(head_out, pa.bool_()),
+            "span_tabular": lst(tab_out, pa.bool_()),
+            "span_err": lst(err, pa.bool_()),
+            "span_visible": lst(vis_arr),
+            "span_x0": lst(x0, pa.float64()),
+            "span_y0": lst(y0, pa.float64()),
+            "span_x1": lst(x1, pa.float64()),
+            "span_y1": lst(y1, pa.float64()),
+        }
+        # passthrough for any extra grouping columns (skew path: chunk_id...)
+        for name in batch.column_names:
+            if name not in ("doc_id", "spans"):
+                cols[name] = batch.column(name)
+        return pa.table(cols)
