@@ -24,8 +24,11 @@ from .text import _tokens
 
 MINHASH_PERMS = 64
 MINHASH_BANDS = 16  # x 4 rows/band
-MINHASH_PRIME = (1 << 61) - 1
+# 31-bit Mersenne prime: a*x + b stays within int64 (a, x < 2^31), so the
+# permutation sweep is pure vectorized integer numpy — no bignum objects.
+MINHASH_PRIME = (1 << 31) - 1
 MINHASH_JACCARD_PPM = 500_000  # signature-estimated threshold
+_PERM_CHUNK = 8  # perms per numpy sweep: bounds the [chunk, n_shingles] temp
 
 _rng = np.random.default_rng(20240817)
 _A = _rng.integers(1, MINHASH_PRIME, size=MINHASH_PERMS, dtype=np.int64)
@@ -46,11 +49,13 @@ def _shingles(text: str) -> list[str]:
 
 
 def _shingle_ints(text: str) -> np.ndarray:
-    vals = {
-        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 3
-        for s in _shingles(text)
-    }
-    return np.fromiter(vals, dtype=np.int64, count=len(vals))
+    """Distinct shingles -> int64 in [1, p-1], vectorized (pandas hash_array
+    is a deterministic, process-independent C hash)."""
+    sh = _shingles(text)
+    if not sh:
+        return np.empty(0, dtype=np.int64)
+    h = pd.util.hash_array(np.asarray(sh, dtype=object))
+    return np.unique((h % (MINHASH_PRIME - 1)).astype(np.int64) + 1)
 
 
 # ---------------------------------------------------------------------------
@@ -89,80 +94,176 @@ def dedup_exact(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def minhash_sig(text: str) -> np.ndarray:
-    x = _shingle_ints(text)
-    if x.size == 0:
-        return np.full(MINHASH_PERMS, MINHASH_PRIME, dtype=np.int64)
-    # (A * x + B) mod p, min per permutation — vectorized [perms, shingles]
-    vals = (x[None, :].astype(object) * _A[:, None] + _B[:, None]) % MINHASH_PRIME
-    return np.array(vals.min(axis=1).tolist(), dtype=np.int64)
+    return minhash_sigs([text])[0]
+
+
+def minhash_sigs(texts: list[str]) -> np.ndarray:
+    """[n_docs, PERMS] signatures, one vectorized sweep over ALL shingles of
+    the batch: (A*x + B) mod p then segment-min (np.minimum.reduceat) per
+    doc.  Perms are processed in chunks to bound the temporary."""
+    segs = [_shingle_ints(t) for t in texts]
+    lens = np.array([len(s) for s in segs], dtype=np.int64)
+    out = np.full((len(texts), MINHASH_PERMS), MINHASH_PRIME, dtype=np.int64)
+    nz = np.nonzero(lens)[0]
+    if nz.size == 0:
+        return out
+    x = np.concatenate([segs[i] for i in nz])
+    starts = np.zeros(nz.size, dtype=np.int64)
+    np.cumsum(lens[nz][:-1], out=starts[1:])
+    for c0 in range(0, MINHASH_PERMS, _PERM_CHUNK):
+        a = _A[c0 : c0 + _PERM_CHUNK, None]
+        b = _B[c0 : c0 + _PERM_CHUNK, None]
+        vals = (x[None, :] * a + b) % MINHASH_PRIME
+        out[nz, c0 : c0 + _PERM_CHUNK] = np.minimum.reduceat(vals, starts, axis=1).T
+    return out
+
+
+# deterministic int64 band mix (vectorized Horner with wraparound)
+_BAND_MIX = np.int64(1_000_003)
+
+
+def _band_hashes(sigs: np.ndarray) -> np.ndarray:
+    """[n, BANDS] int64 band keys (band_id mixed in, so one flat key)."""
+    n = sigs.shape[0]
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    with np.errstate(over="ignore"):
+        bands = sigs.reshape(n, MINHASH_BANDS, rows_per_band)
+        bh = np.arange(MINHASH_BANDS, dtype=np.int64)[None, :].repeat(n, axis=0)
+        for r in range(rows_per_band):
+            bh = bh * _BAND_MIX + bands[:, :, r]  # int64 wraparound, per-band
+    return bh
 
 
 def minhash_bands_batch(batch: pa.Table) -> pa.Table:
-    """doc -> one row per LSH band: (band_id, band_hash, doc_id)."""
+    """doc -> one row per LSH band: (band_id, band_hash, doc_id, sig).
+
+    (Unit-test surface; the pairs pipeline below uses the slimmer
+    (band_key, doc_id) shape so signatures never enter the shuffle.)"""
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     texts = batch["text"].to_pylist()
-    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    band_id, band_hash, doc_id, sigs = [], [], [], []
-    for i, t in zip(ids, texts):
-        sig = minhash_sig(t)
-        sig_hex = sig.astype(np.uint64).tobytes().hex()
-        for b in range(MINHASH_BANDS):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            band_id.append(b)
-            band_hash.append(hashlib.md5(chunk.tobytes()).hexdigest())
-            doc_id.append(int(i))
-            sigs.append(sig_hex)
+    n = len(texts)
+    sigs = minhash_sigs(texts)  # [n, perms]
+    bh = _band_hashes(sigs)
+    sig_hex = [s.astype(np.uint64).tobytes().hex() for s in sigs]
     return pa.table(
         {
-            "band_id": pa.array(band_id, pa.int32()),
-            "band_hash": pa.array(band_hash, pa.string()),
-            "doc_id": pa.array(doc_id, pa.int64()),
-            "sig": pa.array(sigs, pa.string()),
+            "band_id": pa.array(
+                np.tile(np.arange(MINHASH_BANDS, dtype=np.int32), n), pa.int32()
+            ),
+            "band_hash": pa.array(bh.reshape(-1), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids.astype(np.int64), MINHASH_BANDS)),
+            "sig": pa.array(np.repeat(np.asarray(sig_hex, dtype=object), MINHASH_BANDS)),
         }
     )
+
+
+PAIR_PARTITIONS = 64
 
 
 def dedup_minhash_pairs(sf_dir: str):
     """MinHash-LSH candidate pairs verified by signature-estimated Jaccard
     >= 0.5 -> (doc_a, doc_b, est_jaccard_ppm), deduped across bands.
 
-    Scale shape: shingle->minhash per batch (no shuffle), explode to band
-    rows, ``groupby(band_id, band_hash)`` (the only shuffle — signature rows
-    are ~100x smaller than documents), pairwise verify inside each bucket,
-    then a final exact-dedup groupby on the pair key.
+    Scale shape (three narrow phases, no signature ever enters a shuffle):
+
+    1. shingle->minhash per batch (no shuffle), emit (band_key, doc_id)
+       rows — 16 x 16 bytes per doc, ~100x smaller than the document;
+    2. groupby(band_key % 64 coarse partitions).map_groups: inside each
+       partition a *pandas* groupby finds same-key buckets and emits
+       candidate pairs — 64 python calls total, not one per bucket;
+    3. candidate doc set (tiny) is broadcast; their signatures are
+       recomputed batch-vectorized and the pair estimate is verified in a
+       map over the pairs dataset.
     """
-    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        minhash_bands_batch, batch_format="pyarrow"
+    import ray
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = minhash_sigs(batch["text"].to_pylist())
+        bh = _band_hashes(sigs).reshape(-1)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (bh % PAIR_PARTITIONS).astype(np.int32), pa.int32()
+                ),
+                "band_key": pa.array(bh, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, MINHASH_BANDS)),
+            }
+        )
+
+    bands = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        band_rows, batch_format="pyarrow"
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_j = [], [], []
-        if len(g) > 1:
-            g = g.sort_values("doc_id").drop_duplicates("doc_id")
-            ids = g["doc_id"].to_numpy()
-            sigs = [
-                np.frombuffer(bytes.fromhex(s), dtype=np.uint64).astype(np.int64)
-                for s in g["sig"]
-            ]
-            for i, j in itertools.combinations(range(len(ids)), 2):
-                est = int(
-                    (np.count_nonzero(sigs[i] == sigs[j]) * 1_000_000)
-                    // MINHASH_PERMS
-                )
-                if est >= MINHASH_JACCARD_PPM:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_j.append(est)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "est_jaccard_ppm": out_j})
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("band_key", sort=False):
+            ids = np.unique(grp["doc_id"].to_numpy())
+            if len(ids) > 1:
+                for i, j in itertools.combinations(ids.tolist(), 2):
+                    out_a.append(int(i))
+                    out_b.append(int(j))
+        df = pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+        return df.drop_duplicates()
 
-    pairs = ds.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = bands.groupby("part").map_groups(partition_pairs, batch_format="pandas")
+    pair_rows = pairs.take_all()  # candidates only: tiny by construction
+    seen = set()
+    cand_pairs = []
+    for r in pair_rows:
+        key = (r["doc_a"], r["doc_b"])
+        if key not in seen:
+            seen.add(key)
+            cand_pairs.append(key)
+    cand_docs = {d for p in cand_pairs for d in p}
+
+    # verify: recompute signatures for candidate docs only (pruned read +
+    # broadcast candidate set), estimate jaccard from signature agreement
+    cand_ref = ray.put(cand_docs)
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        cd = ray.get(cand_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.array([int(i) in cd for i in ids], dtype=bool)
+        if not mask.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "sig": pa.array([], pa.string())}
+            )
+        sel = batch.filter(pa.array(mask))
+        sigs = minhash_sigs(sel["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": sel["doc_id"],
+                "sig": pa.array(
+                    [s.astype(np.uint64).tobytes().hex() for s in sigs], pa.string()
+                ),
+            }
+        )
+
+    sig_map = {
+        int(r["doc_id"]): np.frombuffer(
+            bytes.fromhex(r["sig"]), dtype=np.uint64
+        ).astype(np.int64)
+        for r in _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(sig_rows, batch_format="pyarrow")
+        .take_all()
+    }
+    out_a, out_b, out_j = [], [], []
+    for a, b in sorted(cand_pairs):
+        est = int(
+            (np.count_nonzero(sig_map[a] == sig_map[b]) * 1_000_000) // MINHASH_PERMS
+        )
+        if est >= MINHASH_JACCARD_PPM:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(est)
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "est_jaccard_ppm": pa.array(out_j, pa.int64()),
+        }
     )
-
-    def depair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(depair, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
