@@ -1,0 +1,104 @@
+"""CLI entry point — the `ray job submit` surface of the engine.
+
+    # extract with resumable, lineage-manifested output (rerun to resume):
+    python -m layout_analysis_ray extract \
+        --sf-dir /root/testdata/sf0.01 --out /tmp/extract_out --partitions 64
+
+    # plain streaming extraction (no checkpoint layout):
+    python -m layout_analysis_ray extract --sf-dir ... --out ... --no-resume
+
+    # evaluate two extraction outputs (corpus dice / positional accuracy):
+    python -m layout_analysis_ray evaluate --a /tmp/out_a --b /tmp/out_b
+
+Analogue of the reference's `detect_paragraphs.py` CLI
+(`/root/reference/src/detect_paragraphs.py:28-41`), re-shaped for a cluster:
+the unit of restart is an output partition, not a process.
+
+This is the one module that may own a Ray session (guarded: the driver /
+tests initialise Ray themselves and never import __main__).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    return ray
+
+
+def cmd_extract(args) -> int:
+    _ensure_ray()
+    from .pipelines.extract import extract_pipeline
+    from .sources.synth import docs_from_parquet
+    from .state.checkpoint import resumable_write
+
+    docs = docs_from_parquet(args.sf_dir, num_blocks=args.num_blocks)
+    if args.no_resume:
+        extract_pipeline(docs).write_parquet(args.out)
+        print(json.dumps({"out": args.out, "resume": False}))
+        return 0
+    job = resumable_write(
+        docs, args.out, num_partitions=args.partitions, pipeline=extract_pipeline
+    )
+    print(json.dumps(job))
+    return 0
+
+
+def _read_extraction(path: str):
+    """Read a plain parquet dir OR a checkpointed (manifested) output."""
+    import os
+
+    import ray.data as rd
+
+    from .state.checkpoint import MANIFEST_DIR, read_output
+
+    if os.path.isdir(os.path.join(path, MANIFEST_DIR)):
+        return read_output(path)
+    return rd.read_parquet(path)
+
+
+def cmd_evaluate(args) -> int:
+    _ensure_ray()
+    from .functions.evaluate import corpus_summary, evaluate_extraction
+
+    summary = corpus_summary(
+        evaluate_extraction(_read_extraction(args.a), _read_extraction(args.b))
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="layout_analysis_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="run the extraction pipeline")
+    pe.add_argument("--sf-dir", required=True)
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--partitions", type=int, default=64)
+    pe.add_argument("--num-blocks", type=int, default=None)
+    pe.add_argument("--no-resume", action="store_true")
+    pe.set_defaults(fn=cmd_extract)
+
+    pv = sub.add_parser("evaluate", help="compare two extraction outputs")
+    pv.add_argument("--a", required=True)
+    pv.add_argument("--b", required=True)
+    pv.set_defaults(fn=cmd_evaluate)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

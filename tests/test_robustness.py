@@ -1,0 +1,103 @@
+"""Degenerate-input robustness (quarantine semantics, not task failure):
+null spans, media-only docs, duplicate doc_ids, whitespace-only text, and
+the CLI surface."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+import sys
+
+import pyarrow as pa
+
+from layout_analysis_ray.pipelines.extract import extract_pipeline
+from layout_analysis_ray.sources.synth import DOCS_SCHEMA
+
+
+def _run(tbl, ray):
+    import ray.data as rd
+
+    out = {}
+    for b in extract_pipeline(rd.from_arrow(tbl)).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for r in b.to_pylist():
+            out.setdefault(r["doc_id"], []).append(r["spans"])
+    return out
+
+
+def test_degenerate_docs_pass_through(ray_session):
+    rows = [
+        {"doc_id": "null-spans", "spans": None},
+        {"doc_id": "empty-spans", "spans": []},
+        {
+            "doc_id": "media-only",
+            "spans": [
+                {"kind": "image", "text": "", "media_ref": "media://m/0", "offset": 0},
+                {"kind": "figure_ref", "text": "", "media_ref": "media://m/1",
+                 "offset": 1},
+            ],
+        },
+        {
+            "doc_id": "ws-only",
+            "spans": [{"kind": "text", "text": " \t\n ", "media_ref": "", "offset": 0}],
+        },
+        {
+            "doc_id": "unknown-kind",
+            "spans": [{"kind": "mystery", "text": "x", "media_ref": "", "offset": 0}],
+        },
+    ]
+    tbl = pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+    got = _run(tbl, ray_session)
+    assert set(got) == {r["doc_id"] for r in rows}
+    # media-only docs keep no media (no preceding/following content span)
+    assert got["media-only"] == [[]]
+    assert got["null-spans"] == [[]]
+    assert got["ws-only"] == [[]]
+
+
+def test_duplicate_doc_ids_both_processed(ray_session):
+    rows = [
+        {"doc_id": "dup", "spans": [
+            {"kind": "text", "text": "stream layout engine column span block arrow "
+             "batch shuffle actor pipeline parquet schema offset merge", "media_ref": "",
+             "offset": 0}]},
+        {"doc_id": "dup", "spans": [
+            {"kind": "text", "text": "document region title figure content boiler "
+             "nav footer page corpus partition manifest lineage", "media_ref": "",
+             "offset": 0}]},
+    ]
+    tbl = pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+    got = _run(tbl, ray_session)
+    assert len(got["dup"]) == 2  # happy path is row-local: both rows emitted
+
+
+def test_cli_extract_resume_and_evaluate(tmp_path):
+    """The ray-job-submit surface: resumable extract twice + evaluate."""
+    out = str(tmp_path / "cli_out")
+    env_cmd = [sys.executable, "-m", "layout_analysis_ray"]
+    r1 = subprocess.run(
+        env_cmd + ["extract", "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+                   "--partitions", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240,
+    )
+    assert r1.returncode == 0, r1.stderr[-800:]
+    job1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert job1["partitions_written"] == 4 and job1["n_docs"] == 500
+
+    r2 = subprocess.run(
+        env_cmd + ["extract", "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+                   "--partitions", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240,
+    )
+    job2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert job2["partitions_written"] == 0  # fully committed -> no-op
+
+    r3 = subprocess.run(
+        env_cmd + ["evaluate", "--a", out, "--b", out],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240,
+    )
+    s = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert s["n_exact"] == 500 and s["mean_dice"] == 1.0
+    shutil.rmtree(out, ignore_errors=True)
