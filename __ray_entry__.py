@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
         "dedup_simhash": dedup.dedup_simhash,
+        "dedup_simhash_pairs": dedup.simhash_pairs,
         "ngram_jaccard_consecutive": dedup.ngram_jaccard_consecutive,
         # similarity search
         "embedding_knn": similarity.knn_brute,

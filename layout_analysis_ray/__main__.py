@@ -26,10 +26,17 @@ import sys
 
 
 def _ensure_ray():
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        kwargs = {}
+        if os.environ.get("RAY_GRAFT_CPUS"):
+            kwargs["num_cpus"] = int(os.environ["RAY_GRAFT_CPUS"])
+        ray.init(
+            address="local", include_dashboard=False, logging_level="ERROR", **kwargs
+        )
     return ray
 
 

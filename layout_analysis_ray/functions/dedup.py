@@ -307,6 +307,73 @@ def dedup_simhash(sf_dir: str):
     )
 
 
+SIMHASH_HAM_MAX = 3
+SIMHASH_BANDS4 = 4  # 4 x 16-bit bands: a pair within hamming<=3 of 64 bits
+# must agree exactly on >=1 band (pigeonhole), so banding finds ALL such pairs
+
+
+def simhash_pairs(sf_dir: str):
+    """All pairs with simhash hamming distance <= 3 -> (doc_a, doc_b,
+    hamming).  Exhaustive by the pigeonhole principle: 4 disjoint 16-bit
+    bands, 3 differing bits can corrupt at most 3 bands.  Same scale shape
+    as MinHash pairs: only (band, band_val, doc_id, sim) rows shuffle,
+    pairing happens per coarse partition with an inner pandas groupby."""
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        sims = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+        n = len(ids)
+        bands = np.empty((n, SIMHASH_BANDS4), dtype=np.int64)
+        for b in range(SIMHASH_BANDS4):
+            bands[:, b] = ((sims >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
+        band_ids = np.tile(np.arange(SIMHASH_BANDS4, dtype=np.int32), n)
+        key = bands.reshape(-1) * SIMHASH_BANDS4 + band_ids
+        return pa.table(
+            {
+                "part": pa.array((key % PAIR_PARTITIONS).astype(np.int32), pa.int32()),
+                "band_key": pa.array(key, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, SIMHASH_BANDS4)),
+                "sim": pa.array(
+                    np.repeat(sims.astype(np.int64), SIMHASH_BANDS4), pa.int64()
+                ),
+            }
+        )
+
+    bands = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        band_rows, batch_format="pyarrow"
+    )
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for _, grp in g.groupby("band_key", sort=False):
+            grp = grp.drop_duplicates("doc_id")
+            if len(grp) < 2:
+                continue
+            ids = grp["doc_id"].to_numpy()
+            sims = grp["sim"].to_numpy().astype(np.uint64)
+            order = np.argsort(ids)
+            ids, sims = ids[order], sims[order]
+            for i, j in itertools.combinations(range(len(ids)), 2):
+                ham = int(bin(int(sims[i]) ^ int(sims[j])).count("1"))
+                if ham <= SIMHASH_HAM_MAX:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+                    out_h.append(ham)
+        return pd.DataFrame(
+            {"doc_a": out_a, "doc_b": out_b, "hamming": out_h}
+        ).drop_duplicates(["doc_a", "doc_b"])
+
+    pairs = bands.groupby("part").map_groups(partition_pairs, batch_format="pandas")
+
+    def depair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(depair, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (SQL-checkable variant over consecutive doc pairs)
 # ---------------------------------------------------------------------------

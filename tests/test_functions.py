@@ -48,6 +48,16 @@ def test_dedup_minhash_planted(ray_session, planted_dir):
     assert est[(0, 1)] == 1_000_000
 
 
+def test_simhash_pairs_planted(ray_session, planted_dir):
+    from layout_analysis_ray.functions.dedup import simhash_pairs
+
+    df = simhash_pairs(planted_dir).to_pandas()
+    pairs = dict(zip(zip(df["doc_a"], df["doc_b"]), df["hamming"]))
+    assert pairs.get((0, 1)) == 0  # exact dup: identical simhash
+    assert (3, 4) in pairs or (0, 2) in pairs  # at least one near pair found
+    assert all(h <= 3 for h in pairs.values())
+
+
 def test_simhash_properties(planted_dir):
     from layout_analysis_ray.functions.dedup import simhash64
 
@@ -120,6 +130,7 @@ def test_queries_oracle_keys_consistent():
         "media_features",
         "dedup_minhash_pairs",
         "dedup_simhash",
+        "dedup_simhash_pairs",
         "ann_lsh_buckets",
         "ann_knn_lsh",
         "ann_ivf_assign",
