@@ -262,18 +262,17 @@ def docs_from_parquet(
     ``num_blocks`` splits the (single-file) read so the pipeline can use all
     cores — Ray's default block split follows file count, which is 1 here.
     """
-    import ray.data as rd
+    from .io_lance import read_table
 
     n_base = 0
     if replicate > 1:
         import pyarrow.parquet as pq
 
         n_base = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    kwargs = {}
-    if num_blocks:
-        kwargs["override_num_blocks"] = num_blocks
-    ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], **kwargs
+    ds = read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=num_blocks,
     )
     return ds.map_batches(
         lambda b: spans_batch_from_documents(b, seed, replicate, n_base),
