@@ -127,6 +127,10 @@ Q3_DATE = "1997-01-01"
 
 
 def q3_top_orders(sf_dir: str):
+    """Dimension (customer) broadcast + fact-fact hash-partition shuffle join
+    (orders x lineitem via ``Dataset.join``) — both filters pushed below the
+    join so only qualifying rows shuffle.  At 10^12-row scale the orders
+    side cannot be broadcast; this is the join shape that holds."""
     import ray
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
@@ -135,53 +139,72 @@ def q3_top_orders(sf_dir: str):
         .select_columns(["c_custkey"])
         .to_pandas()["c_custkey"]
     )
+    cust_ref = ray.put(cust_keys)  # dimension-sized: broadcast once
+    cutoff = pa.scalar(np.datetime64(Q3_DATE, "us"))
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        ck = ray.get(cust_ref)
+        batch = batch.filter(pc.less(batch["o_orderdate"], cutoff))
+        sel = np.fromiter(
+            (k in ck for k in batch["o_custkey"].to_numpy(zero_copy_only=False)),
+            dtype=bool,
+            count=batch.num_rows,
+        )
+        batch = batch.filter(pa.array(sel))
+        days = (
+            batch["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+            // 86_400_000_000
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderdate_day": pa.array(days, pa.int64()),
+            }
+        )
+
     orders = _read(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    ).to_arrow_refs()
-    import pyarrow as _pa
+    ).map_batches(prep_orders, batch_format="pyarrow")
 
-    otab = _pa.concat_tables([ray.get(r) for r in orders])
-    cutoff = np.datetime64(Q3_DATE, "us")
-    mask = (
-        np.isin(otab["o_custkey"].to_numpy(zero_copy_only=False), list(cust_keys))
-        & (otab["o_orderdate"].to_numpy(zero_copy_only=False) < cutoff)
-    )
-    keep = otab.filter(pa.array(mask))
-    order_map = dict(
-        zip(
-            keep["o_orderkey"].to_numpy(zero_copy_only=False).tolist(),
-            (keep["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64) // 86_400_000_000).tolist(),
+    def prep_li(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
+        price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "revenue_e4": pa.array(price_c * (100 - disc_c)),
+            }
         )
-    )
-    order_ref = ray.put(order_map)  # broadcast once; read per task
 
     li = _read(
         sf_dir,
         "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(prep_li, batch_format="pyarrow")
+
+    joined = li.join(
+        orders,
+        "inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
     )
 
-    def join_rev(batch: pa.Table) -> pa.Table:
-        omap = ray.get(order_ref)
-        batch = batch.filter(
-            pc.greater(batch["l_shipdate"], pa.scalar(np.datetime64(Q3_DATE, "us")))
-        )
-        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        sel = np.array([k in omap for k in ok], dtype=bool)
-        batch = batch.filter(pa.array(sel))
-        ok = ok[sel]
-        price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
-        disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+    def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "o_orderkey": pa.array(ok),
-                "o_orderdate_day": pa.array([omap[k] for k in ok], pa.int64()),
-                "revenue_e4": pa.array(price_c * (100 - disc_c)),
+                "o_orderkey": batch["l_orderkey"],
+                "o_orderdate_day": batch["o_orderdate_day"],
+                "revenue_e4": batch["revenue_e4"],
             }
         )
 
     agg = _partial_then_global(
-        li.map_batches(join_rev, batch_format="pyarrow"),
+        joined.map_batches(rename, batch_format="pyarrow"),
         ["o_orderkey", "o_orderdate_day"],
         ["revenue_e4"],
     )
@@ -201,6 +224,10 @@ Q5_REGION = "ASIA"
 
 
 def q5_region_revenue(sf_dir: str):
+    """Dimensions (region/nation/supplier/customer) broadcast as lookup maps;
+    the fact-fact edge (orders x lineitem) is a hash-partition shuffle join.
+    At extreme SF, customer graduates from broadcast to a join too — the
+    threshold is "fits comfortably in a worker heap", not table role."""
     import ray
 
     region = _read(sf_dir, "region").to_pandas()
@@ -213,36 +240,69 @@ def q5_region_revenue(sf_dir: str):
     supp_nat = dict(zip(supplier["s_suppkey"], supplier["s_nationkey"]))
     customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     cust_nat = dict(zip(customer["c_custkey"], customer["c_nationkey"]))
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
-    order_cust = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
+    refs = ray.put((nation_name, supp_nat, cust_nat))
 
-    refs = ray.put((nation_name, supp_nat, cust_nat, order_cust))
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        _, _, cn = ray.get(refs)
+        c_nat = np.fromiter(
+            (cn.get(k, -1) for k in batch["o_custkey"].to_numpy(zero_copy_only=False)),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return pa.table(
+            {"o_orderkey": batch["o_orderkey"], "c_nat": pa.array(c_nat, pa.int64())}
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        prep_orders, batch_format="pyarrow"
+    )
+
+    def prep_li(batch: pa.Table) -> pa.Table:
+        nn, sn, _ = ray.get(refs)
+        s_nat = np.fromiter(
+            (sn.get(k, -1) for k in batch["l_suppkey"].to_numpy(zero_copy_only=False)),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        keep = np.fromiter((v in nn for v in s_nat), dtype=bool, count=len(s_nat))
+        batch = batch.filter(pa.array(keep))
+        price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "s_nat": pa.array(s_nat[keep], pa.int64()),
+                "revenue_e4": pa.array(price_c * (100 - disc_c)),
+            }
+        )
 
     li = _read(
         sf_dir,
         "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(prep_li, batch_format="pyarrow")
+
+    joined = li.join(
+        orders,
+        "inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
     )
 
-    def join_rev(batch: pa.Table) -> pa.Table:
-        nn, sn, cn, oc = ray.get(refs)
-        okeys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        skeys = batch["l_suppkey"].to_numpy(zero_copy_only=False)
-        price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
-        disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
-        names, revs = [], []
-        for i in range(len(okeys)):
-            s_nat = sn.get(skeys[i])
-            c_nat = cn.get(oc.get(okeys[i]))
-            if s_nat is not None and s_nat == c_nat and s_nat in nn:
-                names.append(nn[s_nat])
-                revs.append(int(price_c[i]) * (100 - int(disc_c[i])))
+    def finish(batch: pa.Table) -> pa.Table:
+        nn, _, _ = ray.get(refs)
+        batch = batch.filter(pc.equal(batch["s_nat"], batch["c_nat"]))
+        names = [nn[v] for v in batch["s_nat"].to_numpy(zero_copy_only=False)]
         return pa.table(
-            {"n_name": pa.array(names, pa.string()), "revenue_e4": pa.array(revs, pa.int64())}
+            {
+                "n_name": pa.array(names, pa.string()),
+                "revenue_e4": batch["revenue_e4"],
+            }
         )
 
     return _partial_then_global(
-        li.map_batches(join_rev, batch_format="pyarrow"), ["n_name"], ["revenue_e4"]
+        joined.map_batches(finish, batch_format="pyarrow"), ["n_name"], ["revenue_e4"]
     )
 
 
