@@ -159,6 +159,9 @@ def matches_boiler(text: str) -> bool:
 
 def is_tabular_text(raw: str) -> bool:
     """>=2 non-empty lines, >=50% of them with >=2 '|' or >=2 tab chars."""
+    # fast path (same result): impossible without a newline AND >=2 marks
+    if "\n" not in raw or (raw.count("|") < 2 and raw.count("\t") < 2):
+        return False
     lines = [ln for ln in raw.split("\n") if collapse_ws(ln)]
     if len(lines) < 2:
         return False

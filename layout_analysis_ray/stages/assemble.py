@@ -203,7 +203,7 @@ def _assemble_pdf(idx, pdf_idx, kinds, media_refs, visible, src_off, err,
     for pos in order:
         i = pdf_idx[keep[pos]]
         rect = rects[keep[pos]]
-        vis = C.collapse_ws(visible[i])
+        vis = visible[i]  # pre-collapsed by the scorer (vectorized)
         if (
             len(vis) < C.TITLE_MAX_LEN
             and rect[1] < C.TITLE_TOP_FRAC * page_h

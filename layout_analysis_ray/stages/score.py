@@ -160,6 +160,10 @@ class SpanScorer:
 
         if vis_list is not None:
             vis_arr = pa.array(vis_list, type=pa.string())
+            # pre-collapse pdf block text vectorized (Arrow RE2) so the
+            # assembly stage never runs per-block Python regex
+            vis_pdf = _collapse(vis_arr.take(pa.array(pidx)))
+            vis_arr = pc.replace_with_mask(vis_arr, pa.array(is_pdf), vis_pdf)
 
         po = pa.array(offs, type=pa.int32())
 
