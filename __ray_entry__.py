@@ -86,6 +86,20 @@ def _media_features(sf_dir: str):
     return media_features(sf_dir).map_batches(proj, batch_format="pyarrow")
 
 
+def _extract_error_docs(sf_dir: str):
+    """Quarantine visibility: doc_ids whose extraction emitted an 'error'
+    span (poison docs survive as rows, never as task failures)."""
+    import pyarrow.compute as pc
+
+    ds = _extract_spans(sf_dir)
+    return ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), "error")).select(
+            ["doc_id", "text"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from layout_analysis_ray.functions import (
         dedup,
@@ -119,6 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": windows.sessionize,
         "events_running_total": windows.running_total,
         "events_props_json": windows.props_json_extract,
+        "events_hopping_1h_30m": windows.hopping_1h_30m,
+        "events_top_per_user": windows.top_event_per_user,
+        "extract_error_docs": _extract_error_docs,
         # text analysis
         "doc_token_stats": text.token_stats,
         "doc_lang_id": text.lang_id,
@@ -252,6 +269,28 @@ def oracle_sql() -> dict[str, str]:
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS UNBOUNDED PRECEDING) AS running_cents
             FROM events
+        """,
+        "events_hopping_1h_30m": """
+            WITH fan AS (
+              SELECT event_type,
+                     epoch_us(ts) // 1800000000 - k AS win_start_half,
+                     CAST(round(value*100) AS BIGINT) AS cents
+              FROM events, (SELECT unnest([0, 1]) AS k))
+            SELECT event_type, win_start_half,
+                   SUM(cents) AS value_cents, COUNT(*) AS n
+            FROM fan GROUP BY 1, 2
+        """,
+        "events_top_per_user": """
+            SELECT user_id, event_id,
+                   CAST(round(value*100) AS BIGINT) AS value_cents
+            FROM (
+              SELECT user_id, event_id, value,
+                row_number() OVER (
+                  PARTITION BY user_id
+                  ORDER BY CAST(round(value*100) AS BIGINT) DESC, event_id
+                ) AS rn
+              FROM events)
+            WHERE rn = 1
         """,
         "events_props_json": """
             SELECT event_id,

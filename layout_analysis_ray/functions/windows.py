@@ -113,3 +113,67 @@ def props_json_extract(sf_dir: str):
         return pa.table({"event_id": batch["event_id"], "k": pa.array(ks)})
 
     return ds.map_batches(ext, batch_format="pyarrow")
+
+
+HOP_US = 1_800_000_000  # 30-min hop, 1-hour (= 2 hops) window
+
+
+def hopping_1h_30m(sf_dir: str):
+    """Hopping windows (1h length, 30m hop): each event lands in exactly two
+    windows; the window assignment is derived inside map_batches (each event
+    fans out to its two window keys), so the shuffle moves only
+    (type, window, partial) rows — same pre-aggregate shape as tumbling."""
+    from ..pipelines.relational import _partial_then_global
+
+    ds = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        half = ts_us // HOP_US
+        cents = (
+            pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        types = batch["event_type"]
+        # window starts (in hops): k and k-1 — duplicate each event row
+        win = np.concatenate([half, half - 1])
+        return pa.table(
+            {
+                "event_type": pa.chunked_array([types, types]).combine_chunks(),
+                "win_start_half": pa.array(win, pa.int64()),
+                "value_cents": pa.array(np.concatenate([cents, cents])),
+                "n": pa.array(np.ones(2 * batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return _partial_then_global(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "win_start_half"],
+        ["value_cents", "n"],
+    )
+
+
+def top_event_per_user(sf_dir: str):
+    """Ranked-window op: per user, the single event with the highest value
+    (ties -> lowest event_id).  groupby(user_id) + per-group argmax."""
+    ds = _read_events(sf_dir, ["user_id", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "value_cents": cents,
+            }
+        )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value_cents", "event_id"], ascending=[False, True])
+        return g.head(1)
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(pick, batch_format="pandas")
+    )

@@ -137,4 +137,5 @@ def test_queries_oracle_keys_consistent():
         "ann_knn_ivf",
         "eval_skew_vs_happy",
         "page_xml_export",
+        "extract_error_docs",
     }
