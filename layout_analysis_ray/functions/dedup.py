@@ -380,43 +380,75 @@ def simhash_pairs(sf_dir: str):
 
 def ngram_jaccard_consecutive(sf_dir: str):
     """Jaccard (ppm, floor) between distinct 3-gram shingle sets of doc i and
-    doc i+1 — a fully SQL-mirrorable slice of n-gram near-dedup (the all-pairs
-    variant is gated by MinHash candidates above).  Broadcast-free: consecutive
-    doc ids co-locate via groupby on pair_id = doc_id // 2 is NOT used; this
-    simply shifts the table by joining on doc_id+1 through a broadcast of
-    (doc_id -> shingle set) for the small synthetic corpus; at scale this is
-    a sort-merge self-join on doc_id.
-    """
-    import ray
+    doc i+1 — a fully SQL-mirrorable slice of n-gram near-dedup (the
+    all-pairs variant is gated by MinHash candidates above).
 
-    docs = _read_docs(sf_dir, ["doc_id", "text"])
-    shingle_map = {}
-    for b in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for i, t in zip(
-            b["doc_id"].to_numpy(zero_copy_only=False), b["text"].to_pylist()
-        ):
-            shingle_map[int(i)] = frozenset(_shingles(t))
-    ref = ray.put(shingle_map)
+    Scale shape: a hash-partition self-join (``Dataset.join``) of the
+    shingle-set table with itself on (doc_id) = (doc_id - 1); shingle sets
+    travel as list<string> columns, the jaccard is computed vectorized-ish
+    post-join.  Nothing is ever materialized on the driver."""
 
-    def pair(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        a_out, b_out, j_out = [], [], []
-        for i in ids:
-            i = int(i)
-            if i + 1 in m:
-                sa, sb = m[i], m[i + 1]
-                inter = len(sa & sb)
-                union = len(sa) + len(sb) - inter
-                j_out.append((inter * 1_000_000) // union if union else 0)
-                a_out.append(i)
-                b_out.append(i + 1)
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # join payloads must be scalar types: pack the sorted set into one
+        # unit-separator-delimited string, unpack after the join
+        sets = [
+            "\x1f".join(sorted(set(_shingles(t)))) for t in batch["text"].to_pylist()
+        ]
         return pa.table(
             {
-                "doc_a": pa.array(a_out, pa.int64()),
-                "doc_b": pa.array(b_out, pa.int64()),
-                "jaccard_ppm": pa.array(j_out, pa.int64()),
+                "doc_id": pa.array(ids),
+                "sh": pa.array(sets, pa.string()),
             }
         )
 
-    return docs.map_batches(pair, batch_format="pyarrow")
+    docs = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        shingle_rows, batch_format="pyarrow"
+    )
+
+    def as_left(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": batch["doc_id"],
+                "sh_a": batch["sh"],
+            }
+        )
+
+    def as_right(batch: pa.Table) -> pa.Table:
+        # right side keyed by doc_id - 1 so it lines up with its predecessor
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "prev_id": pa.array(ids - 1),
+                "doc_b": batch["doc_id"],
+                "sh_b": batch["sh"],
+            }
+        )
+
+    joined = docs.map_batches(as_left, batch_format="pyarrow").join(
+        docs.map_batches(as_right, batch_format="pyarrow"),
+        "inner",
+        num_partitions=16,
+        on=("doc_a",),
+        right_on=("prev_id",),
+    )
+
+    def jaccard(batch: pa.Table) -> pa.Table:
+        sh_a = batch["sh_a"].to_pylist()
+        sh_b = batch["sh_b"].to_pylist()
+        out = np.empty(len(sh_a), dtype=np.int64)
+        for i, (a, b) in enumerate(zip(sh_a, sh_b)):
+            sa = set(a.split("\x1f")) if a else set()
+            sb = set(b.split("\x1f")) if b else set()
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            out[i] = (inter * 1_000_000) // union if union else 0
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "jaccard_ppm": pa.array(out),
+            }
+        )
+
+    return joined.map_batches(jaccard, batch_format="pyarrow")
