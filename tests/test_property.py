@@ -115,3 +115,40 @@ def test_engine_matches_oracle_on_random_docs(data):
     for r in rows:
         want = oracle.extract_doc(r["spans"])
         assert got[r["doc_id"]] == want, (r["spans"], got[r["doc_id"]], want)
+
+
+def _engine_skew(rows, max_spans=4) -> dict:
+    """Simulate the skew pipeline without Ray: chunk -> score -> per-doc
+    reassemble -> assemble.  max_spans=4 forces chunking on most docs."""
+    import pyarrow.compute as pc
+
+    from layout_analysis_ray.stages.skew import (
+        reassemble_chunks,
+        split_giant_batch,
+    )
+
+    tbl = pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+    chunks = split_giant_batch(tbl, max_spans=max_spans)
+    scored = SpanScorer()(chunks)
+    merged = []
+    for doc_id in set(scored.column("doc_id").to_pylist()):
+        grp = scored.filter(pc.equal(scored.column("doc_id"), doc_id))
+        merged.append(reassemble_chunks(grp))
+    out = assemble_batch(pa.concat_tables(merged))
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in out.to_pylist()
+    }
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.data())
+def test_skew_path_matches_oracle_on_random_docs(data):
+    rows = [data.draw(_doc(i)) for i in range(data.draw(st.integers(1, 4)))]
+    for i, r in enumerate(rows):
+        r["doc_id"] = f"prop-{i}"
+    got = _engine_skew(rows)
+    for r in rows:
+        assert got[r["doc_id"]] == oracle.extract_doc(r["spans"])
