@@ -114,8 +114,12 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_fingerprint": text.fingerprint,
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
+        "dedup_simhash_pairs": dedup.simhash_pairs,
+        "ngram_jaccard_consecutive": dedup.ngram_jaccard_consecutive,
         "embedding_knn": similarity.knn_brute,
         "embedding_neardup_pairs": similarity.neardup_pairs,
+        "ann_knn_ivf": similarity.knn_ivf,
+        "events_hopping_1h_30m": windows.hopping_1h_30m,
     }
     for name, fn in others.items():
         t0 = time.perf_counter()
