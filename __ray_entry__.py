@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pagexml,
         sampling,
         similarity,
+        sketches,
         text,
         windows,
     )
@@ -161,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": sampling.weighted_sample,
         "importance_weights": sampling.importance_weights,
         "page_xml_export": pagexml.page_xml_export,
+        # sketches (approximate; pytest gates vs exact answers)
+        "sketch_distinct_users": sketches.approx_distinct_users,
+        "sketch_heavy_tokens": sketches.heavy_hitter_tokens,
     }
 
 

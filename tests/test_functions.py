@@ -138,4 +138,6 @@ def test_queries_oracle_keys_consistent():
         "eval_skew_vs_happy",
         "page_xml_export",
         "extract_error_docs",
+        "sketch_distinct_users",
+        "sketch_heavy_tokens",
     }

@@ -1,0 +1,67 @@
+"""Sketch accuracy gates: HLL within ~3% of exact distinct; CMS top-k
+contains the true heavy hitters with upper-bound counts."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_partial_merge_associative():
+    from layout_analysis_ray.functions.sketches import (
+        _hash64,
+        _hll_estimate,
+        _hll_partial,
+    )
+
+    vals = [f"u{i}" for i in range(10_000)]
+    whole = _hll_partial(_hash64(np.asarray(vals, dtype=object)))
+    a = _hll_partial(_hash64(np.asarray(vals[:6000], dtype=object)))
+    b = _hll_partial(_hash64(np.asarray(vals[4000:], dtype=object)))
+    merged = np.maximum(a, b)
+    assert (merged == whole).all()  # overlap-safe associative merge
+    est = _hll_estimate(whole)
+    assert abs(est - 10_000) / 10_000 < 0.05
+
+
+def test_approx_distinct_users_vs_exact(ray_session):
+    from layout_analysis_ray.functions.sketches import approx_distinct_users
+
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in approx_distinct_users(SF).take_all()
+    }
+    exact = dict(
+        duckdb.sql(
+            f"SELECT event_type, COUNT(DISTINCT user_id) FROM "
+            f"read_parquet('{SF}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(got) == set(exact)
+    for t, e in exact.items():
+        assert abs(got[t] - e) / max(1, e) < 0.05, (t, got[t], e)
+
+
+def test_heavy_hitters_vs_exact(ray_session):
+    from layout_analysis_ray.functions.sketches import heavy_hitter_tokens
+
+    got = heavy_hitter_tokens(SF, top_k=10).to_pylist()
+    exact = duckdb.sql(
+        f"""
+        SELECT tok, COUNT(*) AS n FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+          FROM read_parquet('{SF}/documents.parquet'))
+        GROUP BY 1 ORDER BY n DESC, tok LIMIT 10
+        """
+    ).fetchall()
+    true_top = {t for t, _ in exact}
+    got_top = {r["token"] for r in got}
+    # CMS top-k must contain at least 8 of the true top-10, estimates are
+    # upper bounds of the true counts
+    assert len(true_top & got_top) >= 8
+    exact_counts = dict(exact)
+    for r in got:
+        if r["token"] in exact_counts:
+            assert r["est_count"] >= exact_counts[r["token"]]
