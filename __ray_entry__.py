@@ -68,6 +68,18 @@ def _extract_spans_skew(sf_dir: str):
     return explode(extract_pipeline_skew(docs_from_parquet(sf_dir)))
 
 
+def _extract_spans_cluster_order(sf_dir: str):
+    """Alternative pluggable block-ordering strategy (§2.10 swap surface):
+    proximity clustering instead of XY-cut; same block set, different order
+    (pinned by tests/test_blocks.py)."""
+    from layout_analysis_ray.pipelines.extract import explode, extract_pipeline
+    from layout_analysis_ray.sources.synth import docs_from_parquet
+
+    return explode(
+        extract_pipeline(docs_from_parquet(sf_dir), order_strategy="cluster")
+    )
+
+
 def _media_features(sf_dir: str):
     """Driver-facing projection: scalar columns only (the embedding vector
     stays inside the stage; e0_ppm summarizes it for the rows-only check)."""
@@ -118,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans": _extract_spans,
         "extract_kind_counts": _extract_kind_counts,
         "extract_spans_skew": _extract_spans_skew,
+        "extract_spans_cluster_order": _extract_spans_cluster_order,
         "media_features": _media_features,
         # relational operators
         "q1_pricing_summary": rel.q1_pricing_summary,

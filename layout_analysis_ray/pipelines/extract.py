@@ -40,8 +40,17 @@ def extract_pipeline(
     *,
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency=DEFAULT_CONCURRENCY,
+    order_strategy: str = "xycut",
 ):
-    """docs: Ray Dataset of (doc_id, spans) -> Dataset of extracted (doc_id, spans)."""
+    """docs: Ray Dataset of (doc_id, spans) -> Dataset of extracted (doc_id, spans).
+
+    ``order_strategy`` selects the pluggable block-ordering strategy
+    (``stages.strategies`` registry) — the §2.10 swap surface; "xycut" is
+    the conformance default the oracle pins."""
+    import functools
+
+    from ..stages.strategies import get_strategy
+
     scored = docs.map_batches(
         SpanScorer,
         batch_format="pyarrow",
@@ -50,7 +59,7 @@ def extract_pipeline(
         num_cpus=1,
     )
     return scored.map_batches(
-        assemble_batch,
+        functools.partial(assemble_batch, order_fn=get_strategy(order_strategy)),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,

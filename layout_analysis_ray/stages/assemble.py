@@ -47,7 +47,11 @@ def _media_out_kind(kind: str) -> str:
     return C.OUT_IMAGE if kind == C.KIND_IMAGE else C.OUT_FIGURE
 
 
-def assemble_batch(batch: pa.Table) -> pa.Table:
+def assemble_batch(batch: pa.Table, *, order_fn=None) -> pa.Table:
+    """order_fn: ``rects -> permutation`` block-ordering strategy (defaults
+    to the conformance XY-cut; see ``stages.strategies`` for the registry)."""
+    if order_fn is None:
+        order_fn = C.xycut_order
     kind_col = batch.column("span_kind")
     if isinstance(kind_col, pa.ChunkedArray):
         kind_col = kind_col.combine_chunks()
@@ -99,7 +103,7 @@ def assemble_batch(batch: pa.Table) -> pa.Table:
         if pdf_idx.size:
             out = _assemble_pdf(
                 idx, pdf_idx, kinds, media_refs, visible, src_off,
-                err, tabular, bx0, by0, bx1, by1, is_media_kind,
+                err, tabular, bx0, by0, bx1, by1, is_media_kind, order_fn,
             )
         else:
             out = _assemble_flow(
@@ -188,7 +192,7 @@ def _assemble_flow(idx, kinds, media_refs, visible, label, heading, tabular,
 
 
 def _assemble_pdf(idx, pdf_idx, kinds, media_refs, visible, src_off, err,
-                  tabular, bx0, by0, bx1, by1, is_media_kind):
+                  tabular, bx0, by0, bx1, by1, is_media_kind, order_fn):
     for i in pdf_idx:  # pdf_idx follows offset order: first malformed wins
         if err[i]:
             return [(C.OUT_ERROR, C.poison_error_text(int(src_off[i])), "")]
@@ -197,7 +201,7 @@ def _assemble_pdf(idx, pdf_idx, kinds, media_refs, visible, src_off, err,
     page_w = max((r[2] for r in rects), default=0.0)
     page_h = max((r[3] for r in rects), default=0.0)
     keep = C.postprocess_rects(rects)
-    order = C.xycut_order([rects[i] for i in keep])
+    order = order_fn([rects[i] for i in keep])
 
     out = []
     for pos in order:

@@ -154,3 +154,48 @@ def test_is_small():
     assert C.is_small(0, 74, 0, 100)
     assert C.is_small(0, 100, 0, 24)
     assert not C.is_small(0, 75, 0, 25)
+
+
+def test_cluster_order_same_set_different_order():
+    from layout_analysis_ray.stages.strategies import cluster_order, get_strategy
+    from layout_analysis_ray.conformance import xycut_order
+
+    # two close columns (gap 80 <= CLUSTER_EPS) + a far-away footer block
+    rects = [
+        (100, 200, 700, 400),   # left col top
+        (100, 500, 700, 700),   # left col bottom
+        (780, 200, 1400, 400),  # right col top
+        (780, 500, 1400, 700),  # right col bottom
+        (100, 2000, 1500, 2200),  # distant wide footer
+    ]
+    xy = xycut_order(rects)
+    cl = cluster_order(rects)
+    assert sorted(xy) == sorted(cl) == list(range(5))  # same block set
+    # cluster strategy: the 4 near blocks form one cluster read in raster
+    # order (row-major); the footer is its own cluster last.  xycut reads
+    # the same 4 column-major — the orders differ, the sets do not.
+    assert cl == [0, 2, 1, 3, 4]
+    assert xy[:4] == [0, 1, 2, 3]
+    assert get_strategy("xycut") is xycut_order
+    import pytest
+    with pytest.raises(ValueError):
+        get_strategy("nope")
+
+
+def test_pipeline_order_strategy_param(ray_session):
+    import ray.data as rd
+
+    from layout_analysis_ray.pipelines.extract import extract_pipeline
+    from layout_analysis_ray.sources.synth import gen_table
+
+    tbl = gen_table(32)
+    a = {r["doc_id"]: tuple((s["kind"], s["text"]) for s in r["spans"])
+         for b in extract_pipeline(rd.from_arrow(tbl)).iter_batches(batch_format="pyarrow")
+         for r in b.to_pylist()}
+    c = {r["doc_id"]: tuple((s["kind"], s["text"]) for s in r["spans"])
+         for b in extract_pipeline(rd.from_arrow(tbl), order_strategy="cluster").iter_batches(batch_format="pyarrow")
+         for r in b.to_pylist()}
+    assert set(a) == set(c)
+    # same span multiset per doc (order may differ for pdf docs)
+    for d in a:
+        assert sorted(a[d]) == sorted(c[d])

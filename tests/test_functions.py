@@ -127,6 +127,7 @@ def test_queries_oracle_keys_consistent():
         "extract_spans",
         "extract_kind_counts",
         "extract_spans_skew",
+        "extract_spans_cluster_order",
         "media_features",
         "dedup_minhash_pairs",
         "dedup_simhash",
