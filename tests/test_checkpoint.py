@@ -117,3 +117,53 @@ def test_bucketing_is_stable_across_processes(ray_session):
     assert list(a) == list(b)
     # frozen expectation: crc32-based, must never change across versions
     assert list(a[:8]) == [ckpt.zlib.crc32(i.encode()) % 16 for i in ids[:8]]
+
+
+def test_real_kill_mid_run_then_resume(tmp_path):
+    """North-rule semantics: SIGKILL a running `extract` job once its first
+    partitions commit, rerun it, and the final output must be complete and
+    duplicate-free."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    out = str(tmp_path / "killed_out")
+    cmd = [sys.executable, "-m", "layout_analysis_ray", "extract",
+           "--sf-dir", "/root/testdata/sf0.01", "--out", out,
+           "--partitions", "16"]
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    proc = subprocess.Popen(
+        cmd, cwd="/root/repo", env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    # kill hard as soon as the first writer task touches the manifest dir
+    # (10 ms poll: partitions commit in a burst, the window is narrow)
+    mdir = os.path.join(out, "_manifest")
+    deadline = _time.time() + 240
+    while _time.time() < deadline:
+        if os.path.isdir(mdir) or proc.poll() is not None:
+            break
+        _time.sleep(0.01)
+    if proc.poll() is None:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=60)
+    # whatever the kill hit — mid-write, post-commit-pre-summary, or a
+    # completed run — the rerun below must converge to a complete,
+    # duplicate-free output
+    n_before = len(ckpt.committed_partitions(out))
+
+    r = subprocess.run(
+        cmd, cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert ckpt.committed_partitions(out) == set(range(16))
+
+    import pyarrow.dataset as pads
+
+    frags = [os.path.join(out, f) for f in sorted(os.listdir(out))
+             if f.endswith(".parquet")]
+    ids = pads.dataset(frags).to_table().column("doc_id").to_pylist()
+    assert len(ids) == 500 and len(set(ids)) == 500  # complete, no dupes
