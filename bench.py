@@ -91,18 +91,24 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
             total += b.num_rows
         return total
 
-    # headline: end-to-end extraction from storage, streaming consumption
+    # headline: end-to-end extraction from storage to a distributed parquet
+    # sink (write runs in the tasks; the driver is never a bottleneck)
+    import shutil
+
     import ray.data as rd
 
     inp = _bench_input(sf_dir, REPLICATE)
+    out = "/tmp/graft_bench_out_full"
+    shutil.rmtree(out, ignore_errors=True)
     t0 = time.perf_counter()
-    n_docs = consume(
-        extract_pipeline(
-            rd.read_parquet(inp, override_num_blocks=num_cpus * 4),
-            concurrency=scorer_pool_size(num_cpus),
-        )
-    )
+    extract_pipeline(
+        rd.read_parquet(inp, override_num_blocks=num_cpus * 4),
+        concurrency=scorer_pool_size(num_cpus),
+    ).write_parquet(out)
     timings[HEADLINE] = time.perf_counter() - t0
+    import pyarrow.dataset as pads
+
+    n_docs = pads.dataset(out).count_rows()
 
     others = {
         "q1_pricing_summary": rel.q1_pricing_summary,
