@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_json": windows.props_json_extract,
         "events_hopping_1h_30m": windows.hopping_1h_30m,
         "events_top_per_user": windows.top_event_per_user,
+        "events_asof_last_purchase": windows.asof_last_purchase,
         "extract_error_docs": _extract_error_docs,
         # text analysis
         "doc_token_stats": text.token_stats,
@@ -296,6 +297,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, win_start_half,
                    SUM(cents) AS value_cents, COUNT(*) AS n
             FROM fan GROUP BY 1, 2
+        """,
+        "events_asof_last_purchase": """
+            SELECT e.event_id,
+                   coalesce(p.event_id, -1) AS last_purchase_id
+            FROM events e
+            ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+                            WHERE event_type = 'purchase') p
+            ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
         "events_top_per_user": """
             SELECT user_id, event_id,

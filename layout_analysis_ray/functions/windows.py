@@ -177,3 +177,33 @@ def top_event_per_user(sf_dir: str):
         .groupby("user_id")
         .map_groups(pick, batch_format="pandas")
     )
+
+
+ASOF_REF_TYPE = "purchase"
+
+
+def asof_last_purchase(sf_dir: str):
+    """As-of join: for every event, the event_id of the same user's most
+    recent ASOF_REF_TYPE event at-or-before its timestamp (-1 if none).
+
+    Custom operator the Dataset API lacks: expressed as one
+    ``groupby(user_id)`` shuffle + a two-pointer sorted merge inside
+    ``map_groups`` (events and reference stream of one user, both ts-sorted).
+    Partitioning assumption: one user's history fits in a worker — the same
+    per-key-group bound every sessionization carries; salt by time range if
+    a key outgrows it."""
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        refs = g[g["event_type"] == ASOF_REF_TYPE]
+        ref_ts = refs["ts"].to_numpy()
+        ref_id = refs["event_id"].to_numpy()
+        # index of the last ref with ts <= event ts (searchsorted right - 1)
+        pos = np.searchsorted(ref_ts, g["ts"].to_numpy(), side="right") - 1
+        out = np.where(pos >= 0, ref_id[np.maximum(pos, 0)], -1)
+        return pd.DataFrame(
+            {"event_id": g["event_id"], "last_purchase_id": out.astype(np.int64)}
+        )
+
+    return ds.groupby("user_id").map_groups(merge, batch_format="pandas")
