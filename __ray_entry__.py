@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_1h_30m": windows.hopping_1h_30m,
         "events_top_per_user": windows.top_event_per_user,
         "events_asof_last_purchase": windows.asof_last_purchase,
+        "events_range_join_purchase": windows.range_join_after_purchase,
         "extract_error_docs": _extract_error_docs,
         # text analysis
         "doc_token_stats": text.token_stats,
@@ -305,6 +306,16 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
                             WHERE event_type = 'purchase') p
             ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "events_range_join_purchase": """
+            SELECT p.event_id AS purchase_id, e.event_id
+            FROM events p
+            JOIN events e
+              ON e.user_id = p.user_id
+             AND e.ts >= p.ts
+             AND e.ts <= p.ts + INTERVAL 5 MINUTE
+             AND e.event_id <> p.event_id
+            WHERE p.event_type = 'purchase'
         """,
         "events_top_per_user": """
             SELECT user_id, event_id,

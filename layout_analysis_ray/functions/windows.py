@@ -207,3 +207,43 @@ def asof_last_purchase(sf_dir: str):
         )
 
     return ds.groupby("user_id").map_groups(merge, batch_format="pandas")
+
+
+RANGE_JOIN_WINDOW_US = 300_000_000  # 5 minutes
+
+
+def range_join_after_purchase(sf_dir: str):
+    """Range join: all (purchase, event) pairs of the same user where the
+    event lands within 5 minutes AFTER the purchase (exclusive of the
+    purchase row itself).
+
+    Custom operator: per-user sorted sweep inside map_groups — for each
+    reference row a searchsorted window [ts, ts+5m] over the user's events —
+    instead of the naive cross join.  Same partitioning assumption as the
+    as-of join."""
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        ids = g["event_id"].to_numpy()
+        refs = g[g["event_type"] == ASOF_REF_TYPE]
+        out_p, out_e = [], []
+        lo = np.searchsorted(ts, refs["ts"].to_numpy(), side="left")
+        hi = np.searchsorted(
+            ts, refs["ts"].to_numpy() + np.timedelta64(RANGE_JOIN_WINDOW_US, "us"),
+            side="right",
+        )
+        for pid, a, b in zip(refs["event_id"].to_numpy(), lo, hi):
+            for e in ids[a:b]:
+                if e != pid:
+                    out_p.append(int(pid))
+                    out_e.append(int(e))
+        return pd.DataFrame(
+            {
+                "purchase_id": np.asarray(out_p, dtype=np.int64),
+                "event_id": np.asarray(out_e, dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(merge, batch_format="pandas")
