@@ -2,12 +2,14 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible query with IDENTICAL column names and exact integer
-arithmetic (cents / ppm / floor division) so value hashes match bit-for-bit.
-Queries without SQL entries (extraction, MinHash, SimHash, LSH) are
-non-SQL-expressible and get the driver's rows-only check; their real
-correctness gate is the pytest oracle-equality suite.
+(SURVEY.md §2 + §8 coverage map: 46 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (29) with IDENTICAL
+column names and exact integer arithmetic (cents / ppm / floor division) so
+value hashes match bit-for-bit.  Queries without SQL entries (extraction
+family, MinHash/SimHash/LSH/IVF, sketches, media, PAGE-XML) are
+non-SQL-expressible or approximate by design and get the driver's rows-only
+check; their real correctness gates are the pytest oracle-equality,
+property, and accuracy suites.
 
 Ray is initialised by the driver before import; nothing here calls
 ``ray.init``/``ray.shutdown``.
