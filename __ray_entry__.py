@@ -192,12 +192,14 @@ _STOPS = "('the','a','and','of','to','in','is','on','for','with')"
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": f"""
+            -- CASTs on every SUM-derived column: DuckDB SUM(BIGINT) returns
+            -- HUGEINT (-> pandas float64) while the engine emits int64.
             SELECT l_returnflag, l_linestatus,
-              SUM(CAST(round(l_quantity*100) AS BIGINT)) // 100 AS sum_qty,
-              SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_price_cents,
-              SUM(CAST(round(l_extendedprice*100) AS BIGINT)
-                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS sum_disc_price_e4,
-              (SUM(CAST(round(l_quantity*100) AS BIGINT)) * 10000) // COUNT(*) AS avg_qty_ppm,
+              CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) // 100 AS BIGINT) AS sum_qty,
+              CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+              CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
+              CAST((SUM(CAST(round(l_quantity*100) AS BIGINT)) * 10000) // COUNT(*) AS BIGINT) AS avg_qty_ppm,
               COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -206,8 +208,8 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_orders": """
             SELECT o_orderkey,
               epoch_us(o_orderdate) // 86400000000 AS o_orderdate_day,
-              SUM(CAST(round(l_extendedprice*100) AS BIGINT)
-                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_e4
+              CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -220,8 +222,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_region_revenue": """
             SELECT n_name,
-              SUM(CAST(round(l_extendedprice*100) AS BIGINT)
-                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_e4
+              CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN orders ON l_orderkey = o_orderkey
@@ -233,8 +235,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_type_stats": """
             SELECT p_type, COUNT(*) AS n_parts,
-              SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS sum_price_cents,
-              (SUM(CAST(round(p_retailprice*100) AS BIGINT)) * 10000) // COUNT(*) AS avg_price_ppm
+              CAST(SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+              CAST((SUM(CAST(round(p_retailprice*100) AS BIGINT)) * 10000) // COUNT(*) AS BIGINT) AS avg_price_ppm
             FROM part GROUP BY p_type
         """,
         "top_docs_by_chars": """
@@ -261,7 +263,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_1h": """
             SELECT event_type,
               epoch_us(ts) // 3600000000 AS epoch_hour,
-              SUM(CAST(round(value*100) AS BIGINT)) AS value_cents,
+              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
               COUNT(*) AS n
             FROM events GROUP BY 1, 2
         """,
@@ -286,9 +288,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_running_total": """
             SELECT event_id, user_id,
-              SUM(CAST(round(value*100) AS BIGINT))
+              CAST(SUM(CAST(round(value*100) AS BIGINT))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS UNBOUNDED PRECEDING) AS running_cents
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
             FROM events
         """,
         "events_hopping_1h_30m": """
@@ -298,7 +300,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(round(value*100) AS BIGINT) AS cents
               FROM events, (SELECT unnest([0, 1]) AS k))
             SELECT event_type, win_start_half,
-                   SUM(cents) AS value_cents, COUNT(*) AS n
+                   CAST(SUM(cents) AS BIGINT) AS value_cents, COUNT(*) AS n
             FROM fan GROUP BY 1, 2
         """,
         "events_asof_last_purchase": """
@@ -447,8 +449,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "importance_weights": """
             SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
-              (CAST(n_chars AS BIGINT) * 1000000)
-                // (SELECT SUM(CAST(n_chars AS BIGINT)) FROM documents) AS prob_ppm
+              CAST((CAST(n_chars AS BIGINT) * 1000000)
+                // (SELECT SUM(CAST(n_chars AS BIGINT)) FROM documents) AS BIGINT) AS prob_ppm
             FROM documents
         """,
     }

@@ -79,25 +79,34 @@ def main() -> int:
             continue
         ok_cols = list(got.columns) == list(exp.columns)
         ok_rows = len(got) == len(exp)
-        ok_vals = False
+        ok_vals = ok_dtypes = False
         if ok_cols and ok_rows:
             try:
                 g = got.reset_index(drop=True)
-                e = exp.astype(got.dtypes.to_dict(), errors="ignore").reset_index(drop=True)
+                e = exp.reset_index(drop=True)
+                # strict: the driver hashes values bit-for-bit, so a dtype
+                # mismatch (e.g. DuckDB HUGEINT -> float64 vs engine int64)
+                # is a real failure even when values are equal.
+                ok_dtypes = list(map(str, g.dtypes)) == list(map(str, e.dtypes))
                 ok_vals = g.equals(e)
                 if not ok_vals:
-                    # tolerate dtype-only mismatches
                     ok_vals = all(
                         (g[c].astype(str).values == e[c].astype(str).values).all()
                         for c in g.columns
                     )
             except Exception:
                 ok_vals = False
-        status = "OK  " if (ok_cols and ok_rows and ok_vals) else "FAIL"
+        status = "OK  " if (ok_cols and ok_rows and ok_vals and ok_dtypes) else "FAIL"
         if status == "FAIL":
             failures.append(name)
-        print(f"[{status}] {name}: rows {len(got)}/{len(exp)} cols_ok={ok_cols} vals_ok={ok_vals}")
-        if status == "FAIL" and ok_cols and ok_rows:
+        print(
+            f"[{status}] {name}: rows {len(got)}/{len(exp)} cols_ok={ok_cols}"
+            f" vals_ok={ok_vals} dtypes_ok={ok_dtypes}"
+        )
+        if status == "FAIL" and ok_cols and ok_rows and not ok_dtypes:
+            print("  got dtypes:", dict(got.dtypes.astype(str)))
+            print("  exp dtypes:", dict(exp.dtypes.astype(str)))
+        if status == "FAIL" and ok_cols and ok_rows and ok_dtypes:
             diff = (got != exp).any(axis=1)
             print("  first diffs:\n", got[diff].head(3), "\n  vs\n", exp[diff].head(3))
         elif status == "FAIL":
