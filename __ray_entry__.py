@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from layout_analysis_ray.functions import (
         dedup,
         evaluate,
+        joins,
         pagexml,
         sampling,
         similarity,
@@ -144,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_customers": rel.semi_join_customers,
         "anti_join_customers": rel.anti_join_customers,
         "split_hash_buckets": rel.split_hash_buckets,
+        "q_join_bucketed": joins.q_join_bucketed,
         # stream-shaped windows
         "events_tumbling_1h": windows.tumbling_hourly,
         "events_sessionize": windows.sessionize,
@@ -259,6 +261,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
                    COUNT(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "q_join_bucketed": """
+            SELECT o_orderpriority,
+              CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+              COUNT(*) AS n
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "events_tumbling_1h": """
             SELECT event_type,

@@ -1,0 +1,164 @@
+"""Bucketed fact-fact hash join.
+
+``Dataset.join`` is Ray Data's built-in hash-shuffle join and is the default
+for fact-fact edges (q3/q5 use it).  This module is the *explicit* bucketed
+variant for when you need control the built-in doesn't give you at 100 TB:
+
+- ONE partitioning key reused across stages: both sides are bucketed by the
+  same mixed key hash, so a downstream stage keyed the same way (another
+  join, a groupby) can ride the existing layout instead of reshuffling.
+- Skew visibility: the bucket id is an explicit column — salting a hot key
+  is a one-line change to ``_bucket_of`` instead of an engine internal.
+- The per-bucket probe is ``pyarrow.Table.join`` (Arrow's vectorized hash
+  join kernel), so within a bucket nothing is per-row Python.
+
+Mechanics: tag each side, null-pad to a common schema, ``union`` (zero-copy
+block concatenation — no compute), one ``groupby(bucket).map_groups`` — the
+single all-to-all exchange — then split sides and Arrow-join inside each
+bucket.  Only rows surviving each side's pushed-down filters shuffle.
+
+Demonstrated by ``q_join_bucketed`` (orders x lineitem -> revenue by order
+priority), oracle-checked against DuckDB in ``__ray_entry__.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    """splitmix64 finalizer: deterministic, process-independent, spreads
+    sequential int keys (orderkey ranges) uniformly across buckets."""
+    x = keys.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= _MIX1
+    x ^= x >> np.uint64(27)
+    x *= _MIX2
+    x ^= x >> np.uint64(31)
+    return (x % np.uint64(num_buckets)).astype(np.int64)
+
+
+def bucketed_join(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    num_buckets: int = 64,
+):
+    """Inner equi-join of two Datasets on int64 keys via explicit bucketing.
+
+    Payload column names must be disjoint between the two sides (keys may
+    collide; the output carries ``left_key`` only).  Returns a Dataset of
+    left-payload + right-payload columns for every matching key pair.
+    """
+    left_cols = [c for c in left.schema().names if c != left_key]
+    right_cols = [c for c in right.schema().names if c != right_key]
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"payload column collision: {sorted(overlap)}")
+
+    left_types = {
+        n: t for n, t in zip(left.schema().names, left.schema().types)
+    }
+    right_types = {
+        n: t for n, t in zip(right.schema().names, right.schema().types)
+    }
+    key_type = left_types[left_key]
+
+    def _tag(side: int, key: str, own_cols: list[str], other: dict):
+        other_cols = [(c, other[c]) for c in (right_cols if side == 0 else left_cols)]
+
+        def tag(batch: pa.Table) -> pa.Table:
+            k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols = {
+                "__key": batch[key],
+                "__bucket": pa.array(_bucket_of(k, num_buckets), pa.int64()),
+                "__side": pa.array(
+                    np.full(batch.num_rows, side, dtype=np.int8), pa.int8()
+                ),
+            }
+            for c in own_cols:
+                cols[c] = batch[c]
+            for c, t in other_cols:
+                cols[c] = pa.nulls(batch.num_rows, t)
+            # canonical column order so union() sees one schema
+            names = ["__key", "__bucket", "__side"] + left_cols + right_cols
+            return pa.table({n: cols[n] for n in names})
+
+        return tag
+
+    lt = left.map_batches(
+        _tag(0, left_key, left_cols, right_types), batch_format="pyarrow"
+    )
+    rt = right.map_batches(
+        _tag(1, right_key, right_cols, left_types), batch_format="pyarrow"
+    )
+
+    def probe(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        l = group.filter(pc.equal(side, 0)).select(["__key"] + left_cols)
+        r = group.filter(pc.equal(side, 1)).select(["__key"] + right_cols)
+        joined = l.join(r, keys="__key", join_type="inner")
+        return joined.rename_columns([left_key] + left_cols + right_cols)
+
+    out_schema = pa.schema(
+        [(left_key, key_type)]
+        + [(c, left_types[c]) for c in left_cols]
+        + [(c, right_types[c]) for c in right_cols]
+    )
+
+    def probe_safe(group: pa.Table) -> pa.Table:
+        out = probe(group)
+        return out.cast(out_schema) if out.num_rows else out_schema.empty_table()
+
+    return lt.union(rt).groupby("__bucket").map_groups(
+        probe_safe, batch_format="pyarrow"
+    )
+
+
+def q_join_bucketed(sf_dir: str):
+    """Revenue by order priority via the explicit bucketed orders x lineitem
+    join (the fact-fact scale path promised by pipelines.relational)."""
+    from layout_analysis_ray.pipelines.relational import (
+        _cents,
+        _partial_then_global,
+        _read,
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def prep_li(batch: pa.Table) -> pa.Table:
+        price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "revenue_e4": pa.array(price_c * (100 - disc_c)),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(prep_li, batch_format="pyarrow")
+
+    joined = bucketed_join(orders, li, "o_orderkey", "l_orderkey", num_buckets=32)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "revenue_e4": batch["revenue_e4"],
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return _partial_then_global(
+        joined.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        ["revenue_e4", "n"],
+    )

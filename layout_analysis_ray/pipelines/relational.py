@@ -12,9 +12,12 @@ units (cents / ppm) in BOTH the Ray pipeline and the DuckDB oracle SQL in
 float-summation order or round-half semantics (Python rounds half-even,
 DuckDB half-away-from-zero).
 
-At 100 TB the broadcast maps below (orders/customer) stop fitting in a
-worker's heap; the scale path is the bucketed hash join in
-``layout_analysis_ray.functions.joins``, demonstrated by ``q_join_bucketed``.
+At 100 TB the broadcast maps below (supplier/customer) stop fitting in a
+worker's heap; at that point a dimension graduates to a shuffle join —
+either ``Dataset.join`` (q3/q5's fact-fact edge) or the explicit bucketed
+hash join in ``layout_analysis_ray.functions.joins`` (demonstrated by
+``joins.q_join_bucketed``), which keeps the bucket id as a reusable
+partitioning column.
 """
 
 from __future__ import annotations
@@ -147,23 +150,25 @@ def q3_top_orders(sf_dir: str):
     import ray
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    cust_keys = set(
-        cust.filter(lambda r: r["c_mktsegment"] == Q3_SEGMENT)
-        .select_columns(["c_custkey"])
+    cust_keys = (
+        cust.map_batches(
+            lambda b: b.filter(pc.equal(b["c_mktsegment"], Q3_SEGMENT)).select(
+                ["c_custkey"]
+            ),
+            batch_format="pyarrow",
+        )
         .to_pandas()["c_custkey"]
+        .to_numpy()
     )
-    cust_ref = ray.put(cust_keys)  # dimension-sized: broadcast once
+    # dimension-sized: broadcast ONE Arrow array, probe with the vectorized
+    # pc.is_in hash-set kernel (never a per-row Python membership loop)
+    cust_ref = ray.put(pa.array(cust_keys, pa.int64()))
     cutoff = pa.scalar(np.datetime64(Q3_DATE, "us"))
 
     def prep_orders(batch: pa.Table) -> pa.Table:
         ck = ray.get(cust_ref)
         batch = batch.filter(pc.less(batch["o_orderdate"], cutoff))
-        sel = np.fromiter(
-            (k in ck for k in batch["o_custkey"].to_numpy(zero_copy_only=False)),
-            dtype=bool,
-            count=batch.num_rows,
-        )
-        batch = batch.filter(pa.array(sel))
+        batch = batch.filter(pc.is_in(batch["o_custkey"], value_set=ck))
         days = (
             batch["o_orderdate"]
             .to_numpy(zero_copy_only=False)
@@ -221,12 +226,17 @@ def q3_top_orders(sf_dir: str):
         ["o_orderkey", "o_orderdate_day"],
         ["revenue_e4"],
     )
-    # top-10 on the aggregated (small) result; deterministic tie-break
-    pdf = agg.to_pandas()
-    pdf = pdf.sort_values(
-        ["revenue_e4", "o_orderkey"], ascending=[False, True]
-    ).head(10)
-    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+    # distributed top-10 with deterministic tie-break: sort+limit streams and
+    # never lands the (orderkey, day)-grain aggregate on the driver — at real
+    # SF that intermediate is millions of rows
+    return (
+        agg.map_batches(
+            lambda b: b.select(["o_orderkey", "o_orderdate_day", "revenue_e4"]),
+            batch_format="pyarrow",
+        )
+        .sort(["revenue_e4", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -246,22 +256,45 @@ def q5_region_revenue(sf_dir: str):
     region = _read(sf_dir, "region").to_pandas()
     nation = _read(sf_dir, "nation").to_pandas()
     rkeys = set(region[region["r_name"] == Q5_REGION]["r_regionkey"])
-    nat = nation[nation["n_regionkey"].isin(rkeys)]
-    nation_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nat = nation[nation["n_regionkey"].isin(rkeys)].sort_values("n_nationkey")
+    nat_keys = nat["n_nationkey"].to_numpy(dtype=np.int64)
+    nat_names = nat["n_name"].to_numpy()
 
-    supplier = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    supp_nat = dict(zip(supplier["s_suppkey"], supplier["s_nationkey"]))
-    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    cust_nat = dict(zip(customer["c_custkey"], customer["c_nationkey"]))
-    refs = ray.put((nation_name, supp_nat, cust_nat))
+    # broadcast each dimension as (sorted keys, values) numpy pairs; probes
+    # are vectorized np.searchsorted binary searches, not per-row dict gets
+    supplier = (
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    customer = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+        .to_pandas()
+        .sort_values("c_custkey")
+    )
+    refs = ray.put(
+        (
+            nat_keys,
+            nat_names,
+            supplier["s_suppkey"].to_numpy(dtype=np.int64),
+            supplier["s_nationkey"].to_numpy(dtype=np.int64),
+            customer["c_custkey"].to_numpy(dtype=np.int64),
+            customer["c_nationkey"].to_numpy(dtype=np.int64),
+        )
+    )
+
+    def _lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray) -> np.ndarray:
+        """Vectorized sorted-array map: probe -> vals[probe's key], -1 on miss."""
+        idx = np.searchsorted(keys, probe)
+        idx_c = np.clip(idx, 0, len(keys) - 1)
+        hit = keys[idx_c] == probe
+        out = np.where(hit, vals[idx_c], -1)
+        return out
 
     def prep_orders(batch: pa.Table) -> pa.Table:
-        _, _, cn = ray.get(refs)
-        c_nat = np.fromiter(
-            (cn.get(k, -1) for k in batch["o_custkey"].to_numpy(zero_copy_only=False)),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        _, _, _, _, ck, cv = ray.get(refs)
+        probe = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c_nat = _lookup(ck, cv, probe)
         return pa.table(
             {"o_orderkey": batch["o_orderkey"], "c_nat": pa.array(c_nat, pa.int64())}
         )
@@ -271,13 +304,10 @@ def q5_region_revenue(sf_dir: str):
     )
 
     def prep_li(batch: pa.Table) -> pa.Table:
-        nn, sn, _ = ray.get(refs)
-        s_nat = np.fromiter(
-            (sn.get(k, -1) for k in batch["l_suppkey"].to_numpy(zero_copy_only=False)),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
-        keep = np.fromiter((v in nn for v in s_nat), dtype=bool, count=len(s_nat))
+        nk, _, sk, sv, _, _ = ray.get(refs)
+        probe = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_nat = _lookup(sk, sv, probe)
+        keep = np.isin(s_nat, nk)
         batch = batch.filter(pa.array(keep))
         price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
         disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
@@ -304,9 +334,10 @@ def q5_region_revenue(sf_dir: str):
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        nn, _, _ = ray.get(refs)
+        nk, nv, _, _, _, _ = ray.get(refs)
         batch = batch.filter(pc.equal(batch["s_nat"], batch["c_nat"]))
-        names = [nn[v] for v in batch["s_nat"].to_numpy(zero_copy_only=False)]
+        s_nat = batch["s_nat"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = nv[np.searchsorted(nk, s_nat)]
         return pa.table(
             {
                 "n_name": pa.array(names, pa.string()),
@@ -337,7 +368,7 @@ def distinct_event_types(sf_dir: str):
 ANTI_CUTOFF = "1995-07-01"
 
 
-def _custkeys_with_orders(sf_dir: str, before: str | None = None) -> set:
+def _custkeys_with_orders(sf_dir: str, before: str | None = None) -> pa.Array:
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
     if before is not None:
         cutoff = np.datetime64(before, "us")
@@ -345,7 +376,7 @@ def _custkeys_with_orders(sf_dir: str, before: str | None = None) -> set:
             lambda b: b.filter(pc.less(b["o_orderdate"], pa.scalar(cutoff))),
             batch_format="pyarrow",
         )
-    return set(orders.unique("o_custkey"))
+    return pa.array(sorted(orders.unique("o_custkey")), pa.int64())
 
 
 def semi_join_customers(sf_dir: str):
@@ -358,10 +389,7 @@ def semi_join_customers(sf_dir: str):
 
     def sel(batch: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)
-        mask = pa.array(
-            [k in keys for k in batch["c_custkey"].to_numpy(zero_copy_only=False)]
-        )
-        batch = batch.filter(mask)
+        batch = batch.filter(pc.is_in(batch["c_custkey"], value_set=keys))
         return pa.table(
             {
                 "c_mktsegment": batch["c_mktsegment"],
@@ -385,10 +413,9 @@ def anti_join_customers(sf_dir: str):
 
     def sel(batch: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)
-        mask = pa.array(
-            [k not in keys for k in batch["c_custkey"].to_numpy(zero_copy_only=False)]
+        batch = batch.filter(
+            pc.invert(pc.is_in(batch["c_custkey"], value_set=keys))
         )
-        batch = batch.filter(mask)
         return pa.table(
             {
                 "c_mktsegment": batch["c_mktsegment"],

@@ -108,6 +108,50 @@ def test_minhash_partial_batch_invariance(planted_dir):
     assert w.equals(p)
 
 
+def test_bucketed_join_matches_pandas_merge(ray_session):
+    """Explicit bucketed hash join == pandas inner merge, batching-independent."""
+    import ray.data as rd
+
+    from layout_analysis_ray.functions.joins import bucketed_join
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame(
+        {"k": rng.randint(0, 50, 200).astype(np.int64), "lv": np.arange(200)}
+    )
+    right = pd.DataFrame(
+        {"rk": rng.randint(0, 50, 150).astype(np.int64), "rv": np.arange(150) * 10}
+    )
+    got = (
+        bucketed_join(
+            rd.from_pandas(left).repartition(5),
+            rd.from_pandas(right).repartition(3),
+            "k",
+            "rk",
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.merge(right, left_on="k", right_on="rk")
+        .drop(columns=["rk"])
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "lv", "rv"]], exp[["k", "lv", "rv"]])
+
+
+def test_bucketed_join_rejects_column_collision(ray_session):
+    import ray.data as rd
+
+    from layout_analysis_ray.functions.joins import bucketed_join
+
+    df = pd.DataFrame({"k": [1], "v": [2]})
+    with pytest.raises(ValueError, match="collision"):
+        bucketed_join(rd.from_pandas(df), rd.from_pandas(df), "k", "k")
+
+
 def test_entry_smoke(ray_session):
     import __ray_entry__ as e
 
