@@ -2,9 +2,10 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 46 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (29) with IDENTICAL
-column names and exact integer arithmetic (cents / ppm / floor division) so
+(SURVEY.md §2 + §8 coverage map: 48 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (30) with IDENTICAL
+column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
+float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
 family, MinHash/SimHash/LSH/IVF, sketches, media, PAGE-XML) are
 non-SQL-expressible or approximate by design and get the driver's rows-only
@@ -171,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "embedding_knn": similarity.knn_brute,
         "embedding_neardup_pairs": similarity.neardup_pairs,
+        "embedding_neardup_pairs_lsh": similarity.neardup_pairs_lsh,
         "ann_lsh_buckets": similarity.lsh_buckets,
         "ann_knn_lsh": similarity.knn_lsh,
         "ann_ivf_assign": similarity.ivf_assign,

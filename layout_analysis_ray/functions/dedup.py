@@ -158,42 +158,74 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
 
 
 PAIR_PARTITIONS = 64
+_SIG_HEX_LEN = MINHASH_PERMS * 16  # fixed-width uint64 hex per signature
+
+
+def minhash_sig_table(sf_dir: str):
+    """One corpus pass -> (doc_id, sig) signature table, sig as fixed-width
+    hex (PERMS x uint64).  ~100x smaller than the documents it summarizes."""
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        sigs = minhash_sigs(batch["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sig": pa.array(
+                    [s.astype(np.uint64).tobytes().hex() for s in sigs], pa.string()
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        sig_rows, batch_format="pyarrow"
+    )
+
+
+def _sig_matrix(hex_col: list[str]) -> np.ndarray:
+    """Fixed-width hex column -> [n, PERMS] int64, one frombuffer call."""
+    if not hex_col:
+        return np.empty((0, MINHASH_PERMS), dtype=np.int64)
+    raw = bytes.fromhex("".join(hex_col))
+    return (
+        np.frombuffer(raw, dtype=np.uint64).astype(np.int64).reshape(len(hex_col), -1)
+    )
 
 
 def dedup_minhash_pairs(sf_dir: str):
     """MinHash-LSH candidate pairs verified by signature-estimated Jaccard
     >= 0.5 -> (doc_a, doc_b, est_jaccard_ppm), deduped across bands.
 
-    Scale shape (three narrow phases, no signature ever enters a shuffle):
+    Fully distributed — nothing ever lands on the driver, so a
+    high-duplication corpus (the normal web-crawl case, where the candidate
+    set is NOT tiny) only grows the shuffled pair set, not driver memory:
 
-    1. shingle->minhash per batch (no shuffle), emit (band_key, doc_id)
-       rows — 16 x 16 bytes per doc, ~100x smaller than the document;
-    2. groupby(band_key % 64 coarse partitions).map_groups: inside each
-       partition a *pandas* groupby finds same-key buckets and emits
-       candidate pairs — 64 python calls total, not one per bucket;
-    3. candidate doc set (tiny) is broadcast; their signatures are
-       recomputed batch-vectorized and the pair estimate is verified in a
-       map over the pairs dataset.
+    1. ONE shingle->minhash corpus pass -> (doc_id, sig) table, materialized
+       (it is the ~1% reduced form of the corpus, and is consumed three
+       times below — banding + both verify joins — so re-execution would
+       triple the expensive pass);
+    2. band keys derived FROM the sig table (cheap reshape, no re-shingle),
+       emitting slim (part, band_key, doc_id) rows; per-partition pandas
+       groupby pairs same-key buckets — 64 python calls, not one per bucket;
+    3. cross-partition pair dedup via groupby(doc_a, doc_b) — distributed,
+       mirroring ``simhash_pairs``;
+    4. verify via two hash-partition joins of the pair set against the sig
+       table (sig_a onto doc_a, sig_b onto doc_b), then a vectorized
+       signature-agreement estimate inside map_batches.
     """
-    import ray
+    sigs = minhash_sig_table(sf_dir).materialize()
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sigs = minhash_sigs(batch["text"].to_pylist())
-        bh = _band_hashes(sigs).reshape(-1)
+        bh = _band_hashes(_sig_matrix(batch["sig"].to_pylist())).reshape(-1)
         return pa.table(
             {
-                "part": pa.array(
-                    (bh % PAIR_PARTITIONS).astype(np.int32), pa.int32()
-                ),
+                "part": pa.array((bh % PAIR_PARTITIONS).astype(np.int32), pa.int32()),
                 "band_key": pa.array(bh, pa.int64()),
                 "doc_id": pa.array(np.repeat(ids, MINHASH_BANDS)),
             }
         )
 
-    bands = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        band_rows, batch_format="pyarrow"
-    )
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
     def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -203,67 +235,64 @@ def dedup_minhash_pairs(sf_dir: str):
                 for i, j in itertools.combinations(ids.tolist(), 2):
                     out_a.append(int(i))
                     out_b.append(int(j))
-        df = pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+        # explicit dtypes: an empty python-list frame would be object-typed
+        # and poison downstream block schemas
+        df = pd.DataFrame(
+            {
+                "doc_a": np.asarray(out_a, dtype=np.int64),
+                "doc_b": np.asarray(out_b, dtype=np.int64),
+            }
+        )
         return df.drop_duplicates()
 
     pairs = bands.groupby("part").map_groups(partition_pairs, batch_format="pandas")
-    pair_rows = pairs.take_all()  # candidates only: tiny by construction
-    seen = set()
-    cand_pairs = []
-    for r in pair_rows:
-        key = (r["doc_a"], r["doc_b"])
-        if key not in seen:
-            seen.add(key)
-            cand_pairs.append(key)
-    cand_docs = {d for p in cand_pairs for d in p}
+    pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+    # normalize block schemas: empty map_groups partitions emit column-less
+    # blocks that would poison the downstream join's type resolution
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    pairs = pairs.map_batches(
+        lambda b: b.select(["doc_a", "doc_b"]).cast(pair_schema)
+        if b.num_rows
+        else pair_schema.empty_table(),
+        batch_format="pyarrow",
+    )
 
-    # verify: recompute signatures for candidate docs only (pruned read +
-    # broadcast candidate set), estimate jaccard from signature agreement
-    cand_ref = ray.put(cand_docs)
+    # bucketed_join (not Dataset.join): the pair set is sparse, and empty
+    # shuffle partitions from chained map_groups lose their block schema,
+    # which Dataset.join's per-partition Arrow join rejects; bucketed_join
+    # carries an explicit output schema through empty buckets.
+    from .joins import bucketed_join
 
-    def sig_rows(batch: pa.Table) -> pa.Table:
-        cd = ray.get(cand_ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        mask = np.array([int(i) in cd for i in ids], dtype=bool)
-        if not mask.any():
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "sig": pa.array([], pa.string())}
-            )
-        sel = batch.filter(pa.array(mask))
-        sigs = minhash_sigs(sel["text"].to_pylist())
-        return pa.table(
+    sig_a = sigs.map_batches(
+        lambda b: b.rename_columns(["sid_a", "sig_a"]), batch_format="pyarrow"
+    )
+    sig_b = sigs.map_batches(
+        lambda b: b.rename_columns(["sid_b", "sig_b"]), batch_format="pyarrow"
+    )
+    joined = bucketed_join(
+        bucketed_join(pairs, sig_a, "doc_a", "sid_a", num_buckets=16),
+        sig_b,
+        "doc_b",
+        "sid_b",
+        num_buckets=16,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sa = _sig_matrix(batch["sig_a"].to_pylist())
+        sb = _sig_matrix(batch["sig_b"].to_pylist())
+        est = ((sa == sb).sum(axis=1) * 1_000_000) // MINHASH_PERMS
+        out = pa.table(
             {
-                "doc_id": sel["doc_id"],
-                "sig": pa.array(
-                    [s.astype(np.uint64).tobytes().hex() for s in sigs], pa.string()
-                ),
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "est_jaccard_ppm": pa.array(est.astype(np.int64), pa.int64()),
             }
         )
+        return out.filter(pa.array(est >= MINHASH_JACCARD_PPM))
 
-    sig_map = {
-        int(r["doc_id"]): np.frombuffer(
-            bytes.fromhex(r["sig"]), dtype=np.uint64
-        ).astype(np.int64)
-        for r in _read_docs(sf_dir, ["doc_id", "text"])
-        .map_batches(sig_rows, batch_format="pyarrow")
-        .take_all()
-    }
-    out_a, out_b, out_j = [], [], []
-    for a, b in sorted(cand_pairs):
-        est = int(
-            (np.count_nonzero(sig_map[a] == sig_map[b]) * 1_000_000) // MINHASH_PERMS
-        )
-        if est >= MINHASH_JACCARD_PPM:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(est)
-    return pa.table(
-        {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "est_jaccard_ppm": pa.array(out_j, pa.int64()),
-        }
-    )
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -12,10 +12,15 @@ variant for when you need control the built-in doesn't give you at 100 TB:
 - The per-bucket probe is ``pyarrow.Table.join`` (Arrow's vectorized hash
   join kernel), so within a bucket nothing is per-row Python.
 
-Mechanics: tag each side, null-pad to a common schema, ``union`` (zero-copy
+Mechanics: tag each side, pad to a common schema, ``union`` (zero-copy
 block concatenation — no compute), one ``groupby(bucket).map_groups`` — the
 single all-to-all exchange — then split sides and Arrow-join inside each
 bucket.  Only rows surviving each side's pushed-down filters shuffle.
+Padding uses typed SENTINELS (0 / "" / b"") rather than nulls: Ray's
+groupby shuffle round-trips blocks through pandas, where a null-padded
+int64 degrades to float64 (all-null -> null type) and breaks the Arrow
+join's type resolution; sentinel rows are discarded by the ``__side``
+filter, so the values never surface.
 
 Demonstrated by ``q_join_bucketed`` (orders x lineitem -> revenue by order
 priority), oracle-checked against DuckDB in ``__ray_entry__.py``.
@@ -41,6 +46,19 @@ def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
     x *= _MIX2
     x ^= x >> np.uint64(31)
     return (x % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _pad_column(n: int, t: pa.DataType) -> pa.Array:
+    """Typed sentinel column (never surfaces: filtered out by __side)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        v = pa.scalar("", t)
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        v = pa.scalar(b"", t)
+    elif pa.types.is_boolean(t):
+        v = pa.scalar(False, t)
+    else:
+        v = pa.scalar(0, t)
+    return pa.repeat(v, n)
 
 
 def bucketed_join(
@@ -70,10 +88,20 @@ def bucketed_join(
     }
     key_type = left_types[left_key]
 
+    names = ["__key", "__bucket", "__side"] + left_cols + right_cols
+    all_types = {**left_types, **right_types}
+    tag_schema = pa.schema(
+        [("__key", key_type), ("__bucket", pa.int64()), ("__side", pa.int8())]
+        + [(n, all_types[n]) for n in left_cols + right_cols]
+    )
+
     def _tag(side: int, key: str, own_cols: list[str], other: dict):
         other_cols = [(c, other[c]) for c in (right_cols if side == 0 else left_cols)]
+        empty = tag_schema.empty_table()
 
         def tag(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:  # incl. column-less empty shuffle blocks
+                return empty
             k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
             cols = {
                 "__key": batch[key],
@@ -85,9 +113,8 @@ def bucketed_join(
             for c in own_cols:
                 cols[c] = batch[c]
             for c, t in other_cols:
-                cols[c] = pa.nulls(batch.num_rows, t)
+                cols[c] = _pad_column(batch.num_rows, t)
             # canonical column order so union() sees one schema
-            names = ["__key", "__bucket", "__side"] + left_cols + right_cols
             return pa.table({n: cols[n] for n in names})
 
         return tag
@@ -100,6 +127,8 @@ def bucketed_join(
     )
 
     def probe(group: pa.Table) -> pa.Table:
+        # re-normalize after Ray's pandas-block shuffle round trip
+        group = group.select(names).cast(tag_schema)
         side = group["__side"]
         l = group.filter(pc.equal(side, 0)).select(["__key"] + left_cols)
         r = group.filter(pc.equal(side, 1)).select(["__key"] + right_cols)

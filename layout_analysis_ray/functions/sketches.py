@@ -105,17 +105,40 @@ def _cms_partial(h: np.ndarray, values: np.ndarray) -> np.ndarray:
     return tbl
 
 
-def heavy_hitter_tokens(sf_dir: str, top_k: int = 20):
-    """Top-k document tokens by total occurrences, two narrow passes:
+CMS_MERGE_FANIN = 64  # level-1 merge partitions (tree merge)
 
-    1. per batch: exact local token counts -> CMS partial (d x w ints) + the
-       batch's local top candidates (token strings);
-    2. merge: CMS partials sum elementwise (tiny groupby); the union of
-       local candidates (small) is then scored against the merged sketch and
-       the global top-k taken.  Candidate union ∪ CMS upper bounds make the
-       true top-k exact when candidates cover it (holds for zipfy corpora);
-       the sketch bounds the error for the rest.
+
+def _cms_point_est(sketch: np.ndarray, toks: np.ndarray) -> np.ndarray:
+    """CMS point estimates (min over rows) for a token array."""
+    h = _hash64(toks)
+    est = np.full(len(toks), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(CMS_D):
+        idx = ((h * _CMS_SEEDS[d]) >> np.uint64(40)).astype(np.int64) % CMS_W
+        est = np.minimum(est, sketch[d, idx])
+    return est
+
+
+def heavy_hitter_tokens(sf_dir: str, top_k: int = 20):
+    """Top-k document tokens by total occurrences, fully distributed:
+
+    1. per batch: exact local token counts -> one CMS partial row
+       (d x w ints) + the batch's local top candidate tokens;
+    2. CMS partials merge associatively in a TWO-LEVEL groupby tree
+       (crc32(payload) % 64 level-1 partitions, then one 64-row final
+       merge) — no per-batch sketch row ever reaches the driver, unlike a
+       take_all() of millions of 64 KiB partials at 10^12 rows;
+    3. candidate tokens dedup in a distributed groupby, are scored against
+       the broadcast merged sketch in map_batches, and the global top-k is
+       a distributed sort+limit.  Candidate union ∪ CMS upper bounds make
+       the true top-k exact when candidates cover it (holds for zipfy
+       corpora); the sketch bounds the error for the rest.
+
+    The only driver materializations are the single merged sketch row
+    (64 KiB, the final aggregate) and the top-k result.
     """
+    import zlib
+
+    import ray
     import ray.data as rd
 
     from .text import _tokens
@@ -134,41 +157,71 @@ def heavy_hitter_tokens(sf_dir: str, top_k: int = 20):
             (CMS_D, CMS_W), dtype=np.int64
         )
         order = np.argsort(-counts)[: 4 * top_k]
+        payloads = [sketch.tobytes()] + [str(toks[i]).encode() for i in order]
         return pa.table(
             {
                 "kind": pa.array(["sketch"] + ["cand"] * len(order), pa.string()),
-                "payload": pa.array(
-                    [sketch.tobytes()] + [str(toks[i]).encode() for i in order],
-                    pa.binary(),
+                # deterministic level-1 merge partition (content-derived, so
+                # no dependence on batch order or process identity)
+                "mpart": pa.array(
+                    [zlib.crc32(p) % CMS_MERGE_FANIN for p in payloads], pa.int64()
                 ),
-                "count": pa.array(
-                    np.concatenate([[0], counts[order]]), pa.int64()
-                ),
+                "payload": pa.array(payloads, pa.binary()),
             }
         )
 
-    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()  # small
-    sketch = np.zeros((CMS_D, CMS_W), dtype=np.int64)
-    cand: dict[str, int] = {}
-    for r in rows:
-        if r["kind"] == "sketch":
-            sketch += np.frombuffer(r["payload"], dtype=np.int64).reshape(
-                CMS_D, CMS_W
-            )
-        else:
-            tok = r["payload"].decode()
-            cand[tok] = cand.get(tok, 0) + int(r["count"])
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
 
-    toks = np.asarray(list(cand.keys()), dtype=object)
-    h = _hash64(toks)
-    est = np.full(len(toks), np.iinfo(np.int64).max, dtype=np.int64)
-    for d in range(CMS_D):
-        idx = ((h * _CMS_SEEDS[d]) >> np.uint64(40)).astype(np.int64) % CMS_W
-        est = np.minimum(est, sketch[d, idx])
-    order = np.lexsort((toks.astype(str), -est))[:top_k]
-    return pa.table(
-        {
-            "token": pa.array([str(toks[i]) for i in order], pa.string()),
-            "est_count": pa.array(est[order], pa.int64()),
-        }
+    def merge_rows(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+        for b in g["payload"]:
+            acc += np.frombuffer(b, dtype=np.int64)
+        return pd.DataFrame({"mpart": [0], "payload": [acc.tobytes()]})
+
+    sketch_parts = parts.map_batches(
+        lambda b: b.filter(
+            pa.array(b["kind"].to_numpy(zero_copy_only=False) == "sketch")
+        ).select(["mpart", "payload"]),
+        batch_format="pyarrow",
+    )
+    lvl1 = sketch_parts.groupby("mpart").map_groups(merge_rows, batch_format="pandas")
+    lvl2 = lvl1.groupby("mpart").map_groups(merge_rows, batch_format="pandas")
+    merged_row = lvl2.take_all()  # exactly one 64 KiB row: the final aggregate
+    sketch = np.frombuffer(merged_row[0]["payload"], dtype=np.int64).reshape(
+        CMS_D, CMS_W
+    )
+    sketch_ref = ray.put(sketch)
+
+    cands = parts.map_batches(
+        lambda b: pa.table(
+            {
+                "token": pa.array(
+                    [
+                        p.decode()
+                        for p in b.filter(
+                            pa.array(b["kind"].to_numpy(zero_copy_only=False) == "cand")
+                        )["payload"].to_pylist()
+                    ],
+                    pa.string(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).groupby("token").map_groups(lambda g: g.head(1), batch_format="pandas")
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks = np.asarray(batch["token"].to_pylist(), dtype=object)
+        if not len(toks):
+            return pa.table(
+                {"token": pa.array([], pa.string()), "est_count": pa.array([], pa.int64())}
+            )
+        est = _cms_point_est(ray.get(sketch_ref), toks)
+        return pa.table(
+            {"token": batch["token"], "est_count": pa.array(est, pa.int64())}
+        )
+
+    return (
+        cands.map_batches(score, batch_format="pyarrow")
+        .sort(["est_count", "token"], descending=[True, False])
+        .limit(top_k)
     )

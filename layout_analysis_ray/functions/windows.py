@@ -199,14 +199,181 @@ def asof_last_purchase(sf_dir: str):
         refs = g[g["event_type"] == ASOF_REF_TYPE]
         ref_ts = refs["ts"].to_numpy()
         ref_id = refs["event_id"].to_numpy()
-        # index of the last ref with ts <= event ts (searchsorted right - 1)
-        pos = np.searchsorted(ref_ts, g["ts"].to_numpy(), side="right") - 1
-        out = np.where(pos >= 0, ref_id[np.maximum(pos, 0)], -1)
+        if ref_id.size == 0:  # user with no refs at all
+            out = np.full(len(g), -1, dtype=np.int64)
+        else:
+            # index of the last ref with ts <= event ts (searchsorted right - 1)
+            pos = np.searchsorted(ref_ts, g["ts"].to_numpy(), side="right") - 1
+            out = np.where(pos >= 0, ref_id[np.maximum(pos, 0)], -1)
         return pd.DataFrame(
             {"event_id": g["event_id"], "last_purchase_id": out.astype(np.int64)}
         )
 
     return ds.groupby("user_id").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Event-grain skew salting
+#
+# Every keyed window above assumes one user's history fits a worker.  When a
+# hot key outgrows that bound, these salted variants split the key by time
+# range: groupby((user_id, ts // bucket_us)) does the heavy per-chunk work in
+# parallel, then a per-user pass over the TINY chunk summaries stitches the
+# boundaries.  The stitch stage moves one row per (user, bucket), never
+# events, so the per-worker bound drops from |user's events| to
+# |bucket's events|.  Equality with the unsalted paths is pytest-gated on a
+# hot-key fixture (tests/test_skew.py).
+# ---------------------------------------------------------------------------
+
+SALT_BUCKET_US = 6 * HOUR_US  # default time-range salt width
+
+
+def _with_bucket(ds, bucket_us: int):
+    def add(batch: pa.Table) -> pa.Table:
+        b = pc.divide(batch["ts"].cast(pa.int64()), pa.scalar(bucket_us, pa.int64()))
+        return batch.append_column("tbucket", pc.cast(b, pa.int64()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def sessionize_salted(sf_dir: str, bucket_us: int = SALT_BUCKET_US):
+    """Sessionize with time-range salting; identical output to
+    ``sessionize``.  Correctness of the stitch: only a bucket's FIRST and
+    LAST sessions can merge across a boundary, so each (user, bucket) chunk
+    summarizes to (n_sessions, first/last session endpoints+counts, interior
+    max) and the per-user fold rebuilds exact counts for chain-merged
+    sessions."""
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id"])
+
+    def per_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = g["ts"].astype("int64").to_numpy()
+        gaps = np.diff(ts_us, prepend=ts_us[0] - (SESSION_GAP_S * 2 * 1_000_000))
+        sid = np.cumsum(gaps > SESSION_GAP_S * 1_000_000)  # 1-based
+        counts = np.bincount(sid)[1:]
+        k = int(sid[-1])
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "tbucket": [g["tbucket"].iloc[0]],
+                "n_sessions": [k],
+                "first_start": [int(ts_us[0])],
+                "first_count": [int(counts[0])],
+                "last_end": [int(ts_us[-1])],
+                "last_count": [int(counts[-1])],
+                "max_interior": [int(counts[1:-1].max()) if k > 2 else 0],
+            }
+        )
+
+    chunks = (
+        _with_bucket(ds, bucket_us)
+        .groupby(["user_id", "tbucket"])
+        .map_groups(per_chunk, batch_format="pandas")
+    )
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("tbucket")
+        total = 0
+        maxc = 0
+        open_end: int | None = None
+        open_count = 0
+        gap_us = SESSION_GAP_S * 1_000_000
+        for r in g.itertuples(index=False):
+            if open_end is not None and r.first_start - open_end <= gap_us:
+                merged_first = open_count + r.first_count
+            else:
+                if open_end is not None:
+                    total += 1
+                    maxc = max(maxc, open_count)
+                merged_first = r.first_count
+            maxc = max(maxc, r.max_interior)
+            if r.n_sessions == 1:
+                open_end, open_count = r.last_end, merged_first
+            else:
+                total += r.n_sessions - 1
+                maxc = max(maxc, merged_first)
+                open_end, open_count = r.last_end, r.last_count
+        total += 1
+        maxc = max(maxc, open_count)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [total],
+                "max_session_events": [maxc],
+            }
+        )
+
+    return chunks.groupby("user_id").map_groups(stitch, batch_format="pandas")
+
+
+def asof_last_purchase_salted(sf_dir: str, bucket_us: int = SALT_BUCKET_US):
+    """As-of join with time-range salting; identical output to
+    ``asof_last_purchase``.  Phase 1 computes, per (user, bucket), the last
+    reference event (tiny summary); a per-user prefix scan turns those into
+    carry-in ids per bucket; phase 2 resolves each chunk locally with its
+    broadcast carry-in.  (At extreme user x bucket cardinality the carry
+    table would graduate from broadcast to a join on (user, bucket).)"""
+    import ray
+
+    ds = _with_bucket(
+        _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"]), bucket_us
+    )
+
+    def last_ref(g: pd.DataFrame) -> pd.DataFrame:
+        refs = g[g["event_type"] == ASOF_REF_TYPE].sort_values(["ts", "event_id"])
+        if refs.empty:
+            return pd.DataFrame(
+                {"user_id": [], "tbucket": [], "ref_id": []}, dtype=np.int64
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "tbucket": [g["tbucket"].iloc[0]],
+                "ref_id": [int(refs["event_id"].iloc[-1])],
+            }
+        )
+
+    ref_rows = (
+        ds.groupby(["user_id", "tbucket"])
+        .map_groups(last_ref, batch_format="pandas")
+        .to_pandas()
+    )
+    # per user: sorted (ref buckets, ref ids) — carry-in for bucket b is the
+    # ref id of the largest ref-bucket strictly below b (binary search, so
+    # sparse bucket numbering costs nothing)
+    carry: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for uid, grp in ref_rows.groupby("user_id", sort=False):
+        grp = grp.sort_values("tbucket")
+        carry[int(uid)] = (
+            grp["tbucket"].to_numpy(dtype=np.int64),
+            grp["ref_id"].to_numpy(dtype=np.int64),
+        )
+    carry_ref = ray.put(carry)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(carry_ref)
+        uid = int(g["user_id"].iloc[0])
+        b = int(g["tbucket"].iloc[0])
+        carry_id = -1
+        if uid in cmap:
+            rb, ri = cmap[uid]
+            idx = int(np.searchsorted(rb, b)) - 1
+            if idx >= 0:
+                carry_id = int(ri[idx])
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        refs = g[g["event_type"] == ASOF_REF_TYPE]
+        ref_ts = refs["ts"].to_numpy()
+        ref_id = refs["event_id"].to_numpy()
+        if ref_id.size == 0:  # bucket with no local refs: all carry-in
+            out = np.full(len(g), carry_id, dtype=np.int64)
+        else:
+            pos = np.searchsorted(ref_ts, g["ts"].to_numpy(), side="right") - 1
+            out = np.where(pos >= 0, ref_id[np.maximum(pos, 0)], carry_id)
+        return pd.DataFrame(
+            {"event_id": g["event_id"], "last_purchase_id": out.astype(np.int64)}
+        )
+
+    return ds.groupby(["user_id", "tbucket"]).map_groups(merge, batch_format="pandas")
 
 
 RANGE_JOIN_WINDOW_US = 300_000_000  # 5 minutes
@@ -247,3 +414,68 @@ def range_join_after_purchase(sf_dir: str):
         )
 
     return ds.groupby("user_id").map_groups(merge, batch_format="pandas")
+
+
+def range_join_after_purchase_salted(
+    sf_dir: str, bucket_us: int = SALT_BUCKET_US
+):
+    """Range join with time-range salting; identical output to
+    ``range_join_after_purchase``.  Boundary handling: a purchase near a
+    bucket's end reaches up to RANGE_JOIN_WINDOW_US into the next bucket, so
+    events within that margin of a bucket start are REPLICATED into the
+    previous bucket as join targets only (``is_home`` false) — purchases
+    anchor in their home bucket only, so each pair is emitted exactly once.
+    Requires bucket_us > RANGE_JOIN_WINDOW_US."""
+    if bucket_us <= RANGE_JOIN_WINDOW_US:
+        raise ValueError("bucket_us must exceed the join window")
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        home = ts_us // bucket_us
+        near_start = (ts_us % bucket_us) < RANGE_JOIN_WINDOW_US
+        rep = batch.filter(pa.array(near_start))
+        out = pa.concat_tables(
+            [
+                batch.append_column("tbucket", pa.array(home, pa.int64()))
+                .append_column(
+                    "is_home", pa.array(np.ones(batch.num_rows, dtype=bool))
+                ),
+                rep.append_column(
+                    "tbucket", pa.array(home[near_start] - 1, pa.int64())
+                ).append_column(
+                    "is_home", pa.array(np.zeros(rep.num_rows, dtype=bool))
+                ),
+            ]
+        )
+        return out
+
+    fanned = ds.map_batches(fan_out, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        ids = g["event_id"].to_numpy()
+        refs = g[(g["event_type"] == ASOF_REF_TYPE) & g["is_home"]]
+        out_p, out_e = [], []
+        lo = np.searchsorted(ts, refs["ts"].to_numpy(), side="left")
+        hi = np.searchsorted(
+            ts, refs["ts"].to_numpy() + np.timedelta64(RANGE_JOIN_WINDOW_US, "us"),
+            side="right",
+        )
+        for pid, a, b in zip(refs["event_id"].to_numpy(), lo, hi):
+            for e in ids[a:b]:
+                if e != pid:
+                    out_p.append(int(pid))
+                    out_e.append(int(e))
+        return pd.DataFrame(
+            {
+                "purchase_id": np.asarray(out_p, dtype=np.int64),
+                "event_id": np.asarray(out_e, dtype=np.int64),
+            }
+        )
+
+    return fanned.groupby(["user_id", "tbucket"]).map_groups(
+        merge, batch_format="pandas"
+    )

@@ -41,22 +41,29 @@ def extract_pipeline(
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency=DEFAULT_CONCURRENCY,
     order_strategy: str = "xycut",
+    model_weights: str | None = None,
 ):
     """docs: Ray Dataset of (doc_id, spans) -> Dataset of extracted (doc_id, spans).
 
     ``order_strategy`` selects the pluggable block-ordering strategy
     (``stages.strategies`` registry) — the §2.10 swap surface; "xycut" is
-    the conformance default the oracle pins."""
+    the conformance default the oracle pins.  ``model_weights`` swaps the
+    heuristic html content rule for a logistic model loaded once per scorer
+    actor (see ``SpanScorer``)."""
     import functools
 
     from ..stages.strategies import get_strategy
 
+    kwargs = {}
+    if model_weights is not None:
+        kwargs["fn_constructor_kwargs"] = {"model_weights": model_weights}
     scored = docs.map_batches(
         SpanScorer,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
+        **kwargs,
     )
     return scored.map_batches(
         functools.partial(assemble_batch, order_fn=get_strategy(order_strategy)),

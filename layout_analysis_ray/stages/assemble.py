@@ -43,8 +43,8 @@ def _flat_list(col) -> list:
     return pc.list_flatten(col).to_pylist()
 
 
-def _media_out_kind(kind: str) -> str:
-    return C.OUT_IMAGE if kind == C.KIND_IMAGE else C.OUT_FIGURE
+def _media_out_kind(is_image: bool) -> str:
+    return C.OUT_IMAGE if is_image else C.OUT_FIGURE
 
 
 def assemble_batch(batch: pa.Table, *, order_fn=None) -> pa.Table:
@@ -62,8 +62,6 @@ def assemble_batch(batch: pa.Table, *, order_fn=None) -> pa.Table:
     np.cumsum(lengths, out=doc_offs[1:])
 
     kind_arr = pc.list_flatten(kind_col)
-    kinds = kind_arr.to_pylist()
-    media_refs = _flat_list(batch.column("span_media"))
     src_off = _flat_np(batch.column("span_offset"))
 
     label = _flat_np(batch.column("span_label"))
@@ -85,6 +83,20 @@ def assemble_batch(batch: pa.Table, *, order_fn=None) -> pa.Table:
     is_pdf_kind = np.asarray(
         pc.equal(kind_arr, C.KIND_PDF_BLOCK).to_numpy(zero_copy_only=False)
     )
+    is_image_kind = np.asarray(
+        pc.equal(kind_arr, C.KIND_IMAGE).to_numpy(zero_copy_only=False)
+    )
+    # only the media SUBSET of kind/media_ref strings crosses into Python —
+    # the full columns stay Arrow (bandwidth: media spans are a minority)
+    midx = np.nonzero(is_media_kind)[0]
+    media_arr = pc.list_flatten(
+        batch.column("span_media").combine_chunks()
+        if isinstance(batch.column("span_media"), pa.ChunkedArray)
+        else batch.column("span_media")
+    )
+    media_refs = np.empty(len(is_media_kind), dtype=object)
+    if midx.size:
+        media_refs[midx] = media_arr.take(pa.array(midx)).to_pylist()
 
     # Columnar emission: accumulate flat span columns + per-doc lengths and
     # build the list<struct> column directly (no per-span dicts, no
@@ -102,12 +114,12 @@ def assemble_batch(batch: pa.Table, *, order_fn=None) -> pa.Table:
         pdf_idx = idx[is_pdf_kind[idx]]
         if pdf_idx.size:
             out = _assemble_pdf(
-                idx, pdf_idx, kinds, media_refs, visible, src_off,
+                idx, pdf_idx, is_image_kind, media_refs, visible, src_off,
                 err, tabular, bx0, by0, bx1, by1, is_media_kind, order_fn,
             )
         else:
             out = _assemble_flow(
-                idx, kinds, media_refs, visible, label, heading, tabular,
+                idx, is_image_kind, media_refs, visible, label, heading, tabular,
                 is_media_kind,
             )
         doc_lens[d] = len(out)
@@ -137,8 +149,8 @@ def assemble_batch(batch: pa.Table, *, order_fn=None) -> pa.Table:
     return pa.Table.from_arrays([ids_col, spans_col], schema=DOCS_SCHEMA)
 
 
-def _assemble_flow(idx, kinds, media_refs, visible, label, heading, tabular,
-                   is_media_kind):
+def _assemble_flow(idx, is_image_kind, media_refs, visible, label, heading,
+                   tabular, is_media_kind):
     blocks: list[tuple] = []
     cur: list[str] = []
     cur_tab = False
@@ -176,7 +188,7 @@ def _assemble_flow(idx, kinds, media_refs, visible, label, heading, tabular,
         if is_media_kind[i]:
             close()
             if kept_media[i]:
-                blocks.append((_media_out_kind(kinds[i]), "", media_refs[i]))
+                blocks.append((_media_out_kind(is_image_kind[i]), "", media_refs[i]))
             continue
         if label[i] == C.LABEL_CONTENT:
             if heading[i]:
@@ -191,8 +203,8 @@ def _assemble_flow(idx, kinds, media_refs, visible, label, heading, tabular,
     return blocks
 
 
-def _assemble_pdf(idx, pdf_idx, kinds, media_refs, visible, src_off, err,
-                  tabular, bx0, by0, bx1, by1, is_media_kind, order_fn):
+def _assemble_pdf(idx, pdf_idx, is_image_kind, media_refs, visible, src_off,
+                  err, tabular, bx0, by0, bx1, by1, is_media_kind, order_fn):
     for i in pdf_idx:  # pdf_idx follows offset order: first malformed wins
         if err[i]:
             return [(C.OUT_ERROR, C.poison_error_text(int(src_off[i])), "")]
@@ -223,5 +235,5 @@ def _assemble_pdf(idx, pdf_idx, kinds, media_refs, visible, src_off, err,
     if out:
         for i in idx:
             if is_media_kind[i]:
-                out.append((_media_out_kind(kinds[i]), "", media_refs[i]))
+                out.append((_media_out_kind(is_image_kind[i]), "", media_refs[i]))
     return out

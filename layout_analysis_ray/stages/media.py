@@ -46,6 +46,25 @@ def _try_real_decoder():
         return "stub"
 
 
+def demo_real_decoder(refs: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Reference implementation of the injectable decode contract
+    (``refs -> (raw uint8[n, 32], meta int32[n, 3])``): deterministic pixels
+    with ref-derived dimensions.  Stands in for fetch+decode of the real
+    payload; lives in the package (not a test module) because actor
+    constructors must be importable on every worker."""
+    n = len(refs)
+    raw = np.tile(np.arange(32, dtype=np.uint8), (n, 1))
+    meta = np.stack(
+        [
+            np.asarray([len(r) for r in refs], dtype=np.int32) * 10,
+            np.full(n, 77, dtype=np.int32),
+            np.full(n, 2, dtype=np.int32),
+        ],
+        axis=1,
+    )
+    return raw, meta
+
+
 class MediaFeaturizer:
     """map_batches actor: media_ref -> (dims, frames, embedding).
 
@@ -57,37 +76,57 @@ class MediaFeaturizer:
 
     init_count = 0
 
-    def __init__(self) -> None:
+    def __init__(self, decoder=None) -> None:
+        """``decoder``: optional real decode kernel with the contract
+        ``refs -> (raw uint8[n, 32], dims int32[n, >=3])`` (pixels/features +
+        width/height/frame metadata source).  Injecting one switches
+        ``decode_mode`` to "real" while every other part of the stage —
+        schema, batch sizing, once-per-actor init, batched matmul inference —
+        is shared with the stub path (the contract test pins this)."""
         MediaFeaturizer.init_count += 1
-        self.decode_mode = _try_real_decoder()
+        self._decoder = decoder
+        self.decode_mode = "real" if decoder is not None else _try_real_decoder()
         # once-per-actor "model load": a fixed projection matrix
         rng = np.random.default_rng(12345)
         self._proj = rng.standard_normal((32, FEAT_DIM)).astype(np.float32)
 
     def _decode_stub(self, refs: list[str]) -> tuple[np.ndarray, np.ndarray]:
-        """Deterministic fake decode: sha256(media_ref) -> pseudo-pixels."""
+        """Deterministic fake decode: sha256(media_ref) -> pseudo-pixels +
+        pseudo (width, height, n_frames)."""
         raw = np.empty((len(refs), 32), dtype=np.uint8)
         for i, r in enumerate(refs):
             raw[i] = np.frombuffer(hashlib.sha256(r.encode()).digest(), np.uint8)
-        dims = raw[:, :6].astype(np.int32)
-        return raw, dims
+        meta = np.empty((len(refs), 3), dtype=np.int32)
+        meta[:, 0] = 256 + (raw[:, 0].astype(np.int32) << 3)
+        meta[:, 1] = 256 + (raw[:, 1].astype(np.int32) << 3)
+        meta[:, 2] = 1 + (raw[:, 2] % 4).astype(np.int32)
+        return raw, meta
 
-    def _decode_real(self, refs: list[str]):  # pragma: no cover
-        raise NotImplementedError(
-            "real image decode requires PIL/cv2, not installed in this sandbox; "
-            "the stub path exercises identical Ray-side plumbing"
-        )
+    def _decode_real(self, refs: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        if self._decoder is not None:
+            return self._decoder(refs)
+        # pragma: no cover — PIL path, not installed in this sandbox
+        from PIL import Image
+
+        raw = np.empty((len(refs), 32), dtype=np.uint8)
+        meta = np.empty((len(refs), 3), dtype=np.int32)
+        for i, r in enumerate(refs):
+            img = Image.open(r).convert("L")
+            meta[i] = (img.width, img.height, getattr(img, "n_frames", 1))
+            raw[i] = np.asarray(img.resize((8, 4)), dtype=np.uint8).reshape(32)
+        return raw, meta
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
         ids = batch.column("doc_id")
-        if self.decode_mode == "real":  # pragma: no cover
-            self._decode_real(refs)
-        raw, dims = self._decode_stub(refs)
+        if self.decode_mode == "real":
+            raw, meta = self._decode_real(refs)
+        else:
+            raw, meta = self._decode_stub(refs)
 
-        width = 256 + (dims[:, 0].astype(np.int32) << 3)
-        height = 256 + (dims[:, 1].astype(np.int32) << 3)
-        n_frames = 1 + (dims[:, 2] % 4).astype(np.int32)
+        width = meta[:, 0].astype(np.int32)
+        height = meta[:, 1].astype(np.int32)
+        n_frames = meta[:, 2].astype(np.int32)
         # batched "inference": one matmul for the whole batch
         feats = (raw.astype(np.float32) / 255.0) @ self._proj
         norms = np.linalg.norm(feats, axis=1, keepdims=True)
@@ -109,11 +148,14 @@ class MediaFeaturizer:
         )
 
 
-def media_features(sf_dir: str, *, concurrency=(1, 4), batch_size: int = 256):
+def media_features(
+    sf_dir: str, *, concurrency=(1, 4), batch_size: int = 256, decoder=None
+):
     """Extract media spans from the interleaved corpus and featurize them.
 
     Small ``batch_size`` by design: with real payloads each row carries
-    megabytes, so batches are bounded by bytes, not rows.
+    megabytes, so batches are bounded by bytes, not rows.  ``decoder``
+    injects a real decode kernel (see ``MediaFeaturizer``).
     """
     import pyarrow.compute as pc
 
@@ -125,10 +167,14 @@ def media_features(sf_dir: str, *, concurrency=(1, 4), batch_size: int = 256):
         lambda b: b.filter(pc.not_equal(b.column("media_ref"), "")),
         batch_format="pyarrow",
     )
+    kwargs = {}
+    if decoder is not None:
+        kwargs["fn_constructor_kwargs"] = {"decoder": decoder}
     return media.map_batches(
         MediaFeaturizer,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
+        **kwargs,
     )

@@ -40,16 +40,29 @@ class SpanScorer:
 
     ``init_count`` is a per-process counter used by tests to prove
     once-per-actor initialization (SURVEY.md §7.2 step 4).
+
+    ``model_weights``: optional path to an ``.npz`` with ``W`` (float64[3])
+    and ``b`` (float64) — a logistic content scorer over the html span
+    features ``[link_density, vis_len, text_density]`` that REPLACES the
+    heuristic boiler rule for non-heading html spans.  This is the real-model
+    swap point mirroring the reference's U-Net checkpoint restore
+    (``/root/reference/src/UnetModel.py:38-54``): weights load once per
+    actor in ``__init__`` and score whole batches vectorized; the heuristic
+    kernel set stays the default (and the conformance-oracle-pinned path).
     """
 
     init_count = 0
 
-    def __init__(self) -> None:
+    def __init__(self, model_weights: str | None = None) -> None:
         SpanScorer.init_count += 1
         # Once-per-actor "model load": python-side kernels for the small
         # non-vectorizable paths (pdf JSON parse, multi-line tabular test).
         self._parse_pdf = C.parse_pdf_block
         self._is_tabular = C.is_tabular_text
+        self._model: tuple[np.ndarray, float] | None = None
+        if model_weights is not None:
+            w = np.load(model_weights)
+            self._model = (w["W"].astype(np.float64).reshape(3), float(w["b"]))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spans = batch.column("spans")
@@ -105,11 +118,17 @@ class SpanScorer:
             nonempty = vis_len > 0
             link_density = link_len / np.maximum(1.0, vis_len)
             text_density = vis_len / np.maximum(1.0, raw_len)
-            html_boiler = (
-                (link_density > C.LINK_DENSITY_MAX)
-                | (vis_len < C.MIN_TEXT_LEN)
-                | (text_density < C.TEXT_DENSITY_MIN)
-            )
+            if self._model is not None:
+                # model branch: linear content score, boiler iff score < 0
+                W, b0 = self._model
+                feats = np.stack([link_density, vis_len, text_density], axis=1)
+                html_boiler = feats @ W + b0 < 0.0
+            else:
+                html_boiler = (
+                    (link_density > C.LINK_DENSITY_MAX)
+                    | (vis_len < C.MIN_TEXT_LEN)
+                    | (text_density < C.TEXT_DENSITY_MIN)
+                )
             label[ih[~nonempty & hr]] = C.LABEL_BOUNDARY
             mh = nonempty & heading
             label[ih[mh]] = C.LABEL_CONTENT
@@ -141,28 +160,27 @@ class SpanScorer:
                 for i, t in zip(it[cand], texts):
                     tab_out[i] = self._is_tabular(t)
 
-        # pdf blocks: JSON parse (python; per-span payloads are small)
-        vis_list = None
+        # pdf blocks: JSON parse (python; per-span payloads are small).
+        # Only the pdf SUBSET round-trips through Python — the full-batch
+        # visible array stays Arrow (no to_pylist of n strings).
         pidx = np.nonzero(is_pdf)[0]
         if pidx.size:
             label[pidx] = C.LABEL_CONTENT
-            vis_list = vis_arr.to_pylist()
             payloads = raw.take(pa.array(pidx)).to_pylist()
+            btexts = []
             for i, payload in zip(pidx, payloads):
                 try:
                     bx0, by0, bx1, by1, btext = self._parse_pdf(payload)
                 except ValueError:
                     err[i] = True
+                    btexts.append("")
                     continue
                 x0[i], y0[i], x1[i], y1[i] = bx0, by0, bx1, by1
-                vis_list[i] = btext
                 tab_out[i] = self._is_tabular(btext)
-
-        if vis_list is not None:
-            vis_arr = pa.array(vis_list, type=pa.string())
+                btexts.append(btext)
             # pre-collapse pdf block text vectorized (Arrow RE2) so the
             # assembly stage never runs per-block Python regex
-            vis_pdf = _collapse(vis_arr.take(pa.array(pidx)))
+            vis_pdf = _collapse(pa.array(btexts, type=pa.string()))
             vis_arr = pc.replace_with_mask(vis_arr, pa.array(is_pdf), vis_pdf)
 
         po = pa.array(offs, type=pa.int32())

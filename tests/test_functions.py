@@ -83,6 +83,21 @@ def test_knn_lsh_recall(ray_session):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_neardup_lsh_recall_and_precision(ray_session):
+    """LSH pair pipeline: every emitted pair is exact-verified (precision 1
+    vs brute), recall over the brute pair set stays above the gate."""
+    from layout_analysis_ray.functions.similarity import neardup_pairs, neardup_pairs_lsh
+
+    sf = "/root/testdata/sf0.001"
+    brute = neardup_pairs(sf).to_pandas()
+    lsh = neardup_pairs_lsh(sf).to_pandas()
+    b_pairs = set(zip(brute["vec_a"], brute["vec_b"]))
+    l_pairs = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    assert l_pairs <= b_pairs  # exact verify: no false positives
+    recall = len(l_pairs) / max(1, len(b_pairs))
+    assert recall >= 0.5, f"LSH pair recall too low: {recall}"
+
+
 def test_knn_brute_shape(ray_session):
     from layout_analysis_ray.functions.similarity import KNN_K, N_QUERIES, knn_brute
 
@@ -176,6 +191,7 @@ def test_queries_oracle_keys_consistent():
         "dedup_minhash_pairs",
         "dedup_simhash",
         "dedup_simhash_pairs",
+        "embedding_neardup_pairs_lsh",
         "ann_lsh_buckets",
         "ann_knn_lsh",
         "ann_ivf_assign",

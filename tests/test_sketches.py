@@ -47,7 +47,7 @@ def test_approx_distinct_users_vs_exact(ray_session):
 def test_heavy_hitters_vs_exact(ray_session):
     from layout_analysis_ray.functions.sketches import heavy_hitter_tokens
 
-    got = heavy_hitter_tokens(SF, top_k=10).to_pylist()
+    got = heavy_hitter_tokens(SF, top_k=10).take_all()
     exact = duckdb.sql(
         f"""
         SELECT tok, COUNT(*) AS n FROM (
