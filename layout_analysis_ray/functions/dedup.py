@@ -161,6 +161,36 @@ PAIR_PARTITIONS = 64
 _SIG_HEX_LEN = MINHASH_PERMS * 16  # fixed-width uint64 hex per signature
 
 
+def dedup_pair_rows(ds, cols: tuple[str, str], num_partitions: int = 64):
+    """Distributed row dedup on an (int64, int64) pair key.
+
+    groupby(cols).map_groups(head) costs one Python call PER PAIR — on a
+    candidate-pair set that is hundreds of thousands of interpreter round
+    trips.  Instead: hash-partition on a mixed pair key (~num_partitions
+    coarse groups), one pandas ``drop_duplicates`` per partition."""
+    a_col, b_col = cols
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__ppart", pa.array([], pa.int64()))
+        a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = a * np.uint64(0x9E3779B97F4A7C15) ^ b
+        key ^= key >> np.uint64(29)
+        return batch.append_column(
+            "__ppart", pa.array((key % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    def drop(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates([a_col, b_col]).drop(columns="__ppart")
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__ppart")
+        .map_groups(drop, batch_format="pandas")
+    )
+
+
 def minhash_sig_table(sf_dir: str):
     """One corpus pass -> (doc_id, sig) signature table, sig as fixed-width
     hex (PERMS x uint64).  ~100x smaller than the documents it summarizes."""
@@ -232,23 +262,21 @@ def dedup_minhash_pairs(sf_dir: str):
         for _, grp in g.groupby("band_key", sort=False):
             ids = np.unique(grp["doc_id"].to_numpy())
             if len(ids) > 1:
-                for i, j in itertools.combinations(ids.tolist(), 2):
-                    out_a.append(int(i))
-                    out_b.append(int(j))
+                iu = np.triu_indices(len(ids), k=1)  # vectorized combinations
+                out_a.append(ids[iu[0]])
+                out_b.append(ids[iu[1]])
         # explicit dtypes: an empty python-list frame would be object-typed
         # and poison downstream block schemas
         df = pd.DataFrame(
             {
-                "doc_a": np.asarray(out_a, dtype=np.int64),
-                "doc_b": np.asarray(out_b, dtype=np.int64),
+                "doc_a": np.concatenate(out_a) if out_a else np.empty(0, np.int64),
+                "doc_b": np.concatenate(out_b) if out_b else np.empty(0, np.int64),
             }
         )
         return df.drop_duplicates()
 
     pairs = bands.groupby("part").map_groups(partition_pairs, batch_format="pandas")
-    pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    pairs = dedup_pair_rows(pairs, ("doc_a", "doc_b"))
     # normalize block schemas: empty map_groups partitions emit column-less
     # blocks that would poison the downstream join's type resolution
     pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
@@ -271,12 +299,29 @@ def dedup_minhash_pairs(sf_dir: str):
     sig_b = sigs.map_batches(
         lambda b: b.rename_columns(["sid_b", "sig_b"]), batch_format="pyarrow"
     )
+
+    def _sig_schema(prefix: str) -> pa.Schema:
+        return pa.schema([(f"sid_{prefix}", pa.int64()), (f"sig_{prefix}", pa.string())])
+
+    j1 = bucketed_join(
+        pairs,
+        sig_a,
+        "doc_a",
+        "sid_a",
+        num_buckets=16,
+        left_schema=pair_schema,
+        right_schema=_sig_schema("a"),
+    )
     joined = bucketed_join(
-        bucketed_join(pairs, sig_a, "doc_a", "sid_a", num_buckets=16),
+        j1,
         sig_b,
         "doc_b",
         "sid_b",
         num_buckets=16,
+        left_schema=pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("sig_a", pa.string())]
+        ),
+        right_schema=_sig_schema("b"),
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -396,11 +441,7 @@ def simhash_pairs(sf_dir: str):
         ).drop_duplicates(["doc_a", "doc_b"])
 
     pairs = bands.groupby("part").map_groups(partition_pairs, batch_format="pandas")
-
-    def depair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(depair, batch_format="pandas")
+    return dedup_pair_rows(pairs, ("doc_a", "doc_b"))
 
 
 # ---------------------------------------------------------------------------

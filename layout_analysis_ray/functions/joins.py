@@ -67,25 +67,30 @@ def bucketed_join(
     left_key: str,
     right_key: str,
     num_buckets: int = 64,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Inner equi-join of two Datasets on int64 keys via explicit bucketing.
 
     Payload column names must be disjoint between the two sides (keys may
     collide; the output carries ``left_key`` only).  Returns a Dataset of
     left-payload + right-payload columns for every matching key pair.
+
+    Pass ``left_schema`` / ``right_schema`` (pyarrow) whenever you know
+    them: ``Dataset.schema()`` EXECUTES part of the upstream pipeline to
+    infer types, and on a shuffle-bearing input (e.g. a chained join) that
+    means running the whole exchange once per probe — a silent 2x-4x.
     """
-    left_cols = [c for c in left.schema().names if c != left_key]
-    right_cols = [c for c in right.schema().names if c != right_key]
+    ls = left_schema if left_schema is not None else left.schema()
+    rs = right_schema if right_schema is not None else right.schema()
+    left_cols = [c for c in ls.names if c != left_key]
+    right_cols = [c for c in rs.names if c != right_key]
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"payload column collision: {sorted(overlap)}")
 
-    left_types = {
-        n: t for n, t in zip(left.schema().names, left.schema().types)
-    }
-    right_types = {
-        n: t for n, t in zip(right.schema().names, right.schema().types)
-    }
+    left_types = {n: t for n, t in zip(ls.names, ls.types)}
+    right_types = {n: t for n, t in zip(rs.names, rs.types)}
     key_type = left_types[left_key]
 
     names = ["__key", "__bucket", "__side"] + left_cols + right_cols
@@ -175,7 +180,19 @@ def q_join_bucketed(sf_dir: str):
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(prep_li, batch_format="pyarrow")
 
-    joined = bucketed_join(orders, li, "o_orderkey", "l_orderkey", num_buckets=32)
+    joined = bucketed_join(
+        orders,
+        li,
+        "o_orderkey",
+        "l_orderkey",
+        num_buckets=32,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("revenue_e4", pa.int64())]
+        ),
+    )
 
     def prep(batch: pa.Table) -> pa.Table:
         return pa.table(

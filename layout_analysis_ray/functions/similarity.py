@@ -206,20 +206,20 @@ def neardup_pairs_lsh(sf_dir: str):
     bands = _read_emb(sf_dir).map_batches(band_rows, batch_format="pyarrow")
 
     def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        import itertools
-
         ids = np.unique(g["vec_id"].to_numpy())
         if len(ids) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype(np.int64)
-        a, b = zip(*itertools.combinations(ids.tolist(), 2))
-        return pd.DataFrame({"vec_a": list(a), "vec_b": list(b)})
+            return pd.DataFrame(
+                {"vec_a": np.empty(0, np.int64), "vec_b": np.empty(0, np.int64)}
+            )
+        iu = np.triu_indices(len(ids), k=1)  # vectorized combinations
+        return pd.DataFrame({"vec_a": ids[iu[0]], "vec_b": ids[iu[1]]})
 
     pairs = bands.groupby("band_key").map_groups(
         partition_pairs, batch_format="pandas"
     )
-    pairs = pairs.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    from .dedup import dedup_pair_rows
+
+    pairs = dedup_pair_rows(pairs, ("vec_a", "vec_b"))
 
     def emb_rows(id_col: str, emb_col: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -244,12 +244,27 @@ def neardup_pairs_lsh(sf_dir: str):
     emb_b = _read_emb(sf_dir).map_batches(
         emb_rows("sid_b", "emb_b"), batch_format="pyarrow"
     )
+    # explicit schemas: Dataset.schema() would re-execute the pair shuffle
+    pair_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+    j1 = bucketed_join(
+        pairs,
+        emb_a,
+        "vec_a",
+        "sid_a",
+        num_buckets=16,
+        left_schema=pair_schema,
+        right_schema=pa.schema([("sid_a", pa.int64()), ("emb_a", pa.binary())]),
+    )
     joined = bucketed_join(
-        bucketed_join(pairs, emb_a, "vec_a", "sid_a", num_buckets=16),
+        j1,
         emb_b,
         "vec_b",
         "sid_b",
         num_buckets=16,
+        left_schema=pa.schema(
+            [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("emb_a", pa.binary())]
+        ),
+        right_schema=pa.schema([("sid_b", pa.int64()), ("emb_b", pa.binary())]),
     )
 
     def verify(batch: pa.Table) -> pa.Table:
