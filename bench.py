@@ -72,7 +72,14 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from layout_analysis_ray.functions import dedup, similarity, text, windows
+    from layout_analysis_ray.functions import (
+        dedup,
+        joins,
+        similarity,
+        sketches,
+        text,
+        windows,
+    )
     from layout_analysis_ray.pipelines import relational as rel
     from layout_analysis_ray.pipelines.extract import (
         extract_pipeline,
@@ -124,8 +131,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "ngram_jaccard_consecutive": dedup.ngram_jaccard_consecutive,
         "embedding_knn": similarity.knn_brute,
         "embedding_neardup_pairs": similarity.neardup_pairs,
+        "embedding_neardup_pairs_lsh": similarity.neardup_pairs_lsh,
         "ann_knn_ivf": similarity.knn_ivf,
         "events_hopping_1h_30m": windows.hopping_1h_30m,
+        "q_join_bucketed": joins.q_join_bucketed,
+        "sketch_heavy_tokens": sketches.heavy_hitter_tokens,
     }
     for name, fn in others.items():
         t0 = time.perf_counter()
@@ -229,12 +239,16 @@ def headline_only(sf_dir: str, num_cpus: int) -> dict:
     # Full warm-up pass, then time the second run: steady-state throughput.
     # A real cluster job runs for hours — worker-process spawn and actor
     # cold-start are noise at that scale, but dominate a ~15 s local run.
+    pool = int(os.environ.get("GRAFT_POOL_OVERRIDE", "0")) or scorer_pool_size(
+        num_cpus
+    )
+
     def one_run() -> float:
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.perf_counter()
         ds = extract_pipeline(
             rd.read_parquet(inp, override_num_blocks=max(64, num_cpus * 4)),
-            concurrency=scorer_pool_size(num_cpus),
+            concurrency=pool,
         )
         # distributed sink: write_parquet runs in the tasks, so the driver
         # never becomes a single-threaded deserialization bottleneck

@@ -28,11 +28,11 @@ DEFAULT_CONCURRENCY = (1, 8)
 
 
 def scorer_pool_size(num_cpus: int) -> int:
-    """Scorer actor count for a node with ``num_cpus``: ~3/8 of the CPUs
-    (measured best split on the bench — scoring is ~45% of pipeline CPU, and
-    read/assemble/write task ops fill the rest), always leaving headroom so
-    task ops never starve (a pool == num_cpus deadlocks the pipeline)."""
-    return max(1, (num_cpus * 3 + 7) // 8)
+    """Scorer actor count for a node with ``num_cpus``: ~7/16 of the CPUs
+    (round-2 sweep at 16 CPUs: pool 7 -> 118k docs/s vs 101k@5 / 107k@9 /
+    75k@11; at 32 CPUs pool 14 beats 12), always leaving headroom so task
+    ops never starve (a pool == num_cpus deadlocks the pipeline)."""
+    return max(1, min(round(num_cpus * 7 / 16), num_cpus - 1))
 
 
 def extract_pipeline(

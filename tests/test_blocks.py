@@ -182,6 +182,27 @@ def test_cluster_order_same_set_different_order():
         get_strategy("nope")
 
 
+def test_flood_order_same_set_basin_growth():
+    from layout_analysis_ray.stages.strategies import flood_order
+
+    rects = [
+        (100, 200, 700, 400),   # left col top (seed: raster-first)
+        (100, 500, 700, 700),   # left col bottom (gap 100 from seed)
+        (780, 200, 1400, 400),  # right col top (gap 80 from seed)
+        (780, 500, 1400, 700),  # right col bottom
+        (100, 2000, 1500, 2200),  # distant footer: own basin
+    ]
+    fl = flood_order(rects)
+    assert sorted(fl) == list(range(5))  # same block set
+    # basin grows nearest-first from the seed: right-top (80) before
+    # left-bottom (100); the footer exceeds FLOOD_EPS and seeds basin 2
+    assert fl == [0, 2, 1, 3, 4]
+    assert flood_order([]) == []
+    # far-apart singles: each its own basin, raster order
+    singles = [(0, 900, 10, 910), (0, 0, 10, 10), (900, 450, 910, 460)]
+    assert flood_order(singles) == [1, 2, 0]
+
+
 def test_pipeline_order_strategy_param(ray_session):
     import ray.data as rd
 

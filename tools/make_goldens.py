@@ -1,0 +1,67 @@
+"""Regenerate tests/goldens_sf0001.json — frozen value hashes for the
+rows-only (no-SQL-oracle) queries that are nonetheless fully deterministic.
+
+Run from /root/repo:  python tools/make_goldens.py
+
+The hashes are tied to the driver-generated /root/testdata/sf0.001 fixture
+(fixed seed); if the fixture ever changes, regenerate and review the diff —
+a changed hash with an unchanged fixture is a real regression.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+SF = "/root/testdata/sf0.001"
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens_sf0001.json")
+
+# deterministic rows-only queries worth a value gate (approx/recall-gated
+# ANN top-k and skew/eval comparisons stay pytest-property-gated instead)
+GOLDEN_QUERIES = [
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_minhash_pairs",
+    "ann_lsh_buckets",
+    "ann_ivf_assign",
+    "media_features",
+    "page_xml_export",
+    "extract_error_docs",
+]
+
+
+def canon_hash(df) -> tuple[int, str]:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    payload = df.to_csv(index=False).encode()
+    return len(df), hashlib.md5(payload).hexdigest()
+
+
+def main() -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR"
+        )
+    sys.path.insert(0, ".")
+    import __ray_entry__ as entrymod
+    from tools.check_parity import to_pandas
+
+    qs = entrymod.queries()
+    out = {}
+    for name in GOLDEN_QUERIES:
+        rows, digest = canon_hash(to_pandas(qs[name](SF)))
+        out[name] = {"rows": rows, "md5": digest}
+        print(f"{name}: rows={rows} md5={digest}")
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=2, sort_keys=True)
+        f.write("\n")
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
