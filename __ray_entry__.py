@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 48 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (30) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 51 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (33) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
@@ -156,6 +156,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_per_user": windows.top_event_per_user,
         "events_asof_last_purchase": windows.asof_last_purchase,
         "events_range_join_purchase": windows.range_join_after_purchase,
+        # time-range-salted variants (hot-key path): same results, bounded
+        # per-worker group size — oracle SQL identical to the unsalted twin
+        "events_sessionize_salted": windows.sessionize_salted,
+        "events_asof_salted": windows.asof_last_purchase_salted,
+        "events_range_join_salted": windows.range_join_after_purchase_salted,
         "extract_error_docs": _extract_error_docs,
         # text analysis
         "doc_token_stats": text.token_stats,
@@ -194,7 +199,7 @@ _STOPS = "('the','a','and','of','to','in','is','on','for','with')"
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "q1_pricing_summary": f"""
             -- CASTs on every SUM-derived column: DuckDB SUM(BIGINT) returns
             -- HUGEINT (-> pandas float64) while the engine emits int64.
@@ -466,3 +471,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+    # salted keyed-window variants produce identical results to their
+    # unsalted twins (the salting changes partitioning, not semantics)
+    d["events_sessionize_salted"] = d["events_sessionize"]
+    d["events_asof_salted"] = d["events_asof_last_purchase"]
+    d["events_range_join_salted"] = d["events_range_join_purchase"]
+    return d
