@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 51 entries); ``oracle_sql()`` gives the
+(SURVEY.md §2 + §8 coverage map: 52 entries); ``oracle_sql()`` gives the
 DuckDB-equivalent SQL for every SQL-expressible query (33) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
@@ -83,6 +83,18 @@ def _extract_spans_cluster_order(sf_dir: str):
     )
 
 
+def _extract_spans_flood_order(sf_dir: str):
+    """Third pluggable ordering strategy (watershed analogue): seeded
+    nearest-first region growth; same block set, basin-growth order
+    (pinned by tests/test_blocks.py + a frozen golden)."""
+    from layout_analysis_ray.pipelines.extract import explode, extract_pipeline
+    from layout_analysis_ray.sources.synth import docs_from_parquet
+
+    return explode(
+        extract_pipeline(docs_from_parquet(sf_dir), order_strategy="flood")
+    )
+
+
 def _media_features(sf_dir: str):
     """Driver-facing projection: scalar columns only (the embedding vector
     stays inside the stage; e0_ppm summarizes it for the rows-only check)."""
@@ -135,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_kind_counts": _extract_kind_counts,
         "extract_spans_skew": _extract_spans_skew,
         "extract_spans_cluster_order": _extract_spans_cluster_order,
+        "extract_spans_flood_order": _extract_spans_flood_order,
         "media_features": _media_features,
         # relational operators
         "q1_pricing_summary": rel.q1_pricing_summary,

@@ -42,17 +42,24 @@ def _ensure_ray():
 
 def cmd_extract(args) -> int:
     _ensure_ray()
+    import functools
+
     from .pipelines.extract import extract_pipeline
     from .sources.synth import docs_from_parquet
     from .state.checkpoint import resumable_write
 
+    pipeline = functools.partial(
+        extract_pipeline,
+        order_strategy=args.order_strategy,
+        model_weights=args.model_weights,
+    )
     docs = docs_from_parquet(args.sf_dir, num_blocks=args.num_blocks)
     if args.no_resume:
-        extract_pipeline(docs).write_parquet(args.out)
+        pipeline(docs).write_parquet(args.out)
         print(json.dumps({"out": args.out, "resume": False}))
         return 0
     job = resumable_write(
-        docs, args.out, num_partitions=args.partitions, pipeline=extract_pipeline
+        docs, args.out, num_partitions=args.partitions, pipeline=pipeline
     )
     print(json.dumps(job))
     return 0
@@ -92,6 +99,17 @@ def main(argv=None) -> int:
     pe.add_argument("--partitions", type=int, default=64)
     pe.add_argument("--num-blocks", type=int, default=None)
     pe.add_argument("--no-resume", action="store_true")
+    pe.add_argument(
+        "--order-strategy",
+        default="xycut",
+        choices=["xycut", "cluster", "flood"],
+        help="block-ordering strategy (stages.strategies registry)",
+    )
+    pe.add_argument(
+        "--model-weights",
+        default=None,
+        help="optional npz logistic scorer weights (see SpanScorer)",
+    )
     pe.set_defaults(fn=cmd_extract)
 
     pv = sub.add_parser("evaluate", help="compare two extraction outputs")

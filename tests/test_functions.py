@@ -187,6 +187,7 @@ def test_queries_oracle_keys_consistent():
         "extract_kind_counts",
         "extract_spans_skew",
         "extract_spans_cluster_order",
+        "extract_spans_flood_order",
         "media_features",
         "dedup_minhash_pairs",
         "dedup_simhash",

@@ -29,6 +29,7 @@ GOLDEN_QUERIES = [
     "media_features",
     "page_xml_export",
     "extract_error_docs",
+    "extract_spans_flood_order",
 ]
 
 
