@@ -6,10 +6,14 @@ token counting, fingerprinting).  Each has a matching DuckDB oracle in
 ratio is an integer (ppm = parts-per-million, floor division) and every hash
 is md5 hex — identical in Python and DuckDB.
 
-All stages are stateless ``map_batches`` transforms; the per-doc token loop
-runs over ~25-token synthetic docs and is dominated by the Arrow read.  The
-tokenizer regex is compiled once per actor via the callable-class pattern
-when used in the hot pipeline.
+All stages are stateless ``map_batches`` transforms.  Tokenization is
+vectorized: one Arrow RE2 pass splits every text in the batch into a
+flattened token array with parent-row indices (``_flat_tokens``), and the
+per-doc statistics fall out of ``np.bincount`` / factorized-code lookups —
+no Python loop over rows or tokens in token_stats / lang_id / quality.
+``fingerprint`` alone keeps a per-shingle loop because its value IS an md5
+digest (the DuckDB oracle mirrors ``md5(...)`` exactly); the cost there is
+the digest, not the loop.
 """
 
 from __future__ import annotations
@@ -19,6 +23,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 TOKEN_RE = r"[a-z0-9]+"
 _token = re.compile(TOKEN_RE)
@@ -43,17 +48,47 @@ def _tokens(text: str) -> list[str]:
     return _token.findall(text.lower())
 
 
+def _flat_tokens(col) -> tuple[np.ndarray, np.ndarray, int]:
+    """Vectorized tokenizer for a whole batch column.
+
+    One RE2 pass replaces every non-token run with a single space, then a
+    plain split yields a ListArray of tokens; we flatten it and return
+    ``(parent_row_idx, token_strings, n_rows)``.  Token set is identical to
+    ``re.findall('[a-z0-9]+', text.lower())`` per row (empty/null texts
+    contribute zero tokens).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    cleaned = pc.utf8_trim(
+        pc.replace_substring_regex(pc.utf8_lower(col), "[^a-z0-9]+", " "), " "
+    )
+    lists = pc.split_pattern(cleaned, " ")
+    flat = lists.flatten()
+    counts = np.diff(lists.offsets.to_numpy())
+    parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    toks = flat.to_numpy(zero_copy_only=False)
+    return parent[keep], toks[keep], len(counts)
+
+
 def token_stats_batch(batch: pa.Table) -> pa.Table:
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    texts = batch["text"].to_pylist()
-    n_tok = np.empty(len(texts), dtype=np.int64)
-    n_uniq = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = _tokens(t or "")
-        n_tok[i] = len(toks)
-        n_uniq[i] = len(set(toks))
+    import pandas as pd
+
+    parent, toks, n = _flat_tokens(batch["text"])
+    n_tok = np.bincount(parent, minlength=n)
+    # distinct tokens per doc: factorize once (C hash table), then unique
+    # (row, token_code) pairs via a single int64 sort — no per-row sets.
+    codes, uniques = pd.factorize(toks)
+    pair_ids = parent * np.int64(len(uniques) + 1) + codes
+    uniq_parent = parent[np.unique(pair_ids, return_index=True)[1]]
+    n_uniq = np.bincount(uniq_parent, minlength=n)
     return pa.table(
-        {"doc_id": pa.array(ids), "n_tokens": pa.array(n_tok), "n_uniq_tokens": pa.array(n_uniq)}
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
+        }
     )
 
 
@@ -65,19 +100,28 @@ def token_stats(sf_dir: str):
 
 def lang_id_batch(batch: pa.Table) -> pa.Table:
     """Marker-token language ID: argmax of per-language marker counts with
-    first-listed-language precedence on ties; 'und' when all counts are 0."""
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    texts = batch["text"].to_pylist()
-    preds = []
-    for t in texts:
-        toks = _tokens(t or "")
-        best_lang, best_n = "und", 0
-        for lang, markers in LANG_MARKERS:
-            n = sum(1 for w in toks if w in markers)
-            if n > best_n:
-                best_lang, best_n = lang, n
-        preds.append(best_lang)
-    return pa.table({"doc_id": pa.array(ids), "lang_pred": pa.array(preds, pa.string())})
+    first-listed-language precedence on ties; 'und' when all counts are 0.
+
+    Vectorized: factorize the flattened tokens once, test the (tiny) unique
+    vocabulary against each language's marker set, and bincount matches by
+    parent row — ``np.argmax`` along the language axis picks the first max,
+    which is exactly the reference's strict-``>`` scan order.
+    """
+    import pandas as pd
+
+    parent, toks, n = _flat_tokens(batch["text"])
+    codes, uniques = pd.factorize(toks)
+    uniq = np.asarray(uniques, dtype=object)
+    counts = np.zeros((n, len(LANG_MARKERS)), dtype=np.int64)
+    for j, (_, markers) in enumerate(LANG_MARKERS):
+        hit = np.isin(uniq, np.array(markers, dtype=object))[codes]
+        if hit.any():
+            counts[:, j] = np.bincount(parent[hit], minlength=n)
+    langs = np.array([lang for lang, _ in LANG_MARKERS] + ["und"], dtype=object)
+    best = np.where(counts.max(axis=1) > 0, counts.argmax(axis=1), len(LANG_MARKERS))
+    return pa.table(
+        {"doc_id": batch["doc_id"], "lang_pred": pa.array(langs[best], pa.string())}
+    )
 
 
 def lang_id(sf_dir: str):
@@ -93,33 +137,32 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     - alpha_ppm = [a-z] chars (of lowercased text) / total chars
     - quality_ppm = (4*min(n_tokens/100,1) + 3*stop + 3*alpha) / 10
     """
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    texts = batch["text"].to_pylist()
-    stops = set(STOPWORDS)
-    n_tok = np.empty(len(texts), dtype=np.int64)
-    stop_ppm = np.empty(len(texts), dtype=np.int64)
-    alpha_ppm = np.empty(len(texts), dtype=np.int64)
-    qual_ppm = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        t = t or ""
-        toks = _tokens(t)
-        nt = len(toks)
-        ns = sum(1 for w in toks if w in stops)
-        low = t.lower()
-        na = sum(1 for ch in low if "a" <= ch <= "z")
-        nc = len(t)
-        n_tok[i] = nt
-        stop_ppm[i] = (ns * 1_000_000) // nt if nt else 0
-        alpha_ppm[i] = (na * 1_000_000) // nc if nc else 0
-        len_ppm = min(nt * 10_000, 1_000_000)
-        qual_ppm[i] = (4 * len_ppm + 3 * stop_ppm[i] + 3 * alpha_ppm[i]) // 10
+    import pandas as pd
+
+    text_col = batch["text"]
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    text_col = pc.fill_null(text_col, "")
+    parent, toks, n = _flat_tokens(text_col)
+    n_tok = np.bincount(parent, minlength=n)
+    codes, uniques = pd.factorize(toks)
+    stop_hit = np.isin(np.asarray(uniques, dtype=object), np.array(STOPWORDS, dtype=object))[codes]
+    n_stop = np.bincount(parent[stop_hit], minlength=n) if stop_hit.any() else np.zeros(n, np.int64)
+    n_alpha = pc.count_substring_regex(pc.utf8_lower(text_col), "[a-z]").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n_chars = pc.utf8_length(text_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    stop_ppm = np.where(n_tok > 0, (n_stop * 1_000_000) // np.maximum(n_tok, 1), 0)
+    alpha_ppm = np.where(n_chars > 0, (n_alpha * 1_000_000) // np.maximum(n_chars, 1), 0)
+    len_ppm = np.minimum(n_tok * 10_000, 1_000_000)
+    qual_ppm = (4 * len_ppm + 3 * stop_ppm + 3 * alpha_ppm) // 10
     return pa.table(
         {
-            "doc_id": pa.array(ids),
-            "n_tokens": pa.array(n_tok),
-            "stop_ppm": pa.array(stop_ppm),
-            "alpha_ppm": pa.array(alpha_ppm),
-            "quality_ppm": pa.array(qual_ppm),
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "stop_ppm": pa.array(stop_ppm, pa.int64()),
+            "alpha_ppm": pa.array(alpha_ppm, pa.int64()),
+            "quality_ppm": pa.array(qual_ppm, pa.int64()),
         }
     )
 
