@@ -72,21 +72,33 @@ def exact_hash_batch(batch: pa.Table) -> pa.Table:
 def dedup_exact(sf_dir: str):
     """Keep the min doc_id per content hash; emit (content_hash, keeper
     doc_id, n_dups).  groupby(content_hash) is the one shuffle; it moves
-    (hash, id) pairs, not documents."""
+    (hash, id) pairs, not documents.  The reduce is a NATIVE aggregate
+    (Min + Count with map-side partial combining) — ``map_groups`` here
+    would cost one Python call per unique document, i.e. billions of
+    interpreter round trips on a web corpus."""
+    from ray.data.aggregate import Count, Min
+
     ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         exact_hash_batch, batch_format="pyarrow"
     )
+    agg = ds.groupby("content_hash").aggregate(Min("doc_id"), Count())
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "content_hash": [g["content_hash"].iloc[0]],
-                "doc_id": [int(g["doc_id"].min())],
-                "n_dups": [len(g)],
+                "content_hash": batch["content_hash"],
+                "doc_id": pc_cast_i64(batch["min(doc_id)"]),
+                "n_dups": pc_cast_i64(batch["count()"]),
             }
         )
 
-    return ds.groupby("content_hash").map_groups(first, batch_format="pandas")
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def pc_cast_i64(col):
+    import pyarrow.compute as pc
+
+    return pc.cast(col, pa.int64())
 
 
 # ---------------------------------------------------------------------------
@@ -100,14 +112,31 @@ def minhash_sig(text: str) -> np.ndarray:
 def minhash_sigs(texts: list[str]) -> np.ndarray:
     """[n_docs, PERMS] signatures, one vectorized sweep over ALL shingles of
     the batch: (A*x + B) mod p then segment-min (np.minimum.reduceat) per
-    doc.  Perms are processed in chunks to bound the temporary."""
-    segs = [_shingle_ints(t) for t in texts]
-    lens = np.array([len(s) for s in segs], dtype=np.int64)
-    out = np.full((len(texts), MINHASH_PERMS), MINHASH_PRIME, dtype=np.int64)
-    nz = np.nonzero(lens)[0]
-    if nz.size == 0:
+    doc.  Perms are processed in chunks to bound the temporary.
+
+    Hashing is batched too: ONE ``pd.util.hash_array`` call over every
+    shingle in the batch, then per-doc sorted-distinct via a single
+    ``np.unique`` on a (doc_id << 31 | value) composite key — values are
+    bit-identical to hashing each doc separately (``_shingle_ints``),
+    without one C-call round trip per document."""
+    n = len(texts)
+    out = np.full((n, MINHASH_PERMS), MINHASH_PRIME, dtype=np.int64)
+    all_sh: list[str] = []
+    seg_parts = []
+    for i, t in enumerate(texts):
+        sh = _shingles(t)
+        if sh:
+            all_sh.extend(sh)
+            seg_parts.append(np.full(len(sh), i, dtype=np.int64))
+    if not all_sh:
         return out
-    x = np.concatenate([segs[i] for i in nz])
+    seg = np.concatenate(seg_parts)
+    h = pd.util.hash_array(np.asarray(all_sh, dtype=object))
+    vals = (h % (MINHASH_PRIME - 1)).astype(np.int64) + 1  # in [1, 2^31)
+    key = np.unique(seg * np.int64(1 << 31) + vals)
+    x = key % np.int64(1 << 31)
+    lens = np.bincount(key >> np.int64(31), minlength=n)
+    nz = np.nonzero(lens)[0]
     starts = np.zeros(nz.size, dtype=np.int64)
     np.cumsum(lens[nz][:-1], out=starts[1:])
     for c0 in range(0, MINHASH_PERMS, _PERM_CHUNK):

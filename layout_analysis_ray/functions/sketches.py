@@ -141,22 +141,22 @@ def heavy_hitter_tokens(sf_dir: str, top_k: int = 20):
     import ray
     import ray.data as rd
 
-    from .text import _tokens
+    from .text import _flat_tokens
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        c = Counter()
-        for t in batch["text"].to_pylist():
-            c.update(_tokens(t or ""))
-        toks = np.asarray(list(c.keys()), dtype=object)
-        counts = np.fromiter(c.values(), dtype=np.int64, count=len(c))
-        sketch = _cms_partial(_hash64(toks), counts) if len(c) else np.zeros(
+        # exact local token counts, vectorized: one Arrow RE2 tokenizer pass
+        # for the whole batch, factorize (C hash table) + bincount — no
+        # Python Counter loop over tokens
+        _, flat_toks, _ = _flat_tokens(batch["text"])
+        codes, uniques = pd.factorize(flat_toks)
+        toks = np.asarray(uniques, dtype=object)
+        counts = np.bincount(codes, minlength=len(toks)).astype(np.int64)
+        sketch = _cms_partial(_hash64(toks), counts) if len(toks) else np.zeros(
             (CMS_D, CMS_W), dtype=np.int64
         )
-        order = np.argsort(-counts)[: 4 * top_k]
+        order = np.argsort(-counts, kind="stable")[: 4 * top_k]
         payloads = [sketch.tobytes()] + [str(toks[i]).encode() for i in order]
         return pa.table(
             {
