@@ -14,7 +14,6 @@ MinHash permutation seeds, integer ppm similarity values.
 from __future__ import annotations
 
 import hashlib
-import itertools
 
 import numpy as np
 import pandas as pd
@@ -377,21 +376,44 @@ def simhash64(text: str) -> int:
     """64-bit SimHash over the token multiset: bit b (MSB-first over the
     first 8 md5 digest bytes) is set when more token hashes have that bit
     set than clear."""
-    toks = _tokens(text or "")
-    if not toks:
-        return 0
+    return int(simhash64_batch([text])[0])
+
+
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """uint64 SimHash per text, batch-vectorized: md5 runs once per UNIQUE
+    token in the batch (factorize), bit tallies are weighted segment sums
+    (``np.add.reduceat`` over parent-sorted occurrences) — bit-identical to
+    the per-doc definition above without one digest per token occurrence."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    toks_per_doc = [_tokens(t or "") for t in texts]
+    lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    nz = np.nonzero(lens)[0]
+    if nz.size == 0:
+        return out
+    flat = np.asarray(
+        [w for i in nz for w in toks_per_doc[i]], dtype=object
+    )
+    codes, uniques = pd.factorize(flat)
     dig = np.frombuffer(
-        b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks), dtype=np.uint8
-    ).reshape(len(toks), 8)
-    bits = np.unpackbits(dig, axis=1).astype(np.int64)
-    acc = bits.sum(axis=0) * 2 - len(toks)
-    return int("".join("1" if a > 0 else "0" for a in acc), 2)
+        b"".join(hashlib.md5(str(u).encode()).digest()[:8] for u in uniques),
+        dtype=np.uint8,
+    ).reshape(len(uniques), 8)
+    # per-unique-token ±1 bit contributions, gathered per occurrence
+    bits_pm1 = np.unpackbits(dig, axis=1).astype(np.int64) * 2 - 1
+    starts = np.zeros(nz.size, dtype=np.int64)
+    np.cumsum(lens[nz][:-1], out=starts[1:])
+    acc = np.add.reduceat(bits_pm1[codes], starts, axis=0)
+    packed = np.packbits(acc > 0, axis=1)  # MSB-first per byte, b0..b7
+    out[nz] = packed.view(">u8").reshape(-1).astype(np.uint64)
+    return out
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     texts = batch["text"].to_pylist()
-    hs = [f"{simhash64(t):016x}" for t in texts]
+    sims = simhash64_batch(texts)
+    hs = [f"{s:016x}" for s in sims]
     prefix = [h[:4] for h in hs]  # 16-bit hamming bucket
     return pa.table(
         {
@@ -425,7 +447,7 @@ def simhash_pairs(sf_dir: str):
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch["text"].to_pylist()
-        sims = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+        sims = simhash64_batch(texts)
         n = len(ids)
         bands = np.empty((n, SIMHASH_BANDS4), dtype=np.int64)
         for b in range(SIMHASH_BANDS4):
@@ -459,14 +481,26 @@ def simhash_pairs(sf_dir: str):
             sims = grp["sim"].to_numpy().astype(np.uint64)
             order = np.argsort(ids)
             ids, sims = ids[order], sims[order]
-            for i, j in itertools.combinations(range(len(ids)), 2):
-                ham = int(bin(int(sims[i]) ^ int(sims[j])).count("1"))
-                if ham <= SIMHASH_HAM_MAX:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_h.append(ham)
+            # vectorized hamming over all in-bucket pairs: XOR then byte-wise
+            # popcount via unpackbits — no per-pair Python bin() loop, so a
+            # hot bucket (e.g. the all-empty-doc simhash) stays numpy-bound
+            ia, ib = np.triu_indices(len(ids), k=1)
+            x = sims[ia] ^ sims[ib]
+            ham = (
+                np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+                .sum(axis=1)
+                .astype(np.int64)
+            )
+            keep = ham <= SIMHASH_HAM_MAX
+            out_a.append(ids[ia[keep]].astype(np.int64))
+            out_b.append(ids[ib[keep]].astype(np.int64))
+            out_h.append(ham[keep])
         return pd.DataFrame(
-            {"doc_a": out_a, "doc_b": out_b, "hamming": out_h}
+            {
+                "doc_a": np.concatenate(out_a) if out_a else np.empty(0, np.int64),
+                "doc_b": np.concatenate(out_b) if out_b else np.empty(0, np.int64),
+                "hamming": np.concatenate(out_h) if out_h else np.empty(0, np.int64),
+            }
         ).drop_duplicates(["doc_a", "doc_b"])
 
     pairs = bands.groupby("part").map_groups(partition_pairs, batch_format="pandas")
