@@ -160,6 +160,7 @@ def neardup_pairs(sf_dir: str):
 # the exact baseline is pytest-gated, so the tradeoff stays visible.
 NEARDUP_LSH_TABLES = 12
 NEARDUP_LSH_PLANES = 4
+NEARDUP_PAIR_PARTITIONS = 64  # coarse hash partitions for bucket pairing
 
 
 def neardup_pairs_lsh(sf_dir: str):
@@ -168,18 +169,25 @@ def neardup_pairs_lsh(sf_dir: str):
     scale shape for ``neardup_pairs`` (which broadcasts the whole corpus):
 
     1. per batch: T band codes per vector (T tables x k planes,
-       deterministic seed), emitting slim (band_key, vec_id) rows only;
-    2. groupby(band_key).map_groups pairs same-code vectors per table
-       (the candidate generation — same pattern as simhash_pairs);
-    3. cross-table pair dedup via a distributed groupby;
-    4. candidate pairs hash-join the embeddings table twice (emb_a onto
-       vec_a, emb_b onto vec_b; embeddings travel as fixed-width binary),
-       and the exact cosine threshold is applied vectorized per batch.
+       deterministic seed), emitting (part, band_key, vec_id, normalized
+       embedding bytes) rows — the embedding rides WITH its band row, so
+       verification never needs a join back to the corpus;
+    2. coarse hash partitions (band_key % 64) pair and VERIFY same-code
+       vectors in one map_groups: a per-bucket gram matrix (BLAS) applies
+       the exact cosine threshold at candidate-generation time, so only
+       verified pairs ever leave the stage;
+    3. cross-table dedup of the (small) verified pair set via the
+       distributed pair dedup.
 
-    Per-bucket pairing is quadratic in bucket size — the standard LSH
-    caveat; k (planes/table) is the knob that bounds bucket occupancy.
+    Shuffle volume is n x T embedding rows — independent of the candidate
+    count — vs (pairs x 2) embedding copies for a join-based verify; the
+    fused shape wins whenever buckets average >2 occupants, and removes
+    three exchanges (pair dedup before verify + two embedding joins).
+
+    Per-bucket pairing is quadratic in bucket size (gram matrix) — the
+    standard LSH caveat; k (planes/table) is the knob that bounds bucket
+    occupancy, and a bucket must fit one worker.
     """
-    import ray.data as rd
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids, m = _emb_matrix(batch)
@@ -194,95 +202,53 @@ def neardup_pairs_lsh(sf_dir: str):
         )  # [n, T]
         table_idx = np.tile(np.arange(NEARDUP_LSH_TABLES, dtype=np.int64), len(ids))
         band_key = codes.reshape(-1).astype(np.int64) * NEARDUP_LSH_TABLES + table_idx
+        emb_bytes = [row.tobytes() for row in mn]
         return pa.table(
             {
+                "part": pa.array(
+                    (band_key % NEARDUP_PAIR_PARTITIONS).astype(np.int32), pa.int32()
+                ),
                 "band_key": pa.array(band_key, pa.int64()),
                 "vec_id": pa.array(
                     np.repeat(ids.astype(np.int64), NEARDUP_LSH_TABLES)
+                ),
+                "emb": pa.array(
+                    [emb_bytes[i] for i in range(len(ids)) for _ in range(NEARDUP_LSH_TABLES)],
+                    pa.binary(),
                 ),
             }
         )
 
     bands = _read_emb(sf_dir).map_batches(band_rows, batch_format="pyarrow")
 
-    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["vec_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"vec_a": np.empty(0, np.int64), "vec_b": np.empty(0, np.int64)}
-            )
-        iu = np.triu_indices(len(ids), k=1)  # vectorized combinations
-        return pd.DataFrame({"vec_a": ids[iu[0]], "vec_b": ids[iu[1]]})
+    thresh = NEARDUP_COS_PPM / 1_000_000.0
 
-    pairs = bands.groupby("band_key").map_groups(
-        partition_pairs, batch_format="pandas"
-    )
+    def verified_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("band_key", sort=False):
+            grp = grp.drop_duplicates("vec_id")
+            if len(grp) < 2:
+                continue
+            ids = grp["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            emb = grp["emb"].to_numpy()[order]
+            mn = np.frombuffer(b"".join(emb), dtype=np.float64).reshape(len(ids), -1)
+            iu = np.triu_indices(len(ids), k=1)
+            keep = (mn @ mn.T)[iu] >= thresh
+            out_a.append(ids[iu[0][keep]].astype(np.int64))
+            out_b.append(ids[iu[1][keep]].astype(np.int64))
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a) if out_a else np.empty(0, np.int64),
+                "vec_b": np.concatenate(out_b) if out_b else np.empty(0, np.int64),
+            }
+        ).drop_duplicates()
+
+    pairs = bands.groupby("part").map_groups(verified_pairs, batch_format="pandas")
     from .dedup import dedup_pair_rows
 
-    pairs = dedup_pair_rows(pairs, ("vec_a", "vec_b"))
-
-    def emb_rows(id_col: str, emb_col: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            ids, m = _emb_matrix(batch)
-            mn = _normalize(m)
-            return pa.table(
-                {
-                    id_col: pa.array(ids.astype(np.int64)),
-                    emb_col: pa.array([row.tobytes() for row in mn], pa.binary()),
-                }
-            )
-
-        return fn
-
-    # bucketed_join instead of Dataset.join: sparse pair sets produce empty
-    # shuffle partitions whose blocks lose schema (see dedup_minhash_pairs)
-    from .joins import bucketed_join
-
-    emb_a = _read_emb(sf_dir).map_batches(
-        emb_rows("sid_a", "emb_a"), batch_format="pyarrow"
-    )
-    emb_b = _read_emb(sf_dir).map_batches(
-        emb_rows("sid_b", "emb_b"), batch_format="pyarrow"
-    )
-    # explicit schemas: Dataset.schema() would re-execute the pair shuffle
-    pair_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
-    j1 = bucketed_join(
-        pairs,
-        emb_a,
-        "vec_a",
-        "sid_a",
-        num_buckets=16,
-        left_schema=pair_schema,
-        right_schema=pa.schema([("sid_a", pa.int64()), ("emb_a", pa.binary())]),
-    )
-    joined = bucketed_join(
-        j1,
-        emb_b,
-        "vec_b",
-        "sid_b",
-        num_buckets=16,
-        left_schema=pa.schema(
-            [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("emb_a", pa.binary())]
-        ),
-        right_schema=pa.schema([("sid_b", pa.int64()), ("emb_b", pa.binary())]),
-    )
-
-    def verify(batch: pa.Table) -> pa.Table:
-        ea = batch["emb_a"].to_pylist()
-        eb = batch["emb_b"].to_pylist()
-        if not ea:
-            return pa.table(
-                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
-            )
-        ma = np.frombuffer(b"".join(ea), dtype=np.float64).reshape(len(ea), -1)
-        mb = np.frombuffer(b"".join(eb), dtype=np.float64).reshape(len(eb), -1)
-        cos = np.einsum("ij,ij->i", ma, mb)
-        keep = cos >= NEARDUP_COS_PPM / 1_000_000.0
-        return pa.table(
-            {"vec_a": batch["vec_a"], "vec_b": batch["vec_b"]}
-        ).filter(pa.array(keep))
-
-    return joined.map_batches(verify, batch_format="pyarrow")
+    return dedup_pair_rows(pairs, ("vec_a", "vec_b"))
 
 
 def lsh_buckets(sf_dir: str):
