@@ -274,6 +274,9 @@ def lsh_buckets(sf_dir: str):
 IVF_CLUSTERS = 8
 IVF_NPROBE = 4
 IVF_ITERS = 2
+# 2^28 fixed-point scale for Lloyd partial sums: |sum per dim per cluster|
+# <= corpus rows, so int64 holds ~2^35 rows per cluster before overflow
+_IVF_FIX = float(1 << 28)
 
 
 def _ivf_centroids(sf_dir: str) -> np.ndarray:
@@ -304,21 +307,26 @@ def _ivf_centroids(sf_dir: str) -> np.ndarray:
             counts = np.zeros(len(c), dtype=np.int64)
             np.add.at(sums, assign, mn)
             np.add.at(counts, assign, 1)
+            # fixed-point partials: integer addition is associative, so the
+            # merged centroids are deterministic regardless of the order the
+            # partial rows arrive in (float += would drift with scheduling)
+            q = np.round(sums * _IVF_FIX).astype(np.int64)
             return pa.table(
                 {
                     "cluster": pa.array(np.arange(len(c)), pa.int64()),
                     "count": pa.array(counts),
-                    "sum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "sum_fix": pa.array(list(q), pa.list_(pa.int64())),
                 }
             )
 
         rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
-        sums = np.zeros_like(cents)
+        sums_fix = np.zeros(cents.shape, dtype=np.int64)
         counts = np.zeros(len(cents), dtype=np.int64)
         for r in rows:
-            sums[r["cluster"]] += np.asarray(r["sum"])
+            sums_fix[r["cluster"]] += np.asarray(r["sum_fix"], dtype=np.int64)
             counts[r["cluster"]] += r["count"]
         nonzero = counts > 0
+        sums = sums_fix.astype(np.float64) / _IVF_FIX
         cents[nonzero] = _normalize(sums[nonzero] / counts[nonzero, None])
     return cents
 

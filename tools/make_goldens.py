@@ -19,10 +19,9 @@ SF = "/root/testdata/sf0.001"
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens_sf0001.json")
 
 # deterministic rows-only queries worth a value gate.  Excluded on purpose:
-# approx/recall-gated ANN top-k (float tie order) and sketch_heavy_tokens
-# (local-candidate sets depend on batch boundaries) stay pytest-gated, and
-# ann_knn_ivf inherits driver-loop float-summation order from the Lloyd
-# partial merge.
+# sketch_heavy_tokens (local-candidate sets depend on batch boundaries)
+# stays pytest-gated.  ann_knn_ivf became goldenable once the Lloyd merge
+# switched to fixed-point partials (integer adds are order-independent).
 GOLDEN_QUERIES = [
     "dedup_simhash",
     "dedup_simhash_pairs",
@@ -40,6 +39,8 @@ GOLDEN_QUERIES = [
     "eval_skew_vs_happy",
     "sketch_distinct_users",
     "embedding_neardup_pairs_lsh",
+    "ann_knn_ivf",
+    "ann_knn_lsh",
 ]
 
 
