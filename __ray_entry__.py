@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 52 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (33) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 54 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (35) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         evaluate,
         joins,
         pagexml,
+        quantiles,
         sampling,
         similarity,
         sketches,
@@ -204,6 +205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches (approximate; pytest gates vs exact answers)
         "sketch_distinct_users": sketches.approx_distinct_users,
         "sketch_heavy_tokens": sketches.heavy_hitter_tokens,
+        # exact distributed order statistics (histogram narrowing, no sort)
+        "lineitem_price_quantiles": quantiles.lineitem_price_quantiles,
+        "events_value_quantiles": quantiles.events_value_quantiles,
     }
 
 
@@ -482,6 +486,27 @@ def oracle_sql() -> dict[str, str]:
               CAST((CAST(n_chars AS BIGINT) * 1000000)
                 // (SELECT SUM(CAST(n_chars AS BIGINT)) FROM documents) AS BIGINT) AS prob_ppm
             FROM documents
+        """,
+        # exact k-th order statistics, k = ceil(q_ppm*n/1e6) 1-based =
+        # (q_ppm*n + 999999) // 1e6 — same integer formula as the engine
+        "lineitem_price_quantiles": """
+            WITH v AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS c
+                       FROM lineitem),
+            r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+            n AS (SELECT COUNT(*) AS n FROM v),
+            qs(q_ppm) AS (VALUES (250000),(500000),(750000),(900000))
+            SELECT CAST(qs.q_ppm AS BIGINT) AS q_ppm, r.c AS value_cents
+            FROM qs, n, r
+            WHERE r.rn = (CAST(qs.q_ppm AS BIGINT) * n.n + 999999) // 1000000
+        """,
+        "events_value_quantiles": """
+            WITH v AS (SELECT CAST(round(value*100) AS BIGINT) AS c FROM events),
+            r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+            n AS (SELECT COUNT(*) AS n FROM v),
+            qs(q_ppm) AS (VALUES (250000),(500000),(750000),(900000))
+            SELECT CAST(qs.q_ppm AS BIGINT) AS q_ppm, r.c AS value_cents
+            FROM qs, n, r
+            WHERE r.rn = (CAST(qs.q_ppm AS BIGINT) * n.n + 999999) // 1000000
         """,
     }
     # salted keyed-window variants produce identical results to their

@@ -75,6 +75,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     from layout_analysis_ray.functions import (
         dedup,
         joins,
+        quantiles,
         similarity,
         sketches,
         text,
@@ -136,6 +137,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_hopping_1h_30m": windows.hopping_1h_30m,
         "q_join_bucketed": joins.q_join_bucketed,
         "sketch_heavy_tokens": sketches.heavy_hitter_tokens,
+        "lineitem_price_quantiles": quantiles.lineitem_price_quantiles,
     }
     for name, fn in others.items():
         t0 = time.perf_counter()

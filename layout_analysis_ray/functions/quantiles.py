@@ -1,0 +1,195 @@
+"""Exact distributed quantiles via iterative histogram narrowing.
+
+The scale-path alternative to ``ds.sort()`` for order statistics: a global
+sort is an all-to-all shuffle of every row, while the k-th smallest element
+of an integer column can be found in a handful of STREAMING passes that
+shuffle nothing — each pass maps the column to a bounded histogram whose
+partials merge through a native Sum aggregate, and the driver only ever
+sees one merged histogram (<= N_BUCKETS x intervals rows) per pass.
+
+Algorithm (classic parallel selection, cf. external-memory k-th element):
+  pass 0: native Min/Max/Count aggregate;
+  pass i: bucket every in-interval value into N_BUCKETS equal-width bins,
+          merge bin counts distributed, locate the bin containing each
+          requested rank, recurse into that bin's value range.
+Each pass shrinks the candidate range by N_BUCKETS x, so cent-scale domains
+(~1e9) resolve exactly in <= 3 full-column scans regardless of row count.
+Ranks sharing a bin share the next pass's histogram (intervals are deduped),
+so the per-pass cost is one map over the column + a tiny aggregate.
+
+Quantile convention (mirrored exactly by the SQL oracle, integer math):
+rank k of quantile q_ppm over n rows is ceil(q_ppm * n / 1e6) 1-based =
+(q_ppm * n + 999_999) // 1_000_000, i.e. the smallest value v such that at
+least k values are <= v.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+N_BUCKETS = 4096
+DEFAULT_QS_PPM = (250_000, 500_000, 750_000, 900_000)
+
+
+def _cents(col) -> pa.Array:
+    """double -> exact integer cents, same convention as the relational
+    queries (DuckDB mirror: CAST(round(x*100) AS BIGINT))."""
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+def _min_max_count(make_ds) -> tuple[int, int, int]:
+    """(min, max, count) of column ``v`` in one native-aggregate pass.
+    (Count() must ride along with Min/Max: a bare ``aggregate(Count())``
+    returns 0 in this Ray version.)"""
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = make_ds().aggregate(Min("v"), Max("v"), Count())
+    n = int(stats["count()"])
+    if n == 0:
+        raise ValueError("empty column")
+    return int(stats["min(v)"]), int(stats["max(v)"]), n
+
+
+def kth_smallest(make_ds, ranks: list[int], _stats=None) -> dict[int, int]:
+    """Exact k-th smallest (1-based ranks) of the int64 column ``v`` of the
+    dataset built by ``make_ds()`` (a factory: each histogram pass consumes
+    one fresh streaming execution of the underlying read+map plan).
+
+    Returns {rank: value}.  Ranks must be within [1, row_count].
+    """
+    from ray.data.aggregate import Sum
+
+    if not ranks:
+        return {}
+    lo_all, hi_all, n = _stats if _stats is not None else _min_max_count(make_ds)
+    bad = [k for k in ranks if not 1 <= k <= n]
+    if bad:
+        raise ValueError(f"ranks out of range 1..{n}: {bad}")
+
+    # state per rank: (lo, hi, offset) — offset = #values < lo globally
+    state = {k: (lo_all, hi_all, 0) for k in ranks}
+    resolved: dict[int, int] = {}
+
+    while True:
+        for k, (lo, hi, _off) in list(state.items()):
+            if lo == hi:
+                resolved[k] = lo
+                del state[k]
+        if not state:
+            return resolved
+
+        # dedupe intervals so ranks narrowed into the same bin share a scan
+        intervals = sorted({(lo, hi) for (lo, hi, _o) in state.values()})
+        iv_id = {iv: i for i, iv in enumerate(intervals)}
+        widths = [
+            max(1, -((-(hi - lo + 1)) // N_BUCKETS)) for lo, hi in intervals
+        ]  # ceil division
+
+        iv_arr = np.array([[lo, hi] for lo, hi in intervals], dtype=np.int64)
+        w_arr = np.array(widths, dtype=np.int64)
+
+        def hist(batch: pa.Table) -> pa.Table:
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            out_iv, out_b, out_c = [], [], []
+            for i in range(len(iv_arr)):
+                lo, hi = iv_arr[i]
+                sel = v[(v >= lo) & (v <= hi)]
+                if not len(sel):
+                    continue
+                b = (sel - lo) // w_arr[i]
+                binc = np.bincount(b)
+                nzb = np.nonzero(binc)[0]
+                out_iv.append(np.full(len(nzb), i, dtype=np.int64))
+                out_b.append(nzb.astype(np.int64))
+                out_c.append(binc[nzb].astype(np.int64))
+            if not out_iv:
+                return pa.table(
+                    {
+                        "iv": pa.array([], pa.int64()),
+                        "bucket": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "iv": pa.array(np.concatenate(out_iv)),
+                    "bucket": pa.array(np.concatenate(out_b)),
+                    "cnt": pa.array(np.concatenate(out_c)),
+                }
+            )
+
+        merged = (
+            make_ds()
+            .map_batches(hist, batch_format="pyarrow")
+            .groupby(["iv", "bucket"])
+            .aggregate(Sum("cnt"))
+            .take_all()
+        )  # <= N_BUCKETS x len(intervals) tiny rows: the merged histogram
+
+        counts = {}
+        for r in merged:
+            counts.setdefault(int(r["iv"]), {})[int(r["bucket"])] = int(r["sum(cnt)"])
+
+        for k, (lo, hi, off) in list(state.items()):
+            i = iv_id[(lo, hi)]
+            w = int(w_arr[i])
+            binc = counts.get(i, {})
+            cum = 0
+            target = k - off  # rank within this interval
+            for b in sorted(binc):
+                c = binc[b]
+                if cum + c >= target:
+                    new_lo = lo + b * w
+                    new_hi = min(hi, new_lo + w - 1)
+                    state[k] = (new_lo, new_hi, off + cum)
+                    break
+                cum += c
+            else:  # pragma: no cover — rank <= count guarantees a bin
+                raise AssertionError("rank not found in histogram")
+
+
+def _quantile_table(make_ds, qs_ppm) -> pa.Table:
+    stats = _min_max_count(make_ds)
+    n = stats[2]
+    ranks = {q: (q * n + 999_999) // 1_000_000 for q in qs_ppm}
+    vals = kth_smallest(make_ds, sorted(set(ranks.values())), _stats=stats)
+    return pa.table(
+        {
+            "q_ppm": pa.array(sorted(qs_ppm), pa.int64()),
+            "value_cents": pa.array(
+                [vals[ranks[q]] for q in sorted(qs_ppm)], pa.int64()
+            ),
+        }
+    )
+
+
+def lineitem_price_quantiles(sf_dir: str, qs_ppm=DEFAULT_QS_PPM) -> pa.Table:
+    """Exact (q_ppm, value_cents) quantiles of l_extendedprice over the
+    biggest table — ~3 streaming scans, no sort, no shuffle of rows."""
+    import ray.data as rd
+
+    def make_ds():
+        return rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+        ).map_batches(
+            lambda b: pa.table({"v": _cents(b["l_extendedprice"])}),
+            batch_format="pyarrow",
+        )
+
+    return _quantile_table(make_ds, qs_ppm)
+
+
+def events_value_quantiles(sf_dir: str, qs_ppm=DEFAULT_QS_PPM) -> pa.Table:
+    """Exact (q_ppm, value_cents) quantiles of events.value."""
+    import ray.data as rd
+
+    def make_ds():
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["value"]
+        ).map_batches(
+            lambda b: pa.table({"v": _cents(b["value"])}), batch_format="pyarrow"
+        )
+
+    return _quantile_table(make_ds, qs_ppm)
