@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed order statistics (histogram narrowing, no sort)
         "lineitem_price_quantiles": quantiles.lineitem_price_quantiles,
         "events_value_quantiles": quantiles.events_value_quantiles,
+        "events_value_median_by_type": quantiles.events_value_median_by_type,
+        "stratified_sample_by_lang": sampling.stratified_sample_by_lang,
     }
 
 
@@ -507,6 +509,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(qs.q_ppm AS BIGINT) AS q_ppm, r.c AS value_cents
             FROM qs, n, r
             WHERE r.rn = (CAST(qs.q_ppm AS BIGINT) * n.n + 999999) // 1000000
+        """,
+        "events_value_median_by_type": """
+            WITH v AS (SELECT event_type,
+                              CAST(round(value*100) AS BIGINT) AS c FROM events),
+            r AS (SELECT event_type, c,
+                         row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n
+                  FROM v)
+            SELECT event_type, c AS median_cents FROM r
+            WHERE rn = (500000 * n + 999999) // 1000000
+        """,
+        "stratified_sample_by_lang": """
+            WITH r AS (SELECT lang, doc_id,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+            SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 10
         """,
     }
     # salted keyed-window variants produce identical results to their

@@ -193,3 +193,131 @@ def events_value_quantiles(sf_dir: str, qs_ppm=DEFAULT_QS_PPM) -> pa.Table:
         )
 
     return _quantile_table(make_ds, qs_ppm)
+
+# ---------------------------------------------------------------------------
+# Per-group exact quantiles (same narrowing, histogram keyed by group)
+# ---------------------------------------------------------------------------
+
+def grouped_quantile(make_ds, q_ppm: int) -> dict[str, int]:
+    """Exact q-quantile PER GROUP of a dataset with columns (g: string,
+    v: int64): one grouped Min/Max/Count aggregate, then histogram passes
+    where each group narrows its own interval — all groups advance in the
+    SAME pass, so the scan count stays ~log_B(range) regardless of group
+    count.
+
+    The per-pass driver state is one merged histogram of <= N_BUCKETS x
+    unresolved-groups rows and the interval table is ~24 B/group (broadcast
+    inside the map closure; swap to ray.put above ~10^5 groups).  For very
+    high group cardinality shrink N_BUCKETS — more passes, bounded driver
+    rows.
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    rows = (
+        make_ds()
+        .groupby("g")
+        .aggregate(Min("v"), Max("v"), Count())
+        .take_all()
+    )
+    # state per group: (lo, hi, offset, target_rank)
+    state = {}
+    for r in rows:
+        n = int(r["count()"])
+        k = (q_ppm * n + 999_999) // 1_000_000
+        state[r["g"]] = (int(r["min(v)"]), int(r["max(v)"]), 0, k)
+    resolved: dict[str, int] = {}
+
+    while True:
+        for g, (lo, hi, _o, _k) in list(state.items()):
+            if lo == hi:
+                resolved[g] = lo
+                del state[g]
+        if not state:
+            return resolved
+
+        groups = sorted(state)
+        g_idx = {g: i for i, g in enumerate(groups)}
+        lo_arr = np.array([state[g][0] for g in groups], dtype=np.int64)
+        hi_arr = np.array([state[g][1] for g in groups], dtype=np.int64)
+        w_arr = np.maximum(1, -((-(hi_arr - lo_arr + 1)) // N_BUCKETS))
+
+        def hist(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            gv = pd.Series(batch["g"].to_pylist()).map(g_idx)
+            iv = gv.to_numpy()
+            known = ~pd.isna(gv).to_numpy()
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            iv_i = np.zeros(len(v), dtype=np.int64)
+            iv_i[known] = iv[known].astype(np.int64)
+            inr = known & (v >= lo_arr[iv_i]) & (v <= hi_arr[iv_i])
+            if not inr.any():
+                return pa.table(
+                    {
+                        "iv": pa.array([], pa.int64()),
+                        "bucket": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
+            ivs = iv_i[inr]
+            b = (v[inr] - lo_arr[ivs]) // w_arr[ivs]
+            comp = ivs * np.int64(N_BUCKETS) + b
+            binc = np.bincount(comp)
+            nz = np.nonzero(binc)[0]
+            return pa.table(
+                {
+                    "iv": pa.array(nz // N_BUCKETS),
+                    "bucket": pa.array(nz % N_BUCKETS),
+                    "cnt": pa.array(binc[nz].astype(np.int64)),
+                }
+            )
+
+        merged = (
+            make_ds()
+            .map_batches(hist, batch_format="pyarrow")
+            .groupby(["iv", "bucket"])
+            .aggregate(Sum("cnt"))
+            .take_all()
+        )
+        counts: dict[int, dict[int, int]] = {}
+        for r in merged:
+            counts.setdefault(int(r["iv"]), {})[int(r["bucket"])] = int(r["sum(cnt)"])
+
+        for g in groups:
+            lo, hi, off, k = state[g]
+            i = g_idx[g]
+            w = int(w_arr[i])
+            cum = 0
+            target = k - off
+            for b in sorted(counts.get(i, {})):
+                c = counts[i][b]
+                if cum + c >= target:
+                    new_lo = lo + b * w
+                    state[g] = (new_lo, min(hi, new_lo + w - 1), off + cum, k)
+                    break
+                cum += c
+            else:  # pragma: no cover
+                raise AssertionError(f"rank not found for group {g!r}")
+
+
+def events_value_median_by_type(sf_dir: str) -> pa.Table:
+    """Exact per-event-type median of events.value (cents) — grouped
+    histogram narrowing, no per-group sort."""
+    import ray.data as rd
+
+    def make_ds():
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).map_batches(
+            lambda b: pa.table({"g": b["event_type"], "v": _cents(b["value"])}),
+            batch_format="pyarrow",
+        )
+
+    med = grouped_quantile(make_ds, 500_000)
+    keys = sorted(med)
+    return pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "median_cents": pa.array([med[k] for k in keys], pa.int64()),
+        }
+    )

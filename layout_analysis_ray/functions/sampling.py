@@ -80,6 +80,52 @@ def weighted_sample(sf_dir: str, max_chars: int = 20000):
     )
 
 
+def stratified_sample_by_lang(sf_dir: str, n_per_key: int = 10):
+    """Deterministic stratified sample: the ``n_per_key`` docs per language
+    with the smallest md5(doc_id) — a hash-ordered per-stratum head, so the
+    sample is identical across runs, batch sizes and node counts.
+
+    Scale shape: each batch keeps at most n_per_key rows PER STRATUM IN THE
+    BATCH (a partial selection — the md5 head of a union is the head of the
+    union of per-batch md5 heads), so the shuffle moves <= n_per_key x
+    strata-per-batch rows regardless of input size; the final per-stratum
+    merge is one tiny map_groups over n_per_key-row groups.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch.column("doc_id").to_pylist()
+        df = pd.DataFrame(
+            {
+                "lang": batch.column("lang").to_pylist(),
+                "doc_id": ids,
+                "h": [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+            }
+        )
+        top = df.sort_values(["lang", "h", "doc_id"]).groupby("lang").head(n_per_key)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def merge(g) -> "pa.Table":
+        import pandas as pd
+
+        top = g.sort_values(["h", "doc_id"]).head(n_per_key)
+        return pd.DataFrame(
+            {
+                "lang": top["lang"].to_numpy(),
+                "doc_id": top["doc_id"].to_numpy(),
+                "rn": np.arange(1, len(top) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def importance_weights(sf_dir: str):
     """(doc_id, score, prob_ppm) — score = n_chars, prob normalized to the
     corpus sum in ppm (integer floor division for bit-exact SQL parity)."""

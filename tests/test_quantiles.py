@@ -62,3 +62,87 @@ def test_quantiles_match_numpy_sf0001(ray_session):
     n = len(v)
     exp = {q: int(v[(q * n + 999_999) // 1_000_000 - 1]) for q in DEFAULT_QS_PPM}
     assert dict(zip(got["q_ppm"], got["value_cents"])) == exp
+
+
+def test_grouped_median_matches_numpy(ray_session):
+    """Per-group narrowing vs per-group sort, including a 1-row group and a
+    huge-domain group resolved in the same passes as the others."""
+    import ray.data as rd
+
+    from layout_analysis_ray.functions.quantiles import grouped_quantile
+
+    rng = np.random.default_rng(11)
+    gs, vs = [], []
+    for g, arr in {
+        "a": rng.integers(-1000, 1000, 501),
+        "b": np.full(100, 7),
+        "c": np.array([10**12]),
+        "d": rng.integers(0, 10**9, 64),
+    }.items():
+        gs += [g] * len(arr)
+        vs.append(arr.astype(np.int64))
+    vals = np.concatenate(vs)
+    t = pa.table({"g": pa.array(gs, pa.string()), "v": pa.array(vals, pa.int64())})
+
+    got = grouped_quantile(lambda: rd.from_arrow(t), 500_000)
+    exp = {}
+    for g in set(gs):
+        v = np.sort(vals[np.asarray(gs) == g])
+        k = (500_000 * len(v) + 999_999) // 1_000_000
+        exp[g] = int(v[k - 1])
+    assert got == exp
+
+
+def test_stratified_sample_batch_invariance(ray_session):
+    """The per-batch partial head must not change the final sample: running
+    on 1 block and on many blocks gives identical (lang, doc_id, rn) rows."""
+    import ray.data as rd
+
+    from layout_analysis_ray.functions.sampling import stratified_sample_by_lang
+
+    sf = "/root/testdata/sf0.001"
+    base = stratified_sample_by_lang(sf).to_pandas()
+
+    # same partial+merge plan, but with the input forced into 17 tiny blocks
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "lang"])
+
+    def run_on(ds):
+        import hashlib as _h
+
+        def partial(batch):
+            ids = batch.column("doc_id").to_pylist()
+            df = pd.DataFrame(
+                {
+                    "lang": batch.column("lang").to_pylist(),
+                    "doc_id": ids,
+                    "h": [_h.md5(str(i).encode()).hexdigest() for i in ids],
+                }
+            )
+            return pa.Table.from_pandas(
+                df.sort_values(["lang", "h", "doc_id"]).groupby("lang").head(10),
+                preserve_index=False,
+            )
+
+        def merge(g):
+            top = g.sort_values(["h", "doc_id"]).head(10)
+            return pd.DataFrame(
+                {
+                    "lang": top["lang"].to_numpy(),
+                    "doc_id": top["doc_id"].to_numpy(),
+                    "rn": np.arange(1, len(top) + 1, dtype=np.int64),
+                }
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .map_groups(merge, batch_format="pandas")
+            .to_pandas()
+        )
+
+    alt = run_on(rd.from_arrow(t).repartition(17))
+    key = lambda d: sorted(map(tuple, d[["lang", "doc_id", "rn"]].to_numpy()))
+    assert key(alt) == key(base)
