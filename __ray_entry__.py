@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 54 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (35) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 56 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (37) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
