@@ -83,21 +83,17 @@ def dedup_exact(sf_dir: str):
     agg = ds.groupby("content_hash").aggregate(Min("doc_id"), Count())
 
     def rename(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         return pa.table(
             {
                 "content_hash": batch["content_hash"],
-                "doc_id": pc_cast_i64(batch["min(doc_id)"]),
-                "n_dups": pc_cast_i64(batch["count()"]),
+                "doc_id": pc.cast(batch["min(doc_id)"], pa.int64()),
+                "n_dups": pc.cast(batch["count()"], pa.int64()),
             }
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
-
-
-def pc_cast_i64(col):
-    import pyarrow.compute as pc
-
-    return pc.cast(col, pa.int64())
 
 
 # ---------------------------------------------------------------------------
