@@ -182,7 +182,6 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
 
 
 PAIR_PARTITIONS = 64
-_SIG_HEX_LEN = MINHASH_PERMS * 16  # fixed-width uint64 hex per signature
 
 
 def dedup_pair_rows(ds, cols: tuple[str, str], num_partitions: int = 64):
@@ -215,153 +214,85 @@ def dedup_pair_rows(ds, cols: tuple[str, str], num_partitions: int = 64):
     )
 
 
-def minhash_sig_table(sf_dir: str):
-    """One corpus pass -> (doc_id, sig) signature table, sig as fixed-width
-    hex (PERMS x uint64).  ~100x smaller than the documents it summarizes."""
-
-    def sig_rows(batch: pa.Table) -> pa.Table:
-        sigs = minhash_sigs(batch["text"].to_pylist())
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "sig": pa.array(
-                    [s.astype(np.uint64).tobytes().hex() for s in sigs], pa.string()
-                ),
-            }
-        )
-
-    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        sig_rows, batch_format="pyarrow"
-    )
-
-
-def _sig_matrix(hex_col: list[str]) -> np.ndarray:
-    """Fixed-width hex column -> [n, PERMS] int64, one frombuffer call."""
-    if not hex_col:
-        return np.empty((0, MINHASH_PERMS), dtype=np.int64)
-    raw = bytes.fromhex("".join(hex_col))
-    return (
-        np.frombuffer(raw, dtype=np.uint64).astype(np.int64).reshape(len(hex_col), -1)
-    )
-
-
 def dedup_minhash_pairs(sf_dir: str):
     """MinHash-LSH candidate pairs verified by signature-estimated Jaccard
     >= 0.5 -> (doc_a, doc_b, est_jaccard_ppm), deduped across bands.
 
-    Fully distributed — nothing ever lands on the driver, so a
-    high-duplication corpus (the normal web-crawl case, where the candidate
-    set is NOT tiny) only grows the shuffled pair set, not driver memory:
+    Fully distributed with the verify FUSED into the band stage — nothing
+    ever lands on the driver, and only TWO exchanges run end to end:
 
-    1. ONE shingle->minhash corpus pass -> (doc_id, sig) table, materialized
-       (it is the ~1% reduced form of the corpus, and is consumed three
-       times below — banding + both verify joins — so re-execution would
-       triple the expensive pass);
-    2. band keys derived FROM the sig table (cheap reshape, no re-shingle),
-       emitting slim (part, band_key, doc_id) rows; per-partition pandas
-       groupby pairs same-key buckets — 64 python calls, not one per bucket;
-    3. cross-partition pair dedup via groupby(doc_a, doc_b) — distributed,
-       mirroring ``simhash_pairs``;
-    4. verify via two hash-partition joins of the pair set against the sig
-       table (sig_a onto doc_a, sig_b onto doc_b), then a vectorized
-       signature-agreement estimate inside map_batches.
+    1. ONE shingle->minhash corpus pass emits, per doc, one row per LSH
+       band carrying (part, band_key, doc_id, raw signature bytes) — the
+       signature rides WITH its band row, so verification never joins back
+       to a signature table;
+    2. coarse hash partitions (band_key % 64) pair same-key buckets and
+       apply the signature-agreement estimate IN the bucket (vectorized
+       per-pair equality count), so only pairs that already pass the
+       threshold leave the stage;
+    3. cross-band dedup of the (verified, small) pair set via the
+       distributed pair dedup — est values are identical from every band,
+       so keep-first is deterministic.
+
+    Scale tradeoff vs the previous join-based verify (signature table +
+    two bucketed hash joins): the band shuffle grows from ~20 B to
+    ~BANDS x SIG_BYTES per doc (~8 KB), but the per-candidate-pair cost
+    drops from ~3 KB (pair rows carrying hex signatures through two join
+    exchanges) to zero.  On a high-duplication corpus — the case near-dedup
+    exists for — candidate pairs exceed docs and the fused shape ships
+    fewer bytes; it also removes three exchanges and the materialized
+    signature table.  Per-bucket work is quadratic in bucket occupancy
+    (standard LSH caveat); rows-per-band is the knob.
     """
-    sigs = minhash_sig_table(sf_dir).materialize()
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bh = _band_hashes(_sig_matrix(batch["sig"].to_pylist())).reshape(-1)
+        sigs = minhash_sigs(batch["text"].to_pylist())  # [n, perms]
+        bh = _band_hashes(sigs).reshape(-1)
+        sig_bytes = [s.astype(np.uint64).tobytes() for s in sigs]
         return pa.table(
             {
                 "part": pa.array((bh % PAIR_PARTITIONS).astype(np.int32), pa.int32()),
                 "band_key": pa.array(bh, pa.int64()),
                 "doc_id": pa.array(np.repeat(ids, MINHASH_BANDS)),
+                "sig": pa.array(
+                    [s for s in sig_bytes for _ in range(MINHASH_BANDS)], pa.binary()
+                ),
             }
         )
 
-    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+    bands = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        band_rows, batch_format="pyarrow"
+    )
 
-    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
+    def verified_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_e = [], [], []
         for _, grp in g.groupby("band_key", sort=False):
-            ids = np.unique(grp["doc_id"].to_numpy())
-            if len(ids) > 1:
-                iu = np.triu_indices(len(ids), k=1)  # vectorized combinations
-                out_a.append(ids[iu[0]])
-                out_b.append(ids[iu[1]])
-        # explicit dtypes: an empty python-list frame would be object-typed
-        # and poison downstream block schemas
-        df = pd.DataFrame(
+            grp = grp.drop_duplicates("doc_id")
+            if len(grp) < 2:
+                continue
+            ids = grp["doc_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            raw = b"".join(grp["sig"].to_numpy()[order])
+            sig = np.frombuffer(raw, dtype=np.uint64).reshape(len(ids), -1)
+            iu = np.triu_indices(len(ids), k=1)
+            est = ((sig[iu[0]] == sig[iu[1]]).sum(axis=1) * 1_000_000) // MINHASH_PERMS
+            keep = est >= MINHASH_JACCARD_PPM
+            out_a.append(ids[iu[0][keep]].astype(np.int64))
+            out_b.append(ids[iu[1][keep]].astype(np.int64))
+            out_e.append(est[keep].astype(np.int64))
+        return pd.DataFrame(
             {
                 "doc_a": np.concatenate(out_a) if out_a else np.empty(0, np.int64),
                 "doc_b": np.concatenate(out_b) if out_b else np.empty(0, np.int64),
+                "est_jaccard_ppm": (
+                    np.concatenate(out_e) if out_e else np.empty(0, np.int64)
+                ),
             }
-        )
-        return df.drop_duplicates()
+        ).drop_duplicates(["doc_a", "doc_b"])
 
-    pairs = bands.groupby("part").map_groups(partition_pairs, batch_format="pandas")
-    pairs = dedup_pair_rows(pairs, ("doc_a", "doc_b"))
-    # normalize block schemas: empty map_groups partitions emit column-less
-    # blocks that would poison the downstream join's type resolution
-    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
-    pairs = pairs.map_batches(
-        lambda b: b.select(["doc_a", "doc_b"]).cast(pair_schema)
-        if b.num_rows
-        else pair_schema.empty_table(),
-        batch_format="pyarrow",
-    )
-
-    # bucketed_join (not Dataset.join): the pair set is sparse, and empty
-    # shuffle partitions from chained map_groups lose their block schema,
-    # which Dataset.join's per-partition Arrow join rejects; bucketed_join
-    # carries an explicit output schema through empty buckets.
-    from .joins import bucketed_join
-
-    sig_a = sigs.map_batches(
-        lambda b: b.rename_columns(["sid_a", "sig_a"]), batch_format="pyarrow"
-    )
-    sig_b = sigs.map_batches(
-        lambda b: b.rename_columns(["sid_b", "sig_b"]), batch_format="pyarrow"
-    )
-
-    def _sig_schema(prefix: str) -> pa.Schema:
-        return pa.schema([(f"sid_{prefix}", pa.int64()), (f"sig_{prefix}", pa.string())])
-
-    j1 = bucketed_join(
-        pairs,
-        sig_a,
-        "doc_a",
-        "sid_a",
-        num_buckets=16,
-        left_schema=pair_schema,
-        right_schema=_sig_schema("a"),
-    )
-    joined = bucketed_join(
-        j1,
-        sig_b,
-        "doc_b",
-        "sid_b",
-        num_buckets=16,
-        left_schema=pa.schema(
-            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("sig_a", pa.string())]
-        ),
-        right_schema=_sig_schema("b"),
-    )
-
-    def verify(batch: pa.Table) -> pa.Table:
-        sa = _sig_matrix(batch["sig_a"].to_pylist())
-        sb = _sig_matrix(batch["sig_b"].to_pylist())
-        est = ((sa == sb).sum(axis=1) * 1_000_000) // MINHASH_PERMS
-        out = pa.table(
-            {
-                "doc_a": batch["doc_a"],
-                "doc_b": batch["doc_b"],
-                "est_jaccard_ppm": pa.array(est.astype(np.int64), pa.int64()),
-            }
-        )
-        return out.filter(pa.array(est >= MINHASH_JACCARD_PPM))
-
-    return joined.map_batches(verify, batch_format="pyarrow")
+    pairs = bands.groupby("part").map_groups(verified_pairs, batch_format="pandas")
+    return dedup_pair_rows(pairs, ("doc_a", "doc_b"))
 
 
 # ---------------------------------------------------------------------------
