@@ -2,10 +2,12 @@
 
 The large-scale dedup family (exact, MinHash-LSH, SimHash, n-gram Jaccard);
 the embedding-cosine variant lives in ``similarity.py``.  Patterns follow the
-Ray guide: content hash in a vectorized ``map_batches``, then
-``groupby(hash)`` keeps one row per group (hash-partitioned exact dedup);
-MinHash explodes to (band, band_hash, doc_id) rows and groupbys on the band
-key so only signature rows shuffle, never documents.
+Ray guide: content hash in a vectorized ``map_batches``, then a native
+``groupby(hash)`` aggregate keeps one row per group (hash-partitioned exact
+dedup); MinHash explodes each doc to one row per LSH band — band key plus
+raw signature bytes, never the document — and pairing AND verification
+happen inside the band buckets, so only the small verified pair set is
+ever exchanged again.
 
 Determinism: md5-based hashing everywhere (no Python ``hash()``), fixed
 MinHash permutation seeds, integer ppm similarity values.
