@@ -5,6 +5,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 
 def _mk(arr):
@@ -146,3 +148,24 @@ def test_stratified_sample_batch_invariance(ray_session):
     alt = run_on(rd.from_arrow(t).repartition(17))
     key = lambda d: sorted(map(tuple, d[["lang", "doc_id", "rn"]].to_numpy()))
     assert key(alt) == key(base)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(10**15), max_value=10**15), min_size=1, max_size=300
+    ),
+    st.data(),
+)
+def test_kth_smallest_property(ray_session, vals, data):
+    """Random arrays + random rank subsets, full int64-ish domain."""
+    from layout_analysis_ray.functions.quantiles import kth_smallest
+
+    arr = np.asarray(vals, dtype=np.int64)
+    n = len(arr)
+    ranks = data.draw(
+        st.lists(st.integers(min_value=1, max_value=n), min_size=1, max_size=5)
+    )
+    sv = np.sort(arr)
+    got = kth_smallest(_mk(arr), sorted(set(ranks)))
+    assert got == {k: int(sv[k - 1]) for k in set(ranks)}
