@@ -140,6 +140,7 @@ def heavy_hitter_tokens(sf_dir: str, top_k: int = 20):
 
     import ray
     import ray.data as rd
+    from ray.data.aggregate import Count
 
     from .text import _flat_tokens
 
@@ -207,7 +208,12 @@ def heavy_hitter_tokens(sf_dir: str, top_k: int = 20):
             }
         ),
         batch_format="pyarrow",
-    ).groupby("token").map_groups(lambda g: g.head(1), batch_format="pandas")
+    ).groupby("token").aggregate(Count())
+    # native aggregate dedup: map_groups(head) here would cost one Python
+    # call per unique candidate token
+    cands = cands.map_batches(
+        lambda b: b.select(["token"]), batch_format="pyarrow"
+    )
 
     def score(batch: pa.Table) -> pa.Table:
         toks = np.asarray(batch["token"].to_pylist(), dtype=object)

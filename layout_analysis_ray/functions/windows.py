@@ -1,11 +1,15 @@
 """Stream-shaped operators over the ``events`` table.
 
 Ray Data is a batch engine with no event-time watermarks (SURVEY.md §2.9: the
-reference is strictly batch too); windowing is expressed as
-``groupby(key).map_groups`` over ts-sorted groups (the guide's
-streaming-shaped-workload pattern).  Ordering assumption: within one
-``user_id`` group, events are totally ordered by (ts, event_id) — stated here
-because the oracle SQL window functions use the same ORDER BY.
+reference is strictly batch too); windowing is expressed as one hash-keyed
+shuffle plus ts-sorted per-key logic.  The simple keyed ops (sessionize,
+running_total, top_event_per_user) shuffle on a COARSE user-hash partition
+(~64 groups) and run a fully vectorized kernel over the whole partition —
+one Python call per partition, never per user.  The merge-shaped ops
+(as-of / range join and the salted twins) keep per-group ``map_groups``
+because their two-pointer logic is per-key anyway.  Ordering assumption:
+within one ``user_id``, events are totally ordered by (ts, event_id) —
+stated here because the oracle SQL window functions use the same ORDER BY.
 
 Value sums use exact integer cents to keep driver value-hashes stable.
 """
@@ -56,47 +60,88 @@ def tumbling_hourly(sf_dir: str):
     )
 
 
+WINDOW_PARTITIONS = 64
+
+
+def _add_user_part(batch: pa.Table) -> pa.Table:
+    """Coarse hash partition on user_id: all events of a user land in one
+    partition, ~WINDOW_PARTITIONS Python calls total instead of one per
+    user (mixed hash so sequential user ids don't skew)."""
+    u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    key = u * np.uint64(0x9E3779B97F4A7C15)
+    key ^= key >> np.uint64(29)
+    return batch.append_column(
+        "__upart", pa.array((key % np.uint64(WINDOW_PARTITIONS)).astype(np.int64))
+    )
+
+
 def sessionize(sf_dir: str):
     """Per-user sessionization with a 30-min inactivity gap: (user_id,
-    n_sessions, max_session_events).  groupby(user_id) shuffles once; the
-    windowing runs sorted inside each group."""
-    ds = _read_events(sf_dir, ["user_id", "ts", "event_id"])
+    n_sessions, max_session_events).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    One coarse hash-partition shuffle on user_id, then a fully VECTORIZED
+    partition kernel: one sort by (user, ts, event_id), session breaks =
+    user-change OR gap, per-user reductions via reduceat — no per-user
+    Python call (a web-scale user count would mean billions of them)."""
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id"]).map_batches(
+        _add_user_part, batch_format="pyarrow"
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
         ts_us = g["ts"].astype("int64").to_numpy()
-        gaps = np.diff(ts_us, prepend=ts_us[0] - (SESSION_GAP_S * 2 * 1_000_000))
-        new_session = gaps > SESSION_GAP_S * 1_000_000
-        sid = np.cumsum(new_session)
-        counts = np.bincount(sid)[1:]  # session ids start at 1
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gaps = np.diff(ts_us, prepend=ts_us[0])
+        new_session = new_user | (gaps > SESSION_GAP_S * 1_000_000)
+        sid = np.cumsum(new_session)  # 1-based over the whole partition
+        sess_counts = np.bincount(sid)[1:]  # events per session
+        first_sid = sid[new_user]  # first session id of each user
+        n_sessions = np.diff(np.append(first_sid, sid[-1] + 1))
+        max_events = np.maximum.reduceat(sess_counts, first_sid - 1)
         return pd.DataFrame(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(sid[-1])],
-                "max_session_events": [int(counts.max())],
+                "user_id": u[new_user],
+                "n_sessions": n_sessions.astype(np.int64),
+                "max_session_events": max_events.astype(np.int64),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return ds.groupby("__upart").map_groups(per_part, batch_format="pandas")
 
 
 def running_total(sf_dir: str):
     """Per-user running sum of value (exact cents), ordered by (ts,
-    event_id): one row per event with its cumulative total."""
-    ds = _read_events(sf_dir, ["user_id", "ts", "event_id", "value"])
+    event_id): one row per event with its cumulative total.  Same coarse
+    partition + vectorized kernel as ``sessionize`` (global cumsum minus a
+    per-user base, no per-user Python call)."""
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id", "value"]).map_batches(
+        _add_user_part, batch_format="pyarrow"
+    )
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
         cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        cum = np.cumsum(cents)
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        starts = np.nonzero(new_user)[0]
+        base = np.where(starts > 0, cum[starts - 1], 0)
+        per_user_len = np.diff(np.append(starts, len(g)))
+        running = cum - np.repeat(base, per_user_len)
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
-                "running_cents": np.cumsum(cents),
+                "user_id": u,
+                "running_cents": running,
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return ds.groupby("__upart").map_groups(per_part, batch_format="pandas")
 
 
 def props_json_extract(sf_dir: str):
@@ -155,26 +200,47 @@ def hopping_1h_30m(sf_dir: str):
 
 def top_event_per_user(sf_dir: str):
     """Ranked-window op: per user, the single event with the highest value
-    (ties -> lowest event_id).  groupby(user_id) + per-group argmax."""
+    (ties -> lowest event_id).
+
+    Per-batch PARTIAL argmax (the shuffle moves <= one row per user per
+    batch, not all events), then the same coarse hash partition with a
+    vectorized first-per-user pick — no per-user Python call."""
     ds = _read_events(sf_dir, ["user_id", "event_id", "value"])
+
+    def _best_per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "value_cents", "event_id"], ascending=[True, False, True]
+        )
+        u = df["user_id"].to_numpy()
+        first = np.empty(len(df), dtype=bool)
+        if len(df):
+            first[0] = True
+            first[1:] = u[1:] != u[:-1]
+        return df[first]
 
     def prep(batch: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
-        return pa.table(
+        t = pa.table(
             {
                 "user_id": batch["user_id"],
                 "event_id": batch["event_id"],
                 "value_cents": cents,
             }
         )
+        # partial selection: the global per-user argmax is the argmax of
+        # per-batch argmaxes (max is associative; ties resolve identically
+        # because event_id breaks them in both passes)
+        return pa.Table.from_pandas(
+            _best_per_user(t.to_pandas()), preserve_index=False
+        )
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value_cents", "event_id"], ascending=[False, True])
-        return g.head(1)
+        return _best_per_user(g.drop(columns="__upart"))
 
     return (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("user_id")
+        .map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("__upart")
         .map_groups(pick, batch_format="pandas")
     )
 
