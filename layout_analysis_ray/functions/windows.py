@@ -252,30 +252,49 @@ def asof_last_purchase(sf_dir: str):
     """As-of join: for every event, the event_id of the same user's most
     recent ASOF_REF_TYPE event at-or-before its timestamp (-1 if none).
 
-    Custom operator the Dataset API lacks: expressed as one
-    ``groupby(user_id)`` shuffle + a two-pointer sorted merge inside
-    ``map_groups`` (events and reference stream of one user, both ts-sorted).
-    Partitioning assumption: one user's history fits in a worker — the same
+    Custom operator the Dataset API lacks: one coarse user-hash shuffle +
+    a two-pointer sorted merge per user (events and reference stream of one
+    user, both ts-sorted; vectorized searchsorted inside).  Partitioning
+    assumption: one user's history fits in a worker — the same
     per-key-group bound every sessionization carries; salt by time range if
     a key outgrows it."""
     ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        refs = g[g["event_type"] == ASOF_REF_TYPE]
-        ref_ts = refs["ts"].to_numpy()
-        ref_id = refs["event_id"].to_numpy()
-        if ref_id.size == 0:  # user with no refs at all
-            out = np.full(len(g), -1, dtype=np.int64)
-        else:
-            # index of the last ref with ts <= event ts (searchsorted right - 1)
-            pos = np.searchsorted(ref_ts, g["ts"].to_numpy(), side="right") - 1
-            out = np.where(pos >= 0, ref_id[np.maximum(pos, 0)], -1)
+    def merge_part(part: pd.DataFrame) -> pd.DataFrame:
+        # coarse partition; the two-pointer resolve is per user (tiny inner
+        # loop over users, vectorized searchsorted inside)
+        out_e, out_r = [], []
+        for _, g in part.groupby("user_id", sort=False):
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            refs = g[g["event_type"] == ASOF_REF_TYPE]
+            ref_ts = refs["ts"].to_numpy()
+            ref_id = refs["event_id"].to_numpy()
+            if ref_id.size == 0:  # user with no refs at all
+                out = np.full(len(g), -1, dtype=np.int64)
+            else:
+                # last ref with ts <= event ts (searchsorted right - 1)
+                pos = np.searchsorted(ref_ts, g["ts"].to_numpy(), side="right") - 1
+                out = np.where(pos >= 0, ref_id[np.maximum(pos, 0)], -1)
+            out_e.append(g["event_id"].to_numpy())
+            out_r.append(out.astype(np.int64))
         return pd.DataFrame(
-            {"event_id": g["event_id"], "last_purchase_id": out.astype(np.int64)}
+            {
+                "event_id": (
+                    np.concatenate(out_e) if out_e else np.empty(0, np.int64)
+                ),
+                "last_purchase_id": (
+                    np.concatenate(out_r) if out_r else np.empty(0, np.int64)
+                ),
+            }
         )
 
-    return ds.groupby("user_id").map_groups(merge, batch_format="pandas")
+    return (
+        ds.map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("__upart")
+        .map_groups(
+            lambda g: merge_part(g.drop(columns="__upart")), batch_format="pandas"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -311,65 +330,103 @@ def sessionize_salted(sf_dir: str, bucket_us: int = SALT_BUCKET_US):
     sessions."""
     ds = _read_events(sf_dir, ["user_id", "ts", "event_id"])
 
-    def per_chunk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized chunk summaries for every (user, tbucket) in the
+        partition: sort once, session ids via cumsum of break flags, all
+        per-chunk fields via reduceat/fancy indexing — one Python call per
+        coarse partition, not per user x bucket."""
+        g = g.sort_values(["user_id", "tbucket", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        tb = g["tbucket"].to_numpy()
         ts_us = g["ts"].astype("int64").to_numpy()
-        gaps = np.diff(ts_us, prepend=ts_us[0] - (SESSION_GAP_S * 2 * 1_000_000))
-        sid = np.cumsum(gaps > SESSION_GAP_S * 1_000_000)  # 1-based
-        counts = np.bincount(sid)[1:]
-        k = int(sid[-1])
+        n = len(g)
+        new_chunk = np.empty(n, dtype=bool)
+        new_chunk[0] = True
+        new_chunk[1:] = (u[1:] != u[:-1]) | (tb[1:] != tb[:-1])
+        gaps = np.diff(ts_us, prepend=ts_us[0])
+        new_session = new_chunk | (gaps > SESSION_GAP_S * 1_000_000)
+        sid = np.cumsum(new_session)  # 1-based over the partition
+        counts = np.bincount(sid)[1:]  # events per session, 0-based by sid-1
+        chunk_starts = np.nonzero(new_chunk)[0]
+        chunk_ends = np.append(chunk_starts[1:], n) - 1
+        first_sid = sid[chunk_starts]  # 1-based
+        last_sid = sid[chunk_ends]
+        n_sessions = last_sid - first_sid + 1
+        # interior max: zero out each chunk's first and last session count,
+        # then segment-max over the chunk's session range
+        cc = counts.copy()
+        cc[first_sid - 1] = 0
+        cc[last_sid - 1] = 0
+        seg_max = np.maximum.reduceat(cc, first_sid - 1)
+        max_interior = np.where(n_sessions > 2, seg_max, 0)
         return pd.DataFrame(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "tbucket": [g["tbucket"].iloc[0]],
-                "n_sessions": [k],
-                "first_start": [int(ts_us[0])],
-                "first_count": [int(counts[0])],
-                "last_end": [int(ts_us[-1])],
-                "last_count": [int(counts[-1])],
-                "max_interior": [int(counts[1:-1].max()) if k > 2 else 0],
+                "user_id": u[chunk_starts],
+                "tbucket": tb[chunk_starts],
+                "n_sessions": n_sessions.astype(np.int64),
+                "first_start": ts_us[chunk_starts],
+                "first_count": counts[first_sid - 1].astype(np.int64),
+                "last_end": ts_us[chunk_ends],
+                "last_count": counts[last_sid - 1].astype(np.int64),
+                "max_interior": max_interior.astype(np.int64),
             }
         )
 
     chunks = (
         _with_bucket(ds, bucket_us)
-        .groupby(["user_id", "tbucket"])
-        .map_groups(per_chunk, batch_format="pandas")
+        .map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("__upart")
+        .map_groups(per_part, batch_format="pandas")
     )
 
-    def stitch(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("tbucket")
-        total = 0
-        maxc = 0
-        open_end: int | None = None
-        open_count = 0
+    def stitch_part(part: pd.DataFrame) -> pd.DataFrame:
+        """Per-user boundary fold over TINY chunk summaries.  The fold is
+        inherently sequential per user (carry state across buckets), so it
+        stays a Python loop — but over summary rows inside one coarse
+        partition, not one map_groups call per user."""
         gap_us = SESSION_GAP_S * 1_000_000
-        for r in g.itertuples(index=False):
-            if open_end is not None and r.first_start - open_end <= gap_us:
-                merged_first = open_count + r.first_count
-            else:
-                if open_end is not None:
-                    total += 1
-                    maxc = max(maxc, open_count)
-                merged_first = r.first_count
-            maxc = max(maxc, r.max_interior)
-            if r.n_sessions == 1:
-                open_end, open_count = r.last_end, merged_first
-            else:
-                total += r.n_sessions - 1
-                maxc = max(maxc, merged_first)
-                open_end, open_count = r.last_end, r.last_count
-        total += 1
-        maxc = max(maxc, open_count)
+        out_u, out_n, out_m = [], [], []
+        for uid, g in part.groupby("user_id", sort=False):
+            g = g.sort_values("tbucket")
+            total = 0
+            maxc = 0
+            open_end: int | None = None
+            open_count = 0
+            for r in g.itertuples(index=False):
+                if open_end is not None and r.first_start - open_end <= gap_us:
+                    merged_first = open_count + r.first_count
+                else:
+                    if open_end is not None:
+                        total += 1
+                        maxc = max(maxc, open_count)
+                    merged_first = r.first_count
+                maxc = max(maxc, r.max_interior)
+                if r.n_sessions == 1:
+                    open_end, open_count = r.last_end, merged_first
+                else:
+                    total += r.n_sessions - 1
+                    maxc = max(maxc, merged_first)
+                    open_end, open_count = r.last_end, r.last_count
+            total += 1
+            maxc = max(maxc, open_count)
+            out_u.append(uid)
+            out_n.append(total)
+            out_m.append(maxc)
         return pd.DataFrame(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [total],
-                "max_session_events": [maxc],
+                "user_id": np.asarray(out_u, dtype=np.int64),
+                "n_sessions": np.asarray(out_n, dtype=np.int64),
+                "max_session_events": np.asarray(out_m, dtype=np.int64),
             }
         )
 
-    return chunks.groupby("user_id").map_groups(stitch, batch_format="pandas")
+    return (
+        chunks.map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("__upart")
+        .map_groups(
+            lambda g: stitch_part(g.drop(columns="__upart")), batch_format="pandas"
+        )
+    )
 
 
 def asof_last_purchase_salted(sf_dir: str, bucket_us: int = SALT_BUCKET_US):
@@ -385,23 +442,40 @@ def asof_last_purchase_salted(sf_dir: str, bucket_us: int = SALT_BUCKET_US):
         _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"]), bucket_us
     )
 
-    def last_ref(g: pd.DataFrame) -> pd.DataFrame:
-        refs = g[g["event_type"] == ASOF_REF_TYPE].sort_values(["ts", "event_id"])
+    def last_ref_part(part: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized last-reference per (user, bucket) for a whole coarse
+        partition: filter refs, one sort, boundary mask — no per-chunk
+        Python call."""
+        refs = part[part["event_type"] == ASOF_REF_TYPE]
         if refs.empty:
             return pd.DataFrame(
-                {"user_id": [], "tbucket": [], "ref_id": []}, dtype=np.int64
+                {
+                    "user_id": np.empty(0, np.int64),
+                    "tbucket": np.empty(0, np.int64),
+                    "ref_id": np.empty(0, np.int64),
+                }
             )
+        refs = refs.sort_values(["user_id", "tbucket", "ts", "event_id"])
+        u = refs["user_id"].to_numpy()
+        tb = refs["tbucket"].to_numpy()
+        last = np.empty(len(refs), dtype=bool)
+        last[-1] = True
+        last[:-1] = (u[1:] != u[:-1]) | (tb[1:] != tb[:-1])
         return pd.DataFrame(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "tbucket": [g["tbucket"].iloc[0]],
-                "ref_id": [int(refs["event_id"].iloc[-1])],
+                "user_id": u[last].astype(np.int64),
+                "tbucket": tb[last].astype(np.int64),
+                "ref_id": refs["event_id"].to_numpy()[last].astype(np.int64),
             }
         )
 
     ref_rows = (
-        ds.groupby(["user_id", "tbucket"])
-        .map_groups(last_ref, batch_format="pandas")
+        ds.map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("__upart")
+        .map_groups(
+            lambda g: last_ref_part(g.drop(columns="__upart")),
+            batch_format="pandas",
+        )
         .to_pandas()
     )
     # per user: sorted (ref buckets, ref ids) — carry-in for bucket b is the
@@ -416,33 +490,73 @@ def asof_last_purchase_salted(sf_dir: str, bucket_us: int = SALT_BUCKET_US):
         )
     carry_ref = ray.put(carry)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_part(part: pd.DataFrame) -> pd.DataFrame:
         cmap = ray.get(carry_ref)
-        uid = int(g["user_id"].iloc[0])
-        b = int(g["tbucket"].iloc[0])
-        carry_id = -1
-        if uid in cmap:
-            rb, ri = cmap[uid]
-            idx = int(np.searchsorted(rb, b)) - 1
-            if idx >= 0:
-                carry_id = int(ri[idx])
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        refs = g[g["event_type"] == ASOF_REF_TYPE]
-        ref_ts = refs["ts"].to_numpy()
-        ref_id = refs["event_id"].to_numpy()
-        if ref_id.size == 0:  # bucket with no local refs: all carry-in
-            out = np.full(len(g), carry_id, dtype=np.int64)
-        else:
-            pos = np.searchsorted(ref_ts, g["ts"].to_numpy(), side="right") - 1
-            out = np.where(pos >= 0, ref_id[np.maximum(pos, 0)], carry_id)
+        out_e, out_r = [], []
+        for (uid, b), g in part.groupby(["user_id", "tbucket"], sort=False):
+            carry_id = -1
+            if uid in cmap:
+                rb, ri = cmap[uid]
+                idx = int(np.searchsorted(rb, int(b))) - 1
+                if idx >= 0:
+                    carry_id = int(ri[idx])
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            refs = g[g["event_type"] == ASOF_REF_TYPE]
+            ref_ts = refs["ts"].to_numpy()
+            ref_id = refs["event_id"].to_numpy()
+            if ref_id.size == 0:  # bucket with no local refs: all carry-in
+                out = np.full(len(g), carry_id, dtype=np.int64)
+            else:
+                pos = np.searchsorted(ref_ts, g["ts"].to_numpy(), side="right") - 1
+                out = np.where(pos >= 0, ref_id[np.maximum(pos, 0)], carry_id)
+            out_e.append(g["event_id"].to_numpy())
+            out_r.append(out.astype(np.int64))
         return pd.DataFrame(
-            {"event_id": g["event_id"], "last_purchase_id": out.astype(np.int64)}
+            {
+                "event_id": (
+                    np.concatenate(out_e) if out_e else np.empty(0, np.int64)
+                ),
+                "last_purchase_id": (
+                    np.concatenate(out_r) if out_r else np.empty(0, np.int64)
+                ),
+            }
         )
 
-    return ds.groupby(["user_id", "tbucket"]).map_groups(merge, batch_format="pandas")
+    return (
+        ds.map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("__upart")
+        .map_groups(
+            lambda g: merge_part(g.drop(columns="__upart")), batch_format="pandas"
+        )
+    )
 
 
 RANGE_JOIN_WINDOW_US = 300_000_000  # 5 minutes
+
+
+def _window_pairs(g: pd.DataFrame, refs: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (purchase, event) pair expansion for one sorted group:
+    searchsorted window bounds per reference, then a flat arange-gather —
+    no per-reference or per-pair Python loop."""
+    ts = g["ts"].to_numpy()
+    ids = g["event_id"].to_numpy()
+    lo = np.searchsorted(ts, refs["ts"].to_numpy(), side="left")
+    hi = np.searchsorted(
+        ts,
+        refs["ts"].to_numpy() + np.timedelta64(RANGE_JOIN_WINDOW_US, "us"),
+        side="right",
+    )
+    lens = hi - lo
+    tot = int(lens.sum())
+    if not tot:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    flat = np.repeat(lo, lens) + np.arange(tot) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    out_p = np.repeat(refs["event_id"].to_numpy(), lens).astype(np.int64)
+    out_e = ids[flat].astype(np.int64)
+    keep = out_e != out_p  # a purchase never pairs with itself
+    return out_p[keep], out_e[keep]
 
 
 def range_join_after_purchase(sf_dir: str):
@@ -450,36 +564,38 @@ def range_join_after_purchase(sf_dir: str):
     event lands within 5 minutes AFTER the purchase (exclusive of the
     purchase row itself).
 
-    Custom operator: per-user sorted sweep inside map_groups — for each
-    reference row a searchsorted window [ts, ts+5m] over the user's events —
-    instead of the naive cross join.  Same partitioning assumption as the
-    as-of join."""
+    Custom operator: per-user sorted sweep — for each reference row a
+    searchsorted window [ts, ts+5m] over the user's events, pairs expanded
+    with a flat vectorized gather — instead of the naive cross join.  One
+    coarse user-hash shuffle; same partitioning assumption as the as-of
+    join."""
     ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = g["ts"].to_numpy()
-        ids = g["event_id"].to_numpy()
-        refs = g[g["event_type"] == ASOF_REF_TYPE]
+    def merge_part(part: pd.DataFrame) -> pd.DataFrame:
         out_p, out_e = [], []
-        lo = np.searchsorted(ts, refs["ts"].to_numpy(), side="left")
-        hi = np.searchsorted(
-            ts, refs["ts"].to_numpy() + np.timedelta64(RANGE_JOIN_WINDOW_US, "us"),
-            side="right",
-        )
-        for pid, a, b in zip(refs["event_id"].to_numpy(), lo, hi):
-            for e in ids[a:b]:
-                if e != pid:
-                    out_p.append(int(pid))
-                    out_e.append(int(e))
+        for _, g in part.groupby("user_id", sort=False):
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            p, e = _window_pairs(g, g[g["event_type"] == ASOF_REF_TYPE])
+            out_p.append(p)
+            out_e.append(e)
         return pd.DataFrame(
             {
-                "purchase_id": np.asarray(out_p, dtype=np.int64),
-                "event_id": np.asarray(out_e, dtype=np.int64),
+                "purchase_id": (
+                    np.concatenate(out_p) if out_p else np.empty(0, np.int64)
+                ),
+                "event_id": (
+                    np.concatenate(out_e) if out_e else np.empty(0, np.int64)
+                ),
             }
         )
 
-    return ds.groupby("user_id").map_groups(merge, batch_format="pandas")
+    return (
+        ds.map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("__upart")
+        .map_groups(
+            lambda g: merge_part(g.drop(columns="__upart")), batch_format="pandas"
+        )
+    )
 
 
 def range_join_after_purchase_salted(
@@ -519,29 +635,30 @@ def range_join_after_purchase_salted(
 
     fanned = ds.map_batches(fan_out, batch_format="pyarrow")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = g["ts"].to_numpy()
-        ids = g["event_id"].to_numpy()
-        refs = g[(g["event_type"] == ASOF_REF_TYPE) & g["is_home"]]
+    def merge_part(part: pd.DataFrame) -> pd.DataFrame:
         out_p, out_e = [], []
-        lo = np.searchsorted(ts, refs["ts"].to_numpy(), side="left")
-        hi = np.searchsorted(
-            ts, refs["ts"].to_numpy() + np.timedelta64(RANGE_JOIN_WINDOW_US, "us"),
-            side="right",
-        )
-        for pid, a, b in zip(refs["event_id"].to_numpy(), lo, hi):
-            for e in ids[a:b]:
-                if e != pid:
-                    out_p.append(int(pid))
-                    out_e.append(int(e))
+        for _, g in part.groupby(["user_id", "tbucket"], sort=False):
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            p, e = _window_pairs(
+                g, g[(g["event_type"] == ASOF_REF_TYPE) & g["is_home"]]
+            )
+            out_p.append(p)
+            out_e.append(e)
         return pd.DataFrame(
             {
-                "purchase_id": np.asarray(out_p, dtype=np.int64),
-                "event_id": np.asarray(out_e, dtype=np.int64),
+                "purchase_id": (
+                    np.concatenate(out_p) if out_p else np.empty(0, np.int64)
+                ),
+                "event_id": (
+                    np.concatenate(out_e) if out_e else np.empty(0, np.int64)
+                ),
             }
         )
 
-    return fanned.groupby(["user_id", "tbucket"]).map_groups(
-        merge, batch_format="pandas"
+    return (
+        fanned.map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("__upart")
+        .map_groups(
+            lambda g: merge_part(g.drop(columns="__upart")), batch_format="pandas"
+        )
     )
