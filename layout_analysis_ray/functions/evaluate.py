@@ -10,8 +10,9 @@ Reference analogues:
 - corpus mean accuracy (``/root/reference/src/evaluate_results.py:61-84``,
   ``HelperMethods.py:167-186``) -> ``Mean`` aggregate over the per-doc rows.
 
-Ray-native shape: tag the two sides, union, one ``groupby(doc_id)`` shuffle,
-per-doc metric inside ``map_groups`` (no driver-side loops), then a tiny
+Ray-native shape: tag the two sides, union, one coarse doc-hash shuffle
+(~64 partitions), per-doc metrics computed for a whole partition in one
+call (no driver-side loops, no per-doc map_groups call), then a tiny
 ``Mean`` aggregate.  Unmatched doc_ids score 0 (the reference's semi-join
 silently DROPS them — ``HelperMethods.py:176-177``; we keep them visible
 instead, strictly stricter).
@@ -50,27 +51,33 @@ def _positional_accuracy(a: list[dict], b: list[dict]) -> float:
     return eq / n
 
 
-def _eval_group(group: pa.Table) -> pa.Table:
-    rows = group.to_pylist()
-    a = next((r["spans"] or [] for r in rows if r["side"] == "a"), [])
-    b = next((r["spans"] or [] for r in rows if r["side"] == "b"), [])
-    doc_id = rows[0]["doc_id"]
+def _eval_part(part: pa.Table) -> pa.Table:
+    """Per-doc metrics for every doc in one coarse partition (doc-grain
+    Python is inherent to the span-multiset metrics; what this avoids is
+    one map_groups interpreter call per document)."""
+    sides: dict[str, list] = {}
+    for r in part.to_pylist():
+        ab = sides.setdefault(r["doc_id"], [[], []])
+        ab[0 if r["side"] == "a" else 1] = r["spans"] or []
+    ids, dices, poss, exacts = [], [], [], []
+    for doc_id in sorted(sides):
+        a, b = sides[doc_id]
+        ids.append(doc_id)
+        dices.append(_dice(a, b))
+        poss.append(_positional_accuracy(a, b))
+        exacts.append(
+            len(a) == len(b)
+            and all(
+                _span_key(x) == _span_key(y) and x["offset"] == y["offset"]
+                for x, y in zip(a, b)
+            )
+        )
     return pa.table(
         {
-            "doc_id": pa.array([doc_id], pa.string()),
-            "dice": pa.array([_dice(a, b)], pa.float64()),
-            "positional_accuracy": pa.array(
-                [_positional_accuracy(a, b)], pa.float64()
-            ),
-            "exact": pa.array(
-                [
-                    len(a) == len(b)
-                    and all(
-                        _span_key(x) == _span_key(y) and x["offset"] == y["offset"]
-                        for x, y in zip(a, b)
-                    )
-                ]
-            ),
+            "doc_id": pa.array(ids, pa.string()),
+            "dice": pa.array(dices, pa.float64()),
+            "positional_accuracy": pa.array(poss, pa.float64()),
+            "exact": pa.array(exacts),
         }
     )
 
@@ -88,10 +95,25 @@ def evaluate_extraction(ds_a, ds_b):
         fn.__name__ = f"tag_{side}"
         return fn
 
-    both = ds_a.map_batches(tag("a"), batch_format="pyarrow").union(
-        ds_b.map_batches(tag("b"), batch_format="pyarrow")
+    def add_part(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        return batch.append_column(
+            "__dpart",
+            pa.array(
+                [zlib.crc32(d.encode()) % 64 for d in batch["doc_id"].to_pylist()],
+                pa.int64(),
+            ),
+        )
+
+    both = (
+        ds_a.map_batches(tag("a"), batch_format="pyarrow")
+        .union(ds_b.map_batches(tag("b"), batch_format="pyarrow"))
+        .map_batches(add_part, batch_format="pyarrow")
     )
-    return both.groupby("doc_id").map_groups(_eval_group, batch_format="pyarrow")
+    return both.groupby("__dpart").map_groups(
+        lambda g: _eval_part(g.drop_columns(["__dpart"])), batch_format="pyarrow"
+    )
 
 
 def corpus_summary(eval_ds) -> dict:

@@ -106,23 +106,40 @@ def stratified_sample_by_lang(sf_dir: str, n_per_key: int = 10):
         top = df.sort_values(["lang", "h", "doc_id"]).groupby("lang").head(n_per_key)
         return pa.Table.from_pandas(top, preserve_index=False)
 
-    def merge(g) -> "pa.Table":
+    def add_part(batch: pa.Table) -> pa.Table:
+        # coarse stratum-hash partition: one merge call per partition even
+        # at millions of strata (crc32 of the stratum value, deterministic)
+        import zlib
+
+        langs = batch.column("lang").to_pylist()
+        return batch.append_column(
+            "__spart",
+            pa.array([zlib.crc32(s.encode()) % 64 for s in langs], pa.int64()),
+        )
+
+    def merge_part(g) -> "pa.Table":
+        top = (
+            g.sort_values(["lang", "h", "doc_id"]).groupby("lang").head(n_per_key)
+        )
+        rn = top.groupby("lang").cumcount().to_numpy() + 1
         import pandas as pd
 
-        top = g.sort_values(["h", "doc_id"]).head(n_per_key)
         return pd.DataFrame(
             {
                 "lang": top["lang"].to_numpy(),
                 "doc_id": top["doc_id"].to_numpy(),
-                "rn": np.arange(1, len(top) + 1, dtype=np.int64),
+                "rn": rn.astype(np.int64),
             }
         )
 
     return (
         _read_docs(sf_dir, ["doc_id", "lang"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
-        .map_groups(merge, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__spart")
+        .map_groups(
+            lambda g: merge_part(g.drop(columns="__spart")), batch_format="pandas"
+        )
     )
 
 
