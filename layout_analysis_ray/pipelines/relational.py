@@ -226,14 +226,21 @@ def q3_top_orders(sf_dir: str):
         ["o_orderkey", "o_orderdate_day"],
         ["revenue_e4"],
     )
-    # distributed top-10 with deterministic tie-break: sort+limit streams and
-    # never lands the (orderkey, day)-grain aggregate on the driver — at real
-    # SF that intermediate is millions of rows
-    return (
-        agg.map_batches(
-            lambda b: b.select(["o_orderkey", "o_orderdate_day", "revenue_e4"]),
-            batch_format="pyarrow",
+
+    # distributed top-10: per-block partial top-k first (the global top-10
+    # is contained in the union of per-block top-10s), so the final sort
+    # exchange moves <= 10 x blocks rows — never the full (orderkey, day)
+    # aggregate, which is millions of rows at real SF
+    def block_topk(b: pa.Table) -> pa.Table:
+        b = b.select(["o_orderkey", "o_orderdate_day", "revenue_e4"])
+        idx = pc.sort_indices(
+            b,
+            sort_keys=[("revenue_e4", "descending"), ("o_orderkey", "ascending")],
         )
+        return b.take(idx[:10])
+
+    return (
+        agg.map_batches(block_topk, batch_format="pyarrow")
         .sort(["revenue_e4", "o_orderkey"], descending=[True, False])
         .limit(10)
     )
