@@ -362,8 +362,21 @@ def q5_region_revenue(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def top_docs_by_chars(sf_dir: str):
+    """Top-50 by n_chars: per-block partial top-50, then a tiny final sort
+    over <= 50 x blocks rows — the full table is never sort-shuffled."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(50)
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b, sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")]
+        )
+        return b.take(idx[:50])
+
+    return (
+        ds.map_batches(block_topk, batch_format="pyarrow")
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(50)
+    )
 
 
 def distinct_event_types(sf_dir: str):
