@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 56 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (37) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 57 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (38) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_quantiles": quantiles.lineitem_price_quantiles,
         "events_value_quantiles": quantiles.events_value_quantiles,
         "events_value_median_by_type": quantiles.events_value_median_by_type,
+        "events_value_quartile": quantiles.events_value_quartile,
         "stratified_sample_by_lang": sampling.stratified_sample_by_lang,
     }
 
@@ -526,6 +527,22 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
               FROM documents)
             SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 10
+        """,
+        # value-boundary quartiles (NOT NTILE): 1 + #exact-quantile
+        # boundaries strictly below the row's value, same rank formula
+        "events_value_quartile": """
+            WITH v AS (SELECT event_id,
+                              CAST(round(value*100) AS BIGINT) AS c FROM events),
+            r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+            n AS (SELECT COUNT(*) AS n FROM v),
+            b AS (SELECT
+              (SELECT c FROM r, n WHERE rn = (250000 * n.n + 999999) // 1000000) AS b1,
+              (SELECT c FROM r, n WHERE rn = (500000 * n.n + 999999) // 1000000) AS b2,
+              (SELECT c FROM r, n WHERE rn = (750000 * n.n + 999999) // 1000000) AS b3)
+            SELECT v.event_id,
+                   CAST(1 + CAST(v.c > b.b1 AS INT) + CAST(v.c > b.b2 AS INT)
+                          + CAST(v.c > b.b3 AS INT) AS BIGINT) AS quartile
+            FROM v, b
         """,
     }
     # salted keyed-window variants produce identical results to their

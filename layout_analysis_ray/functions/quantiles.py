@@ -321,3 +321,40 @@ def events_value_median_by_type(sf_dir: str) -> pa.Table:
             "median_cents": pa.array([med[k] for k in keys], pa.int64()),
         }
     )
+
+
+def events_value_quartile(sf_dir: str):
+    """Row-level quartile assignment composed from the exact quantile
+    kernel: the three boundary values come from ``kth_smallest`` (streaming
+    scans), then one map assigns quartile = 1 + #boundaries strictly below
+    the row's value — boundaries broadcast as three ints, rows never
+    shuffle.  (NOT SQL NTILE, which splits ties by row count; this is the
+    value-boundary definition, mirrored exactly by the oracle.)"""
+    import ray.data as rd
+
+    def make_ds():
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["value"]
+        ).map_batches(
+            lambda b: pa.table({"v": _cents(b["value"])}), batch_format="pyarrow"
+        )
+
+    stats = _min_max_count(make_ds)
+    n = stats[2]
+    ranks = {q: (q * n + 999_999) // 1_000_000 for q in (250_000, 500_000, 750_000)}
+    vals = kth_smallest(make_ds, sorted(set(ranks.values())), _stats=stats)
+    b1, b2, b3 = (vals[ranks[q]] for q in (250_000, 500_000, 750_000))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        quart = 1 + (c > b1).astype(np.int64) + (c > b2) + (c > b3)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "quartile": pa.array(quart.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    ).map_batches(assign, batch_format="pyarrow")
