@@ -101,26 +101,59 @@ def assemble_batch(batch: pa.Table, *, order_fn=None) -> pa.Table:
     # Columnar emission: accumulate flat span columns + per-doc lengths and
     # build the list<struct> column directly (no per-span dicts, no
     # from_pylist re-inspection) — this stage is ~45% of pipeline CPU.
+    #
+    # Hot-loop mechanics: (a) per-doc offset sortedness is checked batch-wide
+    # once, so the common already-ordered doc iterates a plain ``range`` with
+    # no per-doc argsort/arange allocation; (b) the per-span flag arrays are
+    # converted to Python lists once per batch — list indexing in a tight
+    # Python loop is several times faster than numpy scalar indexing.
+    # doc d is pre-sorted iff every within-doc adjacent offset pair is
+    # nondecreasing; position lo of each doc compares against the PREVIOUS
+    # doc's last span, so it is forced True before the segment AND
+    if len(src_off):
+        nondecreasing = np.ones(len(src_off), dtype=bool)
+        nondecreasing[1:] = src_off[1:] >= src_off[:-1]
+        nondecreasing[doc_offs[:-1][lengths > 0]] = True
+        doc_sorted = np.logical_and.reduceat(
+            nondecreasing, np.minimum(doc_offs[:-1], len(src_off) - 1)
+        )
+    else:
+        doc_sorted = np.ones(n_docs, dtype=bool)
+    doc_sorted[lengths == 0] = True
+
+    label_l = label.tolist()
+    heading_l = heading.tolist()
+    tabular_l = tabular.tolist()
+    err_l = err.tolist()
+    is_media_l = is_media_kind.tolist()
+    is_image_l = is_image_kind.tolist()
+    src_off_l = src_off.tolist()
+    any_pdf_doc = np.logical_or.reduceat(
+        is_pdf_kind, np.minimum(doc_offs[:-1], max(len(src_off) - 1, 0))
+    ) if len(src_off) else np.zeros(n_docs, dtype=bool)
+    any_pdf_doc = any_pdf_doc & (lengths > 0)
+
     out_kind: list[str] = []
     out_text: list[str] = []
     out_media: list[str] = []
     doc_lens = np.empty(n_docs, dtype=np.int32)
     for d in range(n_docs):
-        lo, hi = doc_offs[d], doc_offs[d + 1]
-        idx = np.arange(lo, hi)
-        if idx.size:
-            idx = idx[np.argsort(src_off[lo:hi], kind="stable")]
+        lo, hi = int(doc_offs[d]), int(doc_offs[d + 1])
+        if doc_sorted[d]:
+            idx = range(lo, hi)
+        else:
+            idx = (lo + np.argsort(src_off[lo:hi], kind="stable")).tolist()
 
-        pdf_idx = idx[is_pdf_kind[idx]]
-        if pdf_idx.size:
+        if any_pdf_doc[d]:
+            pdf_idx = [i for i in idx if is_pdf_kind[i]]
             out = _assemble_pdf(
-                idx, pdf_idx, is_image_kind, media_refs, visible, src_off,
-                err, tabular, bx0, by0, bx1, by1, is_media_kind, order_fn,
+                idx, pdf_idx, is_image_l, media_refs, visible, src_off_l,
+                err_l, tabular_l, bx0, by0, bx1, by1, is_media_l, order_fn,
             )
         else:
             out = _assemble_flow(
-                idx, is_image_kind, media_refs, visible, label, heading, tabular,
-                is_media_kind,
+                idx, is_image_l, media_refs, visible, label_l, heading_l,
+                tabular_l, is_media_l,
             )
         doc_lens[d] = len(out)
         for k, t, m in out:
