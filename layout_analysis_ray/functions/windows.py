@@ -75,6 +75,46 @@ def _add_user_part(batch: pa.Table) -> pa.Table:
     )
 
 
+def _ensure_schema(ds, schema: pa.Schema):
+    """Normalize result blocks to an explicit schema.  Ray's pandas-block
+    shuffle emits COLUMN-LESS blocks for empty map_groups outputs (the same
+    quirk ``bucketed_join`` works around), and ``map_batches`` is skipped
+    entirely on empty blocks — so an all-empty result (e.g. a range join
+    over a corpus with no purchases) would surface with NO schema at all.
+    Unioning one typed empty dataset pins the schema unconditionally."""
+    import ray.data as rd
+
+    def norm(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return schema.empty_table()
+        return b.select(schema.names).cast(schema)
+
+    return rd.from_arrow(schema.empty_table()).union(
+        ds.map_batches(norm, batch_format="pyarrow")
+    )
+
+
+_SESSION_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("n_sessions", pa.int64()),
+        ("max_session_events", pa.int64()),
+    ]
+)
+_RUNNING_SCHEMA = pa.schema(
+    [("event_id", pa.int64()), ("user_id", pa.int64()), ("running_cents", pa.int64())]
+)
+_TOP_SCHEMA = pa.schema(
+    [("user_id", pa.int64()), ("event_id", pa.int64()), ("value_cents", pa.int64())]
+)
+_ASOF_SCHEMA = pa.schema(
+    [("event_id", pa.int64()), ("last_purchase_id", pa.int64())]
+)
+_RANGE_SCHEMA = pa.schema(
+    [("purchase_id", pa.int64()), ("event_id", pa.int64())]
+)
+
+
 def sessionize(sf_dir: str):
     """Per-user sessionization with a 30-min inactivity gap: (user_id,
     n_sessions, max_session_events).
@@ -109,7 +149,10 @@ def sessionize(sf_dir: str):
             }
         )
 
-    return ds.groupby("__upart").map_groups(per_part, batch_format="pandas")
+    return _ensure_schema(
+        ds.groupby("__upart").map_groups(per_part, batch_format="pandas"),
+        _SESSION_SCHEMA,
+    )
 
 
 def running_total(sf_dir: str):
@@ -141,7 +184,10 @@ def running_total(sf_dir: str):
             }
         )
 
-    return ds.groupby("__upart").map_groups(per_part, batch_format="pandas")
+    return _ensure_schema(
+        ds.groupby("__upart").map_groups(per_part, batch_format="pandas"),
+        _RUNNING_SCHEMA,
+    )
 
 
 def props_json_extract(sf_dir: str):
@@ -237,11 +283,12 @@ def top_event_per_user(sf_dir: str):
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         return _best_per_user(g.drop(columns="__upart"))
 
-    return (
+    return _ensure_schema(
         ds.map_batches(prep, batch_format="pyarrow")
         .map_batches(_add_user_part, batch_format="pyarrow")
         .groupby("__upart")
-        .map_groups(pick, batch_format="pandas")
+        .map_groups(pick, batch_format="pandas"),
+        _TOP_SCHEMA,
     )
 
 
@@ -288,12 +335,13 @@ def asof_last_purchase(sf_dir: str):
             }
         )
 
-    return (
+    return _ensure_schema(
         ds.map_batches(_add_user_part, batch_format="pyarrow")
         .groupby("__upart")
         .map_groups(
             lambda g: merge_part(g.drop(columns="__upart")), batch_format="pandas"
-        )
+        ),
+        _ASOF_SCHEMA,
     )
 
 
@@ -420,12 +468,13 @@ def sessionize_salted(sf_dir: str, bucket_us: int = SALT_BUCKET_US):
             }
         )
 
-    return (
+    return _ensure_schema(
         chunks.map_batches(_add_user_part, batch_format="pyarrow")
         .groupby("__upart")
         .map_groups(
             lambda g: stitch_part(g.drop(columns="__upart")), batch_format="pandas"
-        )
+        ),
+        _SESSION_SCHEMA,
     )
 
 
@@ -480,14 +529,17 @@ def asof_last_purchase_salted(sf_dir: str, bucket_us: int = SALT_BUCKET_US):
     )
     # per user: sorted (ref buckets, ref ids) — carry-in for bucket b is the
     # ref id of the largest ref-bucket strictly below b (binary search, so
-    # sparse bucket numbering costs nothing)
+    # sparse bucket numbering costs nothing).  A corpus with zero reference
+    # events yields an EMPTY (and, per the Ray empty-block quirk,
+    # column-less) ref table — every event then resolves to carry -1.
     carry: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for uid, grp in ref_rows.groupby("user_id", sort=False):
-        grp = grp.sort_values("tbucket")
-        carry[int(uid)] = (
-            grp["tbucket"].to_numpy(dtype=np.int64),
-            grp["ref_id"].to_numpy(dtype=np.int64),
-        )
+    if len(ref_rows) and "user_id" in ref_rows.columns:
+        for uid, grp in ref_rows.groupby("user_id", sort=False):
+            grp = grp.sort_values("tbucket")
+            carry[int(uid)] = (
+                grp["tbucket"].to_numpy(dtype=np.int64),
+                grp["ref_id"].to_numpy(dtype=np.int64),
+            )
     carry_ref = ray.put(carry)
 
     def merge_part(part: pd.DataFrame) -> pd.DataFrame:
@@ -522,12 +574,13 @@ def asof_last_purchase_salted(sf_dir: str, bucket_us: int = SALT_BUCKET_US):
             }
         )
 
-    return (
+    return _ensure_schema(
         ds.map_batches(_add_user_part, batch_format="pyarrow")
         .groupby("__upart")
         .map_groups(
             lambda g: merge_part(g.drop(columns="__upart")), batch_format="pandas"
-        )
+        ),
+        _ASOF_SCHEMA,
     )
 
 
@@ -589,12 +642,13 @@ def range_join_after_purchase(sf_dir: str):
             }
         )
 
-    return (
+    return _ensure_schema(
         ds.map_batches(_add_user_part, batch_format="pyarrow")
         .groupby("__upart")
         .map_groups(
             lambda g: merge_part(g.drop(columns="__upart")), batch_format="pandas"
-        )
+        ),
+        _RANGE_SCHEMA,
     )
 
 
@@ -655,10 +709,11 @@ def range_join_after_purchase_salted(
             }
         )
 
-    return (
+    return _ensure_schema(
         fanned.map_batches(_add_user_part, batch_format="pyarrow")
         .groupby("__upart")
         .map_groups(
             lambda g: merge_part(g.drop(columns="__upart")), batch_format="pandas"
-        )
+        ),
+        _RANGE_SCHEMA,
     )
