@@ -294,7 +294,18 @@ def dedup_minhash_pairs(sf_dir: str):
         ).drop_duplicates(["doc_a", "doc_b"])
 
     pairs = bands.groupby("part").map_groups(verified_pairs, batch_format="pandas")
-    return dedup_pair_rows(pairs, ("doc_a", "doc_b"))
+    from .schema import ensure_schema
+
+    return ensure_schema(
+        dedup_pair_rows(pairs, ("doc_a", "doc_b")),
+        pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+                ("est_jaccard_ppm", pa.int64()),
+            ]
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -433,7 +444,14 @@ def simhash_pairs(sf_dir: str):
         ).drop_duplicates(["doc_a", "doc_b"])
 
     pairs = bands.groupby("part").map_groups(partition_pairs, batch_format="pandas")
-    return dedup_pair_rows(pairs, ("doc_a", "doc_b"))
+    from .schema import ensure_schema
+
+    return ensure_schema(
+        dedup_pair_rows(pairs, ("doc_a", "doc_b")),
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

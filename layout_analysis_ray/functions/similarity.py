@@ -247,8 +247,12 @@ def neardup_pairs_lsh(sf_dir: str):
 
     pairs = bands.groupby("part").map_groups(verified_pairs, batch_format="pandas")
     from .dedup import dedup_pair_rows
+    from .schema import ensure_schema
 
-    return dedup_pair_rows(pairs, ("vec_a", "vec_b"))
+    return ensure_schema(
+        dedup_pair_rows(pairs, ("vec_a", "vec_b")),
+        pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())]),
+    )
 
 
 def lsh_buckets(sf_dir: str):

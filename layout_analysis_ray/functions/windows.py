@@ -75,23 +75,7 @@ def _add_user_part(batch: pa.Table) -> pa.Table:
     )
 
 
-def _ensure_schema(ds, schema: pa.Schema):
-    """Normalize result blocks to an explicit schema.  Ray's pandas-block
-    shuffle emits COLUMN-LESS blocks for empty map_groups outputs (the same
-    quirk ``bucketed_join`` works around), and ``map_batches`` is skipped
-    entirely on empty blocks — so an all-empty result (e.g. a range join
-    over a corpus with no purchases) would surface with NO schema at all.
-    Unioning one typed empty dataset pins the schema unconditionally."""
-    import ray.data as rd
-
-    def norm(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or b.num_columns == 0:
-            return schema.empty_table()
-        return b.select(schema.names).cast(schema)
-
-    return rd.from_arrow(schema.empty_table()).union(
-        ds.map_batches(norm, batch_format="pyarrow")
-    )
+from .schema import ensure_schema as _ensure_schema  # shared empty-safe cast
 
 
 _SESSION_SCHEMA = pa.schema(

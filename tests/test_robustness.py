@@ -101,3 +101,56 @@ def test_cli_extract_resume_and_evaluate(tmp_path):
     s = json.loads(r3.stdout.strip().splitlines()[-1])
     assert s["n_exact"] == 500 and s["mean_dice"] == 1.0
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_pair_pipelines_empty_result_schema(ray_session, tmp_path):
+    """A duplicate-free corpus must yield EMPTY pair sets with intact
+    Dataset schemas (Ray drops the schema of empty map_groups blocks;
+    functions.schema.ensure_schema pins it)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "one two three four five six",
+                "red green blue yellow purple orange",
+                "cat dog bird fish mouse horse",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [36] * 4,
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        str(tmp_path / "documents.parquet"),
+    )
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(3, dtype=np.int64),
+            "embedding": [list(r) for r in np.eye(8)[:3]],  # orthogonal
+            "label": [0, 1, 2],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(emb, preserve_index=False),
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+    from layout_analysis_ray.functions import dedup as D
+    from layout_analysis_ray.functions import similarity as S
+
+    sf = str(tmp_path)
+    for fn, cols in [
+        (D.dedup_minhash_pairs, ["doc_a", "doc_b", "est_jaccard_ppm"]),
+        (D.simhash_pairs, ["doc_a", "doc_b", "hamming"]),
+        (S.neardup_pairs_lsh, ["vec_a", "vec_b"]),
+    ]:
+        ds = fn(sf)
+        assert ds.count() == 0, fn.__name__
+        assert ds.schema().names == cols, fn.__name__
