@@ -531,4 +531,11 @@ def ngram_jaccard_consecutive(sf_dir: str):
             }
         )
 
-    return joined.map_batches(jaccard, batch_format="pyarrow")
+    from .schema import ensure_schema
+
+    return ensure_schema(
+        joined.map_batches(jaccard, batch_format="pyarrow"),
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_ppm", pa.int64())]
+        ),
+    )

@@ -154,3 +154,31 @@ def test_pair_pipelines_empty_result_schema(ray_session, tmp_path):
         ds = fn(sf)
         assert ds.count() == 0, fn.__name__
         assert ds.schema().names == cols, fn.__name__
+
+
+def test_ngram_jaccard_single_doc_schema(ray_session, tmp_path):
+    """A 1-doc corpus has no consecutive pair: empty result, intact schema
+    (previously schema() returned None)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([0], dtype=np.int64),
+            "text": ["solo document only one"],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [22],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        str(tmp_path / "documents.parquet"),
+    )
+    from layout_analysis_ray.functions.dedup import ngram_jaccard_consecutive
+
+    ds = ngram_jaccard_consecutive(str(tmp_path))
+    assert ds.count() == 0
+    assert ds.schema().names == ["doc_a", "doc_b", "jaccard_ppm"]
