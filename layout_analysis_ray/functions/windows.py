@@ -175,17 +175,18 @@ def running_total(sf_dir: str):
 
 
 def props_json_extract(sf_dir: str):
-    """JSON extraction from the props column: k value per event (int)."""
-    import json
-
+    """JSON extraction from the props column: k value per event (int, -1
+    when absent).  One vectorized Arrow RE2 pass — the SAME regex the
+    DuckDB oracle runs (``regexp_extract(props, '"k":\\s*(-?\\d+)')``), so
+    engine and oracle share extraction semantics exactly."""
     ds = _read_events(sf_dir, ["event_id", "props"])
 
     def ext(batch: pa.Table) -> pa.Table:
-        props = batch["props"].to_pylist()
-        ks = np.array(
-            [int(json.loads(p or "{}").get("k", -1)) for p in props], dtype=np.int64
+        m = pc.extract_regex(
+            pc.fill_null(batch["props"], ""), r'"k":\s*(?P<k>-?\d+)'
         )
-        return pa.table({"event_id": batch["event_id"], "k": pa.array(ks)})
+        ks = pc.fill_null(pc.cast(pc.struct_field(m, "k"), pa.int64()), -1)
+        return pa.table({"event_id": batch["event_id"], "k": ks})
 
     return ds.map_batches(ext, batch_format="pyarrow")
 
