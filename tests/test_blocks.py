@@ -220,3 +220,32 @@ def test_pipeline_order_strategy_param(ray_session):
     # same span multiset per doc (order may differ for pdf docs)
     for d in a:
         assert sorted(a[d]) == sorted(c[d])
+
+
+def test_assemble_handles_unsorted_span_order(ray_session):
+    """The batch-wide sortedness fast path must not change results when
+    spans arrive OUT of source order (fixtures always emit sorted offsets,
+    so this exercises the argsort branch explicitly)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from layout_analysis_ray.sources.synth import gen_table
+    from layout_analysis_ray.stages.assemble import assemble_batch
+    from layout_analysis_ray.stages.score import SpanScorer
+
+    t = gen_table(48, seed=7)
+    rng = np.random.default_rng(3)
+
+    # permute spans WITHIN each doc (offsets keep their values)
+    rows = t.to_pylist()
+    shuffled = []
+    for r in rows:
+        spans = list(r["spans"] or [])
+        perm = rng.permutation(len(spans))
+        shuffled.append({"doc_id": r["doc_id"], "spans": [spans[i] for i in perm]})
+    t_shuf = pa.Table.from_pylist(shuffled, schema=t.schema)
+
+    scorer = SpanScorer()
+    out_sorted = assemble_batch(scorer(t)).to_pylist()
+    out_shuf = assemble_batch(scorer(t_shuf)).to_pylist()
+    assert out_sorted == out_shuf
