@@ -54,6 +54,10 @@ def cmd_extract(args) -> int:
         model_weights=args.model_weights,
     )
     docs = docs_from_parquet(args.sf_dir, num_blocks=args.num_blocks)
+    if args.validate:
+        from .sources.validate import validate_docs
+
+        docs = validate_docs(docs)
     if args.no_resume:
         pipeline(docs).write_parquet(args.out)
         print(json.dumps({"out": args.out, "resume": False}))
@@ -89,6 +93,41 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Small-file compaction: many tiny fragments (e.g. a 64-partition
+    checkpointed run at low SF) -> ~target-MB output files.  One
+    ``repartition`` sized from the INPUT bytes on disk; rows stream through
+    — nothing materializes on the driver."""
+    _ensure_ray()
+    import math
+    import os
+
+    import ray.data as rd
+
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(args.in_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (args.target_mb << 20)))
+    ds = rd.read_parquet(args.in_dir)
+    n_rows = ds.count()
+    ds.repartition(n_files).write_parquet(args.out)
+    out_files = [f for f in os.listdir(args.out) if f.endswith(".parquet")]
+    print(
+        json.dumps(
+            {
+                "in_bytes": total,
+                "rows": n_rows,
+                "target_mb": args.target_mb,
+                "out_files": len(out_files),
+            }
+        )
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="layout_analysis_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -110,12 +149,26 @@ def main(argv=None) -> int:
         default=None,
         help="optional npz logistic scorer weights (see SpanScorer)",
     )
+    pe.add_argument(
+        "--validate",
+        action="store_true",
+        help="fail fast on docs-table schema violations at ingest",
+    )
     pe.set_defaults(fn=cmd_extract)
 
     pv = sub.add_parser("evaluate", help="compare two extraction outputs")
     pv.add_argument("--a", required=True)
     pv.add_argument("--b", required=True)
     pv.set_defaults(fn=cmd_evaluate)
+
+    pc_ = sub.add_parser(
+        "compact",
+        help="rewrite a parquet directory into ~target-size output files",
+    )
+    pc_.add_argument("--in", dest="in_dir", required=True)
+    pc_.add_argument("--out", required=True)
+    pc_.add_argument("--target-mb", type=int, default=128)
+    pc_.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

@@ -182,3 +182,70 @@ def test_ngram_jaccard_single_doc_schema(ray_session, tmp_path):
     ds = ngram_jaccard_consecutive(str(tmp_path))
     assert ds.count() == 0
     assert ds.schema().names == ["doc_a", "doc_b", "jaccard_ppm"]
+
+
+def test_validate_docs_rejects_malformed(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from layout_analysis_ray.sources.synth import DOCS_SCHEMA, gen_table
+    from layout_analysis_ray.sources.validate import (
+        SchemaValidationError,
+        validate_docs,
+    )
+
+    # good table passes through unchanged
+    good = gen_table(8, seed=3)
+    assert validate_docs(rd.from_arrow(good)).count() == 8
+
+    # wrong schema (missing spans) fails fast
+    bad_schema = pa.table({"doc_id": pa.array(["a", "b"], pa.string())})
+    with pytest.raises(Exception, match="schema mismatch"):
+        validate_docs(rd.from_arrow(bad_schema)).count()
+
+    # empty doc_id fails
+    bad_ids = pa.Table.from_pylist(
+        [{"doc_id": "", "spans": []}], schema=DOCS_SCHEMA
+    )
+    with pytest.raises(Exception, match="empty"):
+        validate_docs(rd.from_arrow(bad_ids)).count()
+
+
+def test_cli_compact_preserves_rows(ray_session, tmp_path):
+    import subprocess
+    import sys
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from layout_analysis_ray.sources.synth import gen_table
+
+    src = str(tmp_path / "many")
+    rd.from_arrow(gen_table(200, seed=9)).repartition(16).write_parquet(src)
+    out = str(tmp_path / "compacted")
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "layout_analysis_ray",
+            "compact",
+            "--in",
+            src,
+            "--out",
+            out,
+            "--target-mb",
+            "64",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env={**__import__("os").environ, "RAY_GRAFT_CPUS": "4"},
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert pads.dataset(out, format="parquet").count_rows() == 200
+    import os
+
+    n_in = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    n_out = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_out < n_in
