@@ -109,17 +109,20 @@ def assemble_batch(batch: pa.Table, *, order_fn=None) -> pa.Table:
     # Python loop is several times faster than numpy scalar indexing.
     # doc d is pre-sorted iff every within-doc adjacent offset pair is
     # nondecreasing; position lo of each doc compares against the PREVIOUS
-    # doc's last span, so it is forced True before the segment AND
-    if len(src_off):
+    # doc's last span, so it is forced True before the segment AND.
+    # reduceat runs over NON-EMPTY doc starts only and the results scatter
+    # back — clamping empty-doc starts into range instead would SPLIT the
+    # preceding doc's segment and drop its last span from the reduction
+    # (caught by the engine-vs-oracle property test: a trailing empty doc
+    # made a malformed-pdf doc lose its error flag).
+    nonempty = lengths > 0
+    ne_starts = doc_offs[:-1][nonempty]
+    doc_sorted = np.ones(n_docs, dtype=bool)
+    if ne_starts.size:
         nondecreasing = np.ones(len(src_off), dtype=bool)
         nondecreasing[1:] = src_off[1:] >= src_off[:-1]
-        nondecreasing[doc_offs[:-1][lengths > 0]] = True
-        doc_sorted = np.logical_and.reduceat(
-            nondecreasing, np.minimum(doc_offs[:-1], len(src_off) - 1)
-        )
-    else:
-        doc_sorted = np.ones(n_docs, dtype=bool)
-    doc_sorted[lengths == 0] = True
+        nondecreasing[ne_starts] = True
+        doc_sorted[nonempty] = np.logical_and.reduceat(nondecreasing, ne_starts)
 
     label_l = label.tolist()
     heading_l = heading.tolist()
@@ -128,10 +131,9 @@ def assemble_batch(batch: pa.Table, *, order_fn=None) -> pa.Table:
     is_media_l = is_media_kind.tolist()
     is_image_l = is_image_kind.tolist()
     src_off_l = src_off.tolist()
-    any_pdf_doc = np.logical_or.reduceat(
-        is_pdf_kind, np.minimum(doc_offs[:-1], max(len(src_off) - 1, 0))
-    ) if len(src_off) else np.zeros(n_docs, dtype=bool)
-    any_pdf_doc = any_pdf_doc & (lengths > 0)
+    any_pdf_doc = np.zeros(n_docs, dtype=bool)
+    if ne_starts.size:
+        any_pdf_doc[nonempty] = np.logical_or.reduceat(is_pdf_kind, ne_starts)
 
     out_kind: list[str] = []
     out_text: list[str] = []

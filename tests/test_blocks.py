@@ -249,3 +249,38 @@ def test_assemble_handles_unsorted_span_order(ray_session):
     out_sorted = assemble_batch(scorer(t)).to_pylist()
     out_shuf = assemble_batch(scorer(t_shuf)).to_pylist()
     assert out_sorted == out_shuf
+
+
+def test_assemble_trailing_empty_doc_preserves_last_span(ray_session):
+    """Regression: a TRAILING empty doc must not corrupt the preceding
+    doc's batch-wide segment reductions (the clamped-reduceat bug dropped
+    the last span from sortedness/any-pdf checks, so a malformed pdf span
+    in last position lost its error flag)."""
+    import pyarrow as pa
+
+    from layout_analysis_ray import oracle
+    from layout_analysis_ray.sources.synth import DOCS_SCHEMA
+    from layout_analysis_ray.stages.assemble import assemble_batch
+    from layout_analysis_ray.stages.score import SpanScorer
+
+    rows = [
+        {
+            "doc_id": "d0",
+            "spans": [
+                {"kind": "html", "text": "<p></p>", "media_ref": "", "offset": 0},
+                {"kind": "text", "text": "", "media_ref": "", "offset": 1},
+                {"kind": "pdf_block", "text": '{"x0": 1', "media_ref": "", "offset": 2},
+            ],
+        },
+        {"doc_id": "d1", "spans": []},
+    ]
+    t = pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+    out = assemble_batch(SpanScorer()(t)).to_pylist()
+    got = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in out
+    }
+    for r in rows:
+        assert got[r["doc_id"]] == oracle.extract_doc(r["spans"])
