@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 57 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (38) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 58 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (39) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": windows.running_total,
         "events_props_json": windows.props_json_extract,
         "events_hopping_1h_30m": windows.hopping_1h_30m,
+        "events_mode_value_by_type": windows.mode_value_by_type,
         "events_top_per_user": windows.top_event_per_user,
         "events_asof_last_purchase": windows.asof_last_purchase,
         "events_range_join_purchase": windows.range_join_after_purchase,
@@ -510,6 +511,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(qs.q_ppm AS BIGINT) AS q_ppm, r.c AS value_cents
             FROM qs, n, r
             WHERE r.rn = (CAST(qs.q_ppm AS BIGINT) * n.n + 999999) // 1000000
+        """,
+        # exact mode per type: most frequent cents value, ties -> smallest
+        "events_mode_value_by_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value*100) AS BIGINT) AS c,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, c, n,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY n DESC, c ASC) AS rn
+                  FROM c)
+            SELECT event_type, c AS mode_cents, CAST(n AS BIGINT) AS n
+            FROM r WHERE rn = 1
         """,
         "events_value_median_by_type": """
             WITH v AS (SELECT event_type,

@@ -194,6 +194,68 @@ def props_json_extract(sf_dir: str):
 HOP_US = 1_800_000_000  # 30-min hop, 1-hour (= 2 hops) window
 
 
+def mode_value_by_type(sf_dir: str):
+    """EXACT mode per event_type: the most frequent value_cents (ties ->
+    smallest value) with its count — the exact sibling of the approximate
+    CMS heavy-hitter path.
+
+    Scale shape: per-batch partial (type, cents) counts -> one keyed
+    groupby of partials (shuffle moves distinct pairs per block, not rows)
+    -> per-block partial top-1 per type -> tiny final merge.  No per-group
+    Python call anywhere; works at any type cardinality."""
+    from ..pipelines.relational import _partial_then_global
+
+    ds = _read_events(sf_dir, ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "mode_cents": cents,
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    counts = _partial_then_global(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "mode_cents"],
+        ["n"],
+    )
+
+    def block_top1(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["event_type", "n", "mode_cents"], ascending=[True, False, True]
+        )
+        t = df["event_type"].to_numpy()
+        first = np.empty(len(df), dtype=bool)
+        if len(df):
+            first[0] = True
+            first[1:] = t[1:] != t[:-1]
+        return pa.Table.from_pandas(df[first], preserve_index=False)
+
+    merged = (
+        counts.map_batches(block_top1, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(
+            lambda g: g.sort_values(
+                ["n", "mode_cents"], ascending=[False, True]
+            ).head(1),
+            batch_format="pandas",
+        )
+    )
+    return _ensure_schema(
+        merged,
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("mode_cents", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+
+
 def hopping_1h_30m(sf_dir: str):
     """Hopping windows (1h length, 30m hop): each event lands in exactly two
     windows; the window assignment is derived inside map_batches (each event
