@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 58 entries); ``oracle_sql()`` gives the
+(SURVEY.md §2 + §8 coverage map: 59 entries); ``oracle_sql()`` gives the
 DuckDB-equivalent SQL for every SQL-expressible query (39) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
@@ -113,6 +113,14 @@ def _media_features(sf_dir: str):
     return media_features(sf_dir).map_batches(proj, batch_format="pyarrow")
 
 
+def _media_frame_sample(sf_dir: str):
+    """Uniform-stride frame sampling rows (doc_id, media_ref, n_frames,
+    frame_idx) — deterministic, golden-pinned."""
+    from layout_analysis_ray.stages.media import frame_sample
+
+    return frame_sample(sf_dir)
+
+
 def _extract_error_docs(sf_dir: str):
     """Quarantine visibility: doc_ids whose extraction emitted an 'error'
     span (poison docs survive as rows, never as task failures)."""
@@ -150,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans_cluster_order": _extract_spans_cluster_order,
         "extract_spans_flood_order": _extract_spans_flood_order,
         "media_features": _media_features,
+        "media_frame_sample": _media_frame_sample,
         # relational operators
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,

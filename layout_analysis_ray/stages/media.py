@@ -178,3 +178,43 @@ def media_features(
         num_cpus=1,
         **kwargs,
     )
+
+
+def frame_sample(sf_dir: str, k: int = 4, **feat_kwargs):
+    """Uniform-stride frame sampling for multi-frame media (the brief's
+    frame-sample stage): each media item expands to ``min(k, n_frames)``
+    (doc_id, media_ref, frame_idx) rows with frame indices evenly spaced
+    over [0, n_frames) — deterministic, so downstream per-frame decode
+    fetches exactly the same frames on any rerun.
+
+    Plumbing-real like the rest of the media path: frame COUNTS come from
+    the featurizer's metadata (stub or injected real decoder); the
+    expansion itself is a vectorized flat map (prefix sums + repeat), one
+    row per sampled frame, streaming."""
+    feats = media_features(sf_dir, **feat_kwargs)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        nf = batch.column("n_frames").to_numpy(zero_copy_only=False).astype(np.int64)
+        take = np.minimum(nf, k)
+        total = int(take.sum())
+        row = np.repeat(np.arange(len(nf)), take)
+        # j-th sampled frame of item i: floor(j * n_frames[i] / take[i])
+        j = np.arange(total) - np.repeat(np.cumsum(take) - take, take)
+        frame_idx = (j * nf[row]) // np.maximum(take[row], 1)
+        ids = batch.column("doc_id")
+        refs = batch.column("media_ref")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if isinstance(refs, pa.ChunkedArray):
+            refs = refs.combine_chunks()
+        idx = pa.array(row)
+        return pa.table(
+            {
+                "doc_id": ids.take(idx),
+                "media_ref": refs.take(idx),
+                "n_frames": pa.array(nf[row], pa.int32()),
+                "frame_idx": pa.array(frame_idx.astype(np.int32), pa.int32()),
+            }
+        )
+
+    return feats.map_batches(expand, batch_format="pyarrow")

@@ -189,6 +189,7 @@ def test_queries_oracle_keys_consistent():
         "extract_spans_cluster_order",
         "extract_spans_flood_order",
         "media_features",
+        "media_frame_sample",
         "dedup_minhash_pairs",
         "dedup_simhash",
         "dedup_simhash_pairs",
