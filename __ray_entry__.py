@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": rel.anti_join_customers,
         "split_hash_buckets": rel.split_hash_buckets,
         "q_join_bucketed": joins.q_join_bucketed,
+        "q_join_bucketed_agg": joins.q_join_bucketed_agg,
         # stream-shaped windows
         "events_tumbling_1h": windows.tumbling_hourly,
         "events_sessionize": windows.sessionize,
@@ -306,6 +307,14 @@ def oracle_sql() -> dict[str, str]:
               COUNT(*) AS n
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "q_join_bucketed_agg": """
+            SELECT o_orderkey,
+              CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+              COUNT(*) AS n_lines
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey
         """,
         "events_tumbling_1h": """
             SELECT event_type,

@@ -166,7 +166,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     med = sorted(t for k, t in timings.items() if k != HEADLINE)[len(others) // 2]
     for name, fn in others.items():
         if timings[name] > max(2.5 * med, 3.0):
-            timings[name] = min(timings[name], run_once(fn))
+            # record the RETRY (steady-state) value, not min(cold, warm):
+            # min-of-two would bias retried queries low vs once-run ones
+            timings[name] = run_once(fn)
 
     ray.shutdown()
     headline_sec = timings[HEADLINE]

@@ -128,6 +128,43 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_media(args) -> int:
+    """Media featurize / frame-sample pipeline -> parquet.
+
+    ``--decoder demo`` injects ``demo_real_decoder`` so the end-to-end
+    ``decode_mode == "real"`` path (actor pool with an injected decode
+    kernel) is reachable from the CLI, not just pytest; the default uses
+    the deterministic stub (no media libs in this sandbox)."""
+    _ensure_ray()
+    from .stages.media import demo_real_decoder, frame_sample, media_features
+
+    decoder = demo_real_decoder if args.decoder == "demo" else None
+    if args.frames:
+        ds = frame_sample(args.sf_dir, k=args.frames, decoder=decoder)
+    else:
+        ds = media_features(args.sf_dir, decoder=decoder)
+    ds.write_parquet(args.out)
+    import ray.data as rd
+
+    out = rd.read_parquet(args.out)
+    modes = (
+        sorted({r["decode_mode"] for r in out.select_columns(["decode_mode"]).take_all()})
+        if not args.frames
+        else []
+    )
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "rows": out.count(),
+                "decoder": args.decoder,
+                "decode_modes": modes,
+            }
+        )
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="layout_analysis_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -160,6 +197,26 @@ def main(argv=None) -> int:
     pv.add_argument("--a", required=True)
     pv.add_argument("--b", required=True)
     pv.set_defaults(fn=cmd_evaluate)
+
+    pm = sub.add_parser(
+        "media",
+        help="featurize media spans (optionally frame-sample) to parquet",
+    )
+    pm.add_argument("--sf-dir", required=True)
+    pm.add_argument("--out", required=True)
+    pm.add_argument(
+        "--decoder",
+        default="stub",
+        choices=["stub", "demo"],
+        help="'demo' injects the demo real-decode kernel (decode_mode=real)",
+    )
+    pm.add_argument(
+        "--frames",
+        type=int,
+        default=0,
+        help="if >0, emit uniform-stride frame samples (k per item)",
+    )
+    pm.set_defaults(fn=cmd_media)
 
     pc_ = sub.add_parser(
         "compact",

@@ -465,20 +465,45 @@ def ngram_jaccard_consecutive(sf_dir: str):
 
     Scale shape: a hash-partition self-join (``Dataset.join``) of the
     shingle-set table with itself on (doc_id) = (doc_id - 1); shingle sets
-    travel as list<string> columns, the jaccard is computed vectorized-ish
-    post-join.  Nothing is ever materialized on the driver."""
+    are hashed to 64-bit ints at build time (ONE ``pd.util.hash_array``
+    call per batch) and travel as packed little-endian binary blobs —
+    scalar join payloads, ~8 bytes/shingle instead of the raw strings.
+    Post-join the jaccard is one vectorized lexsort/bincount kernel per
+    partition — no per-pair Python sets.  64-bit hashing keeps collision
+    odds negligible (a 31-bit space would visibly corrupt counts at SF>=1).
+    Nothing is ever materialized on the driver."""
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # join payloads must be scalar types: pack the sorted set into one
-        # unit-separator-delimited string, unpack after the join
-        sets = [
-            "\x1f".join(sorted(set(_shingles(t)))) for t in batch["text"].to_pylist()
-        ]
+        texts = batch["text"].to_pylist()
+        all_sh: list[str] = []
+        seg_parts = []
+        for i, t in enumerate(texts):
+            sh = _shingles(t)
+            if sh:
+                all_sh.extend(sh)
+                seg_parts.append(np.full(len(sh), i, dtype=np.int64))
+        n = len(texts)
+        counts = np.zeros(n, dtype=np.int64)
+        if all_sh:
+            seg = np.concatenate(seg_parts)
+            h = pd.util.hash_array(np.asarray(all_sh, dtype=object))  # uint64
+            order = np.lexsort((h, seg))
+            s, v = seg[order], h[order]
+            keep = np.ones(s.size, dtype=bool)
+            keep[1:] = (s[1:] != s[:-1]) | (v[1:] != v[:-1])
+            s, v = s[keep], v[keep]  # per-doc sorted distinct hashes
+            counts = np.bincount(s, minlength=n)
+            buf = v.astype("<u8").tobytes()
+        else:
+            buf = b""
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        sets = [buf[offs[i] * 8 : offs[i + 1] * 8] for i in range(n)]
         return pa.table(
             {
                 "doc_id": pa.array(ids),
-                "sh": pa.array(sets, pa.string()),
+                "sh": pa.array(sets, pa.binary()),
             }
         )
 
@@ -514,15 +539,36 @@ def ngram_jaccard_consecutive(sf_dir: str):
     )
 
     def jaccard(batch: pa.Table) -> pa.Table:
-        sh_a = batch["sh_a"].to_pylist()
-        sh_b = batch["sh_b"].to_pylist()
-        out = np.empty(len(sh_a), dtype=np.int64)
-        for i, (a, b) in enumerate(zip(sh_a, sh_b)):
-            sa = set(a.split("\x1f")) if a else set()
-            sb = set(b.split("\x1f")) if b else set()
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            out[i] = (inter * 1_000_000) // union if union else 0
+        """Vectorized set intersection over every pair in the batch: both
+        sides are sorted-distinct hash lists, so a single lexsort of
+        (pair, value) over the concatenation makes intersections exactly
+        the adjacent duplicates — one bincount, no Python per pair."""
+        sh_a = batch["sh_a"].combine_chunks() if isinstance(
+            batch["sh_a"], pa.ChunkedArray
+        ) else batch["sh_a"]
+        sh_b = batch["sh_b"].combine_chunks() if isinstance(
+            batch["sh_b"], pa.ChunkedArray
+        ) else batch["sh_b"]
+        n = len(sh_a)
+        a_bufs = sh_a.to_pylist()  # one bytes object per row (not per shingle)
+        b_bufs = sh_b.to_pylist()
+        len_a = np.fromiter((len(x) // 8 for x in a_bufs), np.int64, n)
+        len_b = np.fromiter((len(x) // 8 for x in b_bufs), np.int64, n)
+        va = np.frombuffer(b"".join(a_bufs), dtype="<u8")
+        vb = np.frombuffer(b"".join(b_bufs), dtype="<u8")
+        seg = np.concatenate(
+            [np.repeat(np.arange(n, dtype=np.int64), len_a),
+             np.repeat(np.arange(n, dtype=np.int64), len_b)]
+        )
+        vals = np.concatenate([va, vb])
+        order = np.lexsort((vals, seg))
+        s, v = seg[order], vals[order]
+        dup = np.zeros(s.size, dtype=bool)
+        if s.size > 1:
+            dup[1:] = (s[1:] == s[:-1]) & (v[1:] == v[:-1])
+        inter = np.bincount(s[dup], minlength=n) if s.size else np.zeros(n, np.int64)
+        union = len_a + len_b - inter
+        out = np.where(union > 0, (inter * 1_000_000) // np.maximum(union, 1), 0)
         return pa.table(
             {
                 "doc_a": batch["doc_a"],

@@ -69,6 +69,8 @@ def bucketed_join(
     num_buckets: int = 64,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    post_probe=None,
+    post_schema: pa.Schema | None = None,
 ):
     """Inner equi-join of two Datasets on int64 keys via explicit bucketing.
 
@@ -80,6 +82,14 @@ def bucketed_join(
     them: ``Dataset.schema()`` EXECUTES part of the upstream pipeline to
     infer types, and on a shuffle-bearing input (e.g. a chained join) that
     means running the whole exchange once per probe — a silent 2x-4x.
+
+    ``post_probe`` is the bucket-layout-reuse hook this module's header
+    promises: a vectorized ``pa.Table -> pa.Table`` applied to each bucket's
+    joined rows INSIDE the same map_groups.  Because a key's rows are all in
+    one bucket, any stage keyed on the join key (a groupby-aggregate, a
+    second join probe) completes per-bucket — the whole join+stage pipeline
+    runs on ONE all-to-all exchange instead of two.  Pass ``post_schema``
+    (its output schema) alongside it for empty buckets.
     """
     ls = left_schema if left_schema is not None else left.schema()
     rs = right_schema if right_schema is not None else right.schema()
@@ -146,12 +156,77 @@ def bucketed_join(
         + [(c, right_types[c]) for c in right_cols]
     )
 
+    final_schema = post_schema if post_probe is not None else out_schema
+    if post_probe is not None and post_schema is None:
+        raise ValueError("post_probe requires post_schema")
+
     def probe_safe(group: pa.Table) -> pa.Table:
         out = probe(group)
-        return out.cast(out_schema) if out.num_rows else out_schema.empty_table()
+        if out.num_rows == 0:
+            return final_schema.empty_table()
+        if post_probe is not None:
+            out = post_probe(out.cast(out_schema))
+        return out.cast(final_schema) if out.num_rows else final_schema.empty_table()
 
     return lt.union(rt).groupby("__bucket").map_groups(
         probe_safe, batch_format="pyarrow"
+    )
+
+
+def q_join_bucketed_agg(sf_dir: str):
+    """Per-order revenue via the bucketed join with the groupby(o_orderkey)
+    aggregate FUSED into the probe stage (``post_probe``): join + aggregate
+    on the same key, ONE all-to-all exchange total — the bucket-layout
+    reuse the module header promises, oracle-checked in __ray_entry__ and
+    exchange-counted in tests/test_functions.py."""
+    from layout_analysis_ray.pipelines.relational import _cents, _read
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+
+    def prep_li(batch: pa.Table) -> pa.Table:
+        price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "revenue_e4": pa.array(price_c * (100 - disc_c)),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(prep_li, batch_format="pyarrow")
+
+    def per_key_agg(joined: pa.Table) -> pa.Table:
+        g = joined.group_by("o_orderkey").aggregate(
+            [("revenue_e4", "sum"), ("revenue_e4", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderkey": g["o_orderkey"],
+                "revenue_e4": pc.cast(g["revenue_e4_sum"], pa.int64()),
+                "n_lines": pc.cast(g["revenue_e4_count"], pa.int64()),
+            }
+        )
+
+    return bucketed_join(
+        orders,
+        li,
+        "o_orderkey",
+        "l_orderkey",
+        num_buckets=32,
+        left_schema=pa.schema([("o_orderkey", pa.int64())]),
+        right_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("revenue_e4", pa.int64())]
+        ),
+        post_probe=per_key_agg,
+        post_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("revenue_e4", pa.int64()),
+                ("n_lines", pa.int64()),
+            ]
+        ),
     )
 
 

@@ -24,6 +24,7 @@ _REGION_RE = re.compile(
 )
 _KIND_RE = re.compile(r'<TextRegion[^>]*\btype="([^"]*)"')
 _TEXT_RE = re.compile(r"<Unicode>(.*?)</Unicode>", re.S)
+_BASELINE_RE = re.compile(r'<Baseline\s+points="([^"]*)"')
 
 
 def _esc(s: str) -> str:
@@ -41,13 +42,20 @@ def _unesc(s: str) -> str:
 
 
 def doc_to_page_xml(doc_id: str, spans: list[dict], width: int = 2000,
-                    height: int = 3000) -> str:
+                    height: int = 3000,
+                    baselines: list[list[tuple[int, int]]] | None = None) -> str:
     """Serialize one extracted document to a PcGts string.
 
     Spans have no raster geometry in the flow path, so each span's rectangle
     is a synthetic full-width band stacked by ``offset`` — what matters for
     parity is the structure: region ids ``r{i+1}`` in emission order
     (HelperMethods.py:147-150), ``"y,x"`` corner serialization (``:152``).
+
+    ``baselines`` (optional): polylines of in-memory ``(y, x)`` points,
+    serialized ``"x,y"`` on disk inside ``TextLine/Baseline`` elements —
+    the same axis-swap contract as the reference's baseline reader
+    (``get_line_coords``, HelperMethods.py:35-45), so a sidecar XML user
+    round-trips them losslessly.
     """
     out = [
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>',
@@ -67,8 +75,30 @@ def doc_to_page_xml(doc_id: str, spans: list[dict], width: int = 2000,
             f"<TextEquiv><Unicode>{_esc(payload)}</Unicode></TextEquiv>"
             f"</TextRegion>"
         )
+    for j, line in enumerate(baselines or []):
+        pts = " ".join(f"{x},{y}" for (y, x) in line)
+        out.append(
+            f'<TextLine id="l{j + 1}"><Baseline points="{pts}"/></TextLine>'
+        )
     out.append("</Page></PcGts>")
     return "\n".join(out)
+
+
+def page_xml_baselines(xml: str) -> list[list[tuple[int, int]]]:
+    """Baseline polylines as in-memory ``(y, x)`` point lists — the regex
+    analogue of the reference's ``get_line_coords`` (HelperMethods.py:35-45),
+    which iterates every ``Baseline`` element regardless of nesting and
+    swaps ``"x,y"`` disk points to ``(y, x)``."""
+    lines = []
+    for pts in _BASELINE_RE.findall(xml):
+        line = []
+        for p in pts.split(" "):
+            if not p:
+                continue
+            x, y = p.split(",")
+            line.append((int(y), int(x)))
+        lines.append(line)
+    return lines
 
 
 def page_xml_to_spans(xml: str) -> list[dict]:

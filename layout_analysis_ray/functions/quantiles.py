@@ -31,12 +31,12 @@ import pyarrow.compute as pc
 
 N_BUCKETS = 4096
 DEFAULT_QS_PPM = (250_000, 500_000, 750_000, 900_000)
+# above this many unresolved groups the per-pass interval table is shipped
+# once via ray.put instead of riding in every task closure
+GROUPED_BROADCAST_ROWS = 100_000
 
 
-def _cents(col) -> pa.Array:
-    """double -> exact integer cents, same convention as the relational
-    queries (DuckDB mirror: CAST(round(x*100) AS BIGINT))."""
-    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+from .numeric import cents_arrow as _cents  # noqa: E402 — shared convention
 
 
 def _min_max_count(make_ds) -> tuple[int, int, int]:
@@ -237,20 +237,40 @@ def grouped_quantile(make_ds, q_ppm: int) -> dict[str, int]:
 
         groups = sorted(state)
         g_idx = {g: i for i, g in enumerate(groups)}
+        group_arr = pa.array(groups, pa.string())
         lo_arr = np.array([state[g][0] for g in groups], dtype=np.int64)
         hi_arr = np.array([state[g][1] for g in groups], dtype=np.int64)
         w_arr = np.maximum(1, -((-(hi_arr - lo_arr + 1)) // N_BUCKETS))
 
-        def hist(batch: pa.Table) -> pa.Table:
-            import pandas as pd
+        # interval table travels in the task closure while it's tiny; above
+        # the documented bound it graduates to one object-store put so huge
+        # group counts aren't re-shipped per task.
+        if len(groups) > GROUPED_BROADCAST_ROWS:
+            import ray
 
-            gv = pd.Series(batch["g"].to_pylist()).map(g_idx)
-            iv = gv.to_numpy()
-            known = ~pd.isna(gv).to_numpy()
+            _ref = ray.put((group_arr, lo_arr, hi_arr, w_arr))
+
+            def _fetch():
+                import ray as _ray
+
+                return _ray.get(_ref)
+
+        else:
+            _local = (group_arr, lo_arr, hi_arr, w_arr)
+
+            def _fetch():
+                return _local
+
+        def hist(batch: pa.Table) -> pa.Table:
+            ga, lo_a, hi_a, w_a = _fetch()
+            # Arrow hash-kernel group lookup — no Python-object conversion
+            idx = pc.index_in(batch["g"], value_set=ga)
+            known = np.asarray(pc.is_valid(idx).to_numpy(zero_copy_only=False))
+            iv_i = np.asarray(
+                pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
             v = batch["v"].to_numpy(zero_copy_only=False)
-            iv_i = np.zeros(len(v), dtype=np.int64)
-            iv_i[known] = iv[known].astype(np.int64)
-            inr = known & (v >= lo_arr[iv_i]) & (v <= hi_arr[iv_i])
+            inr = known & (v >= lo_a[iv_i]) & (v <= hi_a[iv_i])
             if not inr.any():
                 return pa.table(
                     {
@@ -260,7 +280,7 @@ def grouped_quantile(make_ds, q_ppm: int) -> dict[str, int]:
                     }
                 )
             ivs = iv_i[inr]
-            b = (v[inr] - lo_arr[ivs]) // w_arr[ivs]
+            b = (v[inr] - lo_a[ivs]) // w_a[ivs]
             comp = ivs * np.int64(N_BUCKETS) + b
             binc = np.bincount(comp)
             nz = np.nonzero(binc)[0]

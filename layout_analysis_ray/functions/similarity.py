@@ -22,6 +22,9 @@ import pyarrow as pa
 KNN_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 NEARDUP_COS_PPM = 300_000  # cosine >= 0.30
+# hard cap for the exact O(n^2) near-dup baseline (corpus matrix broadcast):
+# ~1M x 64 float32 ≈ 256 MiB per worker heap; beyond this use the LSH path
+NEARDUP_BRUTE_MAX_ROWS = 1_000_000
 # Tuned offline on the synthetic embeddings (near-random vectors, the
 # hardest case for hyperplane LSH): 8 planes / Hamming radius 3 gives
 # ~0.6 recall@5 while scanning ~38% of the corpus.  Clustered real-world
@@ -126,10 +129,20 @@ def neardup_pairs(sf_dir: str):
     exactly once.  O(n^2) compute with O(corpus) per-worker memory — only
     viable while the corpus matrix fits a worker heap.  The scale shape is
     ``neardup_pairs_lsh`` below (banded hyperplane LSH; no corpus-sized
-    broadcast, recall-gated in tests)."""
+    broadcast, recall-gated in tests).  Guard-railed: refuses corpora above
+    ``NEARDUP_BRUTE_MAX_ROWS`` so nobody silently ``ray.put``s a
+    billion-vector matrix — use the LSH path there."""
     import pyarrow.parquet as pq
     import ray
 
+    meta = pq.read_metadata(f"{sf_dir}/embeddings.parquet")
+    if meta.num_rows > NEARDUP_BRUTE_MAX_ROWS:
+        raise ValueError(
+            f"embedding_neardup_pairs is the exact O(n^2) baseline and is "
+            f"capped at {NEARDUP_BRUTE_MAX_ROWS} vectors (corpus has "
+            f"{meta.num_rows}); use embedding_neardup_pairs_lsh, the scale "
+            f"path, instead"
+        )
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     all_ids, all_m = _emb_matrix(t)
     order = np.argsort(all_ids)
@@ -140,14 +153,13 @@ def neardup_pairs(sf_dir: str):
         ids, m = _emb_matrix(batch)
         sims = _normalize(m) @ an.T
         thresh = NEARDUP_COS_PPM / 1_000_000.0
-        out_a, out_b = [], []
-        for r in range(len(ids)):
-            mask = (aids > ids[r]) & (sims[r] >= thresh)
-            for b in aids[mask]:
-                out_a.append(int(ids[r]))
-                out_b.append(int(b))
+        mask = (sims >= thresh) & (aids[None, :] > ids[:, None])
+        r, c = np.nonzero(mask)  # row-major: same emit order as a row loop
         return pa.table(
-            {"vec_a": pa.array(out_a, pa.int64()), "vec_b": pa.array(out_b, pa.int64())}
+            {
+                "vec_a": pa.array(ids[r].astype(np.int64)),
+                "vec_b": pa.array(aids[c].astype(np.int64)),
+            }
         )
 
     return _read_emb(sf_dir).map_batches(score, batch_format="pyarrow")

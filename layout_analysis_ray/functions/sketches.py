@@ -188,9 +188,12 @@ def heavy_hitter_tokens(sf_dir: str, top_k: int = 20):
     lvl1 = sketch_parts.groupby("mpart").map_groups(merge_rows, batch_format="pandas")
     lvl2 = lvl1.groupby("mpart").map_groups(merge_rows, batch_format="pandas")
     merged_row = lvl2.take_all()  # exactly one 64 KiB row: the final aggregate
-    sketch = np.frombuffer(merged_row[0]["payload"], dtype=np.int64).reshape(
-        CMS_D, CMS_W
-    )
+    if merged_row:
+        sketch = np.frombuffer(merged_row[0]["payload"], dtype=np.int64).reshape(
+            CMS_D, CMS_W
+        )
+    else:  # empty / all-empty-text corpus: no sketch rows at all
+        sketch = np.zeros((CMS_D, CMS_W), dtype=np.int64)
     sketch_ref = ray.put(sketch)
 
     cands = parts.map_batches(

@@ -21,6 +21,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .numeric import cents_arrow, cents_np
+
 SESSION_GAP_S = 1800
 HOUR_US = 3_600_000_000
 
@@ -43,7 +45,7 @@ def tumbling_hourly(sf_dir: str):
     def prep(batch: pa.Table) -> pa.Table:
         ts_us = batch["ts"].cast(pa.int64())
         hour = pc.divide(ts_us, pa.scalar(HOUR_US, pa.int64()))
-        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        cents = cents_arrow(batch["value"])
         return pa.table(
             {
                 "event_type": batch["event_type"],
@@ -76,7 +78,6 @@ def _add_user_part(batch: pa.Table) -> pa.Table:
 
 
 from .schema import ensure_schema as _ensure_schema  # shared empty-safe cast
-
 
 _SESSION_SCHEMA = pa.schema(
     [
@@ -151,7 +152,7 @@ def running_total(sf_dir: str):
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
         u = g["user_id"].to_numpy()
-        cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        cents = cents_np(g["value"].to_numpy())
         cum = np.cumsum(cents)
         new_user = np.empty(len(g), dtype=bool)
         new_user[0] = True
@@ -208,7 +209,7 @@ def mode_value_by_type(sf_dir: str):
     ds = _read_events(sf_dir, ["event_type", "value"])
 
     def prep(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        cents = cents_arrow(batch["value"])
         return pa.table(
             {
                 "event_type": batch["event_type"],
@@ -269,7 +270,7 @@ def hopping_1h_30m(sf_dir: str):
         ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         half = ts_us // HOP_US
         cents = (
-            pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+            cents_arrow(batch["value"])
             .to_numpy(zero_copy_only=False)
         )
         types = batch["event_type"]
@@ -312,7 +313,7 @@ def top_event_per_user(sf_dir: str):
         return df[first]
 
     def prep(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        cents = cents_arrow(batch["value"])
         t = pa.table(
             {
                 "user_id": batch["user_id"],
@@ -527,13 +528,15 @@ def sessionize_salted(sf_dir: str, bucket_us: int = SALT_BUCKET_US):
 
 def asof_last_purchase_salted(sf_dir: str, bucket_us: int = SALT_BUCKET_US):
     """As-of join with time-range salting; identical output to
-    ``asof_last_purchase``.  Phase 1 computes, per (user, bucket), the last
-    reference event (tiny summary); a per-user prefix scan turns those into
-    carry-in ids per bucket; phase 2 resolves each chunk locally with its
-    broadcast carry-in.  (At extreme user x bucket cardinality the carry
-    table would graduate from broadcast to a join on (user, bucket).)"""
-    import ray
-
+    ``asof_last_purchase``.  Each (user, bucket) chunk resolves locally
+    against its own refs plus a carry-in: the ref id of the user's last
+    reference bucket strictly below it.  Because ``__upart`` partitions by
+    user hash, every user's chunk SUMMARIES (one row per user x ref-bucket,
+    never events) are partition-local, so the per-user prefix scan runs
+    inside the same coarse-partition kernel — nothing lands on the driver
+    and the corpus is scanned once.  (On a partitioner that split one
+    user's buckets across workers, the summary table would instead be
+    joined back on (user_id, tbucket).)"""
     ds = _with_bucket(
         _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"]), bucket_us
     )
@@ -565,32 +568,20 @@ def asof_last_purchase_salted(sf_dir: str, bucket_us: int = SALT_BUCKET_US):
             }
         )
 
-    ref_rows = (
-        ds.map_batches(_add_user_part, batch_format="pyarrow")
-        .groupby("__upart")
-        .map_groups(
-            lambda g: last_ref_part(g.drop(columns="__upart")),
-            batch_format="pandas",
-        )
-        .to_pandas()
-    )
-    # per user: sorted (ref buckets, ref ids) — carry-in for bucket b is the
-    # ref id of the largest ref-bucket strictly below b (binary search, so
-    # sparse bucket numbering costs nothing).  A corpus with zero reference
-    # events yields an EMPTY (and, per the Ray empty-block quirk,
-    # column-less) ref table — every event then resolves to carry -1.
-    carry: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    if len(ref_rows) and "user_id" in ref_rows.columns:
+    def merge_part(part: pd.DataFrame) -> pd.DataFrame:
+        # per user: sorted (ref buckets, ref ids) from the PARTITION-LOCAL
+        # chunk summaries — carry-in for bucket b is the ref id of the
+        # largest ref-bucket strictly below b (binary search, so sparse
+        # bucket numbering costs nothing).  A partition with zero reference
+        # events resolves every event to carry -1.
+        ref_rows = last_ref_part(part)
+        cmap: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for uid, grp in ref_rows.groupby("user_id", sort=False):
             grp = grp.sort_values("tbucket")
-            carry[int(uid)] = (
+            cmap[int(uid)] = (
                 grp["tbucket"].to_numpy(dtype=np.int64),
                 grp["ref_id"].to_numpy(dtype=np.int64),
             )
-    carry_ref = ray.put(carry)
-
-    def merge_part(part: pd.DataFrame) -> pd.DataFrame:
-        cmap = ray.get(carry_ref)
         out_e, out_r = [], []
         for (uid, b), g in part.groupby(["user_id", "tbucket"], sort=False):
             carry_id = -1

@@ -31,7 +31,17 @@ def scorer_pool_size(num_cpus: int) -> int:
     """Scorer actor count for a node with ``num_cpus``: ~7/16 of the CPUs
     (round-2 sweep at 16 CPUs: pool 7 -> 118k docs/s vs 101k@5 / 107k@9 /
     75k@11; at 32 CPUs pool 14 beats 12), always leaving headroom so task
-    ops never starve (a pool == num_cpus deadlocks the pipeline)."""
+    ops never starve (a pool == num_cpus deadlocks the pipeline).
+
+    Raises on ``num_cpus <= 1``: a single-CPU session cannot host the actor
+    pool AND the read/assemble/write tasks — the max(1, ...) clamp would
+    otherwise silently return a pool equal to the CPU count, the exact
+    deadlock this function exists to prevent."""
+    if num_cpus <= 1:
+        raise ValueError(
+            "extract needs >= 2 CPUs: a 1-CPU session cannot run the scorer "
+            "actor pool alongside read/assemble/write tasks (deadlock)"
+        )
     return max(1, min(round(num_cpus * 7 / 16), num_cpus - 1))
 
 

@@ -44,7 +44,9 @@ def _read(sf_dir: str, table: str, columns=None, row_filter=None):
 
 def _cents(arr) -> pa.Array:
     """Exact 2-dp doubles -> int64 cents."""
-    return pc.cast(pc.round(pc.multiply(arr, 100.0)), pa.int64())
+    from ..functions.numeric import cents_arrow
+
+    return cents_arrow(arr)
 
 
 def _partial_then_global(ds, keys: list[str], sum_cols: list[str]):

@@ -41,44 +41,69 @@ DEFAULT_MAX_SPANS = 2048
 
 
 def split_giant_batch(batch: pa.Table, *, max_spans: int) -> pa.Table:
-    """Doc rows -> chunk rows (doc_id, chunk_id, n_chunks, spans)."""
+    """Doc rows -> chunk rows (doc_id, chunk_id, n_chunks, spans).
+
+    Non-giant rows (the overwhelming majority) pass through as a zero-copy
+    Arrow ``filter`` — no Python materialization.  Only the giant minority is
+    exploded, and that via ``ListArray`` offset surgery over the flattened
+    values (``take`` + vectorized chunk offsets), never ``to_pylist``.
+    Null span lists ride through untouched (the scorer treats null == []).
+    """
     spans = batch.column("spans")
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
+    doc_ids = batch.column("doc_id")
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
     lengths = np.asarray(
         pc.fill_null(pc.list_value_length(spans), 0).to_numpy(zero_copy_only=False)
     ).astype(np.int64)
-    ids = batch.column("doc_id").to_pylist()
+    giant = lengths > max_spans
 
-    out_ids: list[str] = []
-    out_chunk: list[int] = []
-    out_nchunks: list[int] = []
-    out_spans: list = []
-    for r, (doc_id, n) in enumerate(zip(ids, lengths)):
-        row_spans = spans[r]
-        if n <= max_spans:
-            out_ids.append(doc_id)
-            out_chunk.append(0)
-            out_nchunks.append(1)
-            out_spans.append(row_spans.as_py() if row_spans.is_valid else [])
-            continue
-        vals = row_spans.values
-        n_chunks = int((n + max_spans - 1) // max_spans)
-        for c in range(n_chunks):
-            lo = c * max_spans
-            hi = min(int(n), lo + max_spans)
-            out_ids.append(doc_id)
-            out_chunk.append(c)
-            out_nchunks.append(n_chunks)
-            out_spans.append(vals.slice(lo, hi - lo).to_pylist())
-    return pa.table(
+    # --- zero-copy passthrough for the non-giant rows --------------------
+    small_mask = pa.array(~giant)
+    small_ids = doc_ids.filter(small_mask)
+    small_spans = spans.filter(small_mask)
+    n_small = len(small_ids)
+    small_tbl = pa.table(
         {
-            "doc_id": pa.array(out_ids, pa.string()),
-            "chunk_id": pa.array(out_chunk, pa.int32()),
-            "n_chunks": pa.array(out_nchunks, pa.int32()),
-            "spans": pa.array(out_spans, type=batch.schema.field("spans").type),
+            "doc_id": small_ids,
+            "chunk_id": pa.nulls(n_small, pa.int32()).fill_null(0),
+            "n_chunks": pa.nulls(n_small, pa.int32()).fill_null(1),
+            "spans": small_spans,
         }
     )
+    g_idx = np.nonzero(giant)[0]
+    if not g_idx.size:
+        return small_tbl
+
+    # --- explode giants via offset surgery (no per-span Python) ----------
+    giant_spans = spans.take(pa.array(g_idx))
+    flat = pc.list_flatten(giant_spans)  # values of giant rows, contiguous
+    glens = lengths[g_idx]
+    nch = (glens + max_spans - 1) // max_spans
+    total_chunks = int(nch.sum())
+    row_rep = np.repeat(np.arange(g_idx.size), nch)
+    chunk_in_row = (
+        np.arange(total_chunks) - np.repeat(np.cumsum(nch) - nch, nch)
+    ).astype(np.int64)
+    row_base = np.concatenate([[0], np.cumsum(glens)[:-1]])
+    starts = row_base[row_rep] + chunk_in_row * max_spans
+    # consecutive chunks tile the flat values exactly: chunk i's end is
+    # chunk i+1's start (row ends meet the next row's base), so the offsets
+    # vector is just `starts` plus the final end.
+    offsets = np.append(starts, len(flat))
+    giant_tbl = pa.table(
+        {
+            "doc_id": doc_ids.take(pa.array(g_idx[row_rep])),
+            "chunk_id": pa.array(chunk_in_row, pa.int32()),
+            "n_chunks": pa.array(nch[row_rep], pa.int32()),
+            "spans": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), flat
+            ).cast(batch.schema.field("spans").type),
+        }
+    )
+    return pa.concat_tables([small_tbl, giant_tbl]).combine_chunks()
 
 
 def _concat_list_column(col: pa.ChunkedArray | pa.Array) -> list:

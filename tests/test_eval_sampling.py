@@ -119,6 +119,27 @@ def test_pagexml_roundtrip():
     assert back == spans
 
 
+def test_pagexml_baseline_roundtrip():
+    """Baseline polylines survive the round trip with the reference's
+    axis-swap contract: (y, x) in memory, "x,y" on disk."""
+    from layout_analysis_ray.functions.pagexml import (
+        doc_to_page_xml,
+        page_xml_baselines,
+        page_xml_to_spans,
+    )
+
+    spans = [
+        {"kind": "paragraph", "text": "body", "media_ref": "", "offset": 0},
+    ]
+    lines = [[(10, 5), (10, 400)], [(60, 5), (62, 200), (60, 395)]]
+    xml = doc_to_page_xml("doc-b", spans, baselines=lines)
+    assert 'points="5,10 400,10"' in xml  # x,y serialization
+    assert page_xml_baselines(xml) == lines
+    assert page_xml_to_spans(xml) == spans  # baselines don't disturb spans
+    # and a baseline-free doc parses to no baselines
+    assert page_xml_baselines(doc_to_page_xml("doc-x", spans)) == []
+
+
 def test_pagexml_pipeline(ray_session):
     from layout_analysis_ray.functions.pagexml import page_xml_export
 

@@ -157,6 +157,47 @@ def test_bucketed_join_matches_pandas_merge(ray_session):
     pd.testing.assert_frame_equal(got[["k", "lv", "rv"]], exp[["k", "lv", "rv"]])
 
 
+def test_bucketed_join_agg_single_exchange(ray_session):
+    """Bucket-layout reuse: join + groupby(o_orderkey) aggregate fused via
+    post_probe runs on exactly ONE all-to-all exchange (the bucket groupby
+    appears as a single Sort operator in the executed plan), and matches
+    DuckDB."""
+    import re
+
+    import duckdb
+
+    from layout_analysis_ray.functions.joins import q_join_bucketed_agg
+
+    sf = "/root/testdata/sf0.001"
+    ds = q_join_bucketed_agg(sf)
+    got = (
+        pd.DataFrame(ds.take_all())
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    ops = re.findall(r"Operator \d+ ([^\n:]+)", ds.stats())
+    exchanges = [o for o in ops if "Sort" in o or "Aggregate" in o or "Shuffle" in o]
+    assert exchanges == ["Sort"], ops
+    exp = (
+        duckdb.sql(
+            f"""
+            SELECT o_orderkey,
+              CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+                  AS revenue_e4,
+              COUNT(*) AS n_lines
+            FROM read_parquet('{sf}/orders.parquet') o
+            JOIN read_parquet('{sf}/lineitem.parquet') l
+              ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey ORDER BY o_orderkey
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp.astype({"revenue_e4": "int64", "n_lines": "int64"}))
+
+
 def test_bucketed_join_rejects_column_collision(ray_session):
     import ray.data as rd
 

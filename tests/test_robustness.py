@@ -5,6 +5,7 @@ the CLI surface."""
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import subprocess
 import sys
@@ -249,3 +250,65 @@ def test_cli_compact_preserves_rows(ray_session, tmp_path):
     n_in = len([f for f in os.listdir(src) if f.endswith(".parquet")])
     n_out = len([f for f in os.listdir(out) if f.endswith(".parquet")])
     assert n_out < n_in
+
+
+def test_scorer_pool_size_rejects_single_cpu():
+    import pytest
+
+    from layout_analysis_ray.pipelines.extract import scorer_pool_size
+
+    with pytest.raises(ValueError, match=">= 2 CPUs"):
+        scorer_pool_size(1)
+    assert scorer_pool_size(2) == 1
+    assert scorer_pool_size(16) == 7
+
+
+def test_neardup_brute_guard(tmp_path, monkeypatch):
+    """The exact O(n^2) baseline must refuse corpora above its row cap and
+    point at the LSH scale path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from layout_analysis_ray.functions import similarity
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1], pa.int64()),
+                "embedding": pa.array(
+                    [np.ones(4, np.float32) for _ in range(2)],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    monkeypatch.setattr(similarity, "NEARDUP_BRUTE_MAX_ROWS", 1)
+    with pytest.raises(ValueError, match="neardup_pairs_lsh"):
+        similarity.neardup_pairs(str(tmp_path))
+
+
+def test_cli_media_demo_decoder(tmp_path):
+    """`media --decoder demo` must produce decode_mode='real' parquet —
+    the real-decoder path reachable outside pytest (round-3 item)."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "media_out")
+    r = subprocess.run(
+        [sys.executable, "-m", "layout_analysis_ray", "media",
+         "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+         "--decoder", "demo"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240,
+        env={**os.environ, "RAY_GRAFT_CPUS": "4"},
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["decode_modes"] == ["real"] and info["rows"] > 0
+    t = pq.read_table(out)
+    assert set(t.column("decode_mode").to_pylist()) == {"real"}
+    # demo decoder contract: width = 10 * len(media_ref), 77-high, 2 frames
+    refs = t.column("media_ref").to_pylist()
+    assert t.column("width").to_pylist() == [len(x) * 10 for x in refs]
+    assert set(t.column("n_frames").to_pylist()) == {2}

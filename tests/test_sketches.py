@@ -65,3 +65,20 @@ def test_heavy_hitters_vs_exact(ray_session):
     for r in got:
         if r["token"] in exact_counts:
             assert r["est_count"] >= exact_counts[r["token"]]
+
+
+def test_heavy_hitters_empty_corpus(ray_session, tmp_path):
+    """An all-empty-text corpus produces no sketch rows; the query must
+    return an empty (token, est_count) table, not IndexError."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.sketches import heavy_hitter_tokens
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["", ""], pa.string())}),
+        tmp_path / "documents.parquet",
+    )
+    out = heavy_hitter_tokens(str(tmp_path), top_k=5).take_all()
+    assert out == []
