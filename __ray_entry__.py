@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from layout_analysis_ray.functions import (
         dedup,
         evaluate,
+        graph,
         joins,
         pagexml,
         quantiles,
@@ -179,6 +180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_1h_30m": windows.hopping_1h_30m,
         "events_mode_value_by_type": windows.mode_value_by_type,
         "events_top_per_user": windows.top_event_per_user,
+        "events_distinct_users_hourly": windows.distinct_users_hourly,
+        "events_value_histogram": windows.events_value_histogram,
+        "events_session_ids": windows.session_ids,
         "events_asof_last_purchase": windows.asof_last_purchase,
         "events_range_join_purchase": windows.range_join_after_purchase,
         # time-range-salted variants (hot-key path): same results, bounded
@@ -193,12 +197,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": text.quality,
         "doc_fingerprint": text.fingerprint,
         "html_visible_stats": text.html_visible_stats,
+        "doc_top_tokens_by_lang": text.top_tokens_by_lang,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_simhash_pairs": dedup.simhash_pairs,
         "ngram_jaccard_consecutive": dedup.ngram_jaccard_consecutive,
+        "ngram_chain_groups": graph.ngram_chain_groups,
+        "dedup_minhash_groups": graph.dedup_minhash_groups,
         # similarity search
         "embedding_knn": similarity.knn_brute,
         "embedding_neardup_pairs": similarity.neardup_pairs,
@@ -394,10 +401,45 @@ def oracle_sql() -> dict[str, str]:
               CAST(coalesce(nullif(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), ''), '-1') AS BIGINT) AS k
             FROM events
         """,
+        "events_distinct_users_hourly": """
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS epoch_hour,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "events_value_histogram": """
+            SELECT CAST(round(value*100) AS BIGINT) // 500 AS bin,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "events_session_ids": """
+            WITH g AS (
+              SELECT event_id, user_id, ts,
+                CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id))
+                     > 1800000000 THEN 1 ELSE 0 END AS brk
+              FROM events)
+            SELECT event_id,
+              CAST(1 + SUM(brk) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS session_seq
+            FROM g
+        """,
         "doc_token_stats": f"""
             SELECT doc_id, len({_TOKS}) AS n_tokens,
                    len(list_distinct({_TOKS})) AS n_uniq_tokens
             FROM documents
+        """,
+        "doc_top_tokens_by_lang": f"""
+            WITH t AS (SELECT lang, unnest({_TOKS}) AS token FROM documents),
+            c AS (SELECT lang, token, COUNT(*) AS n FROM t GROUP BY 1, 2),
+            r AS (SELECT lang, token, n,
+                    row_number() OVER (PARTITION BY lang
+                                       ORDER BY n DESC, token) AS rank
+                  FROM c)
+            SELECT lang, token, CAST(n AS BIGINT) AS n,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5
         """,
         "doc_lang_id": f"""
             WITH c AS (
@@ -468,6 +510,37 @@ def oracle_sql() -> dict[str, str]:
                         // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                    ELSE 0 END AS jaccard_ppm
             FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        """,
+        "ngram_chain_groups": f"""
+            -- components of the consecutive-doc jaccard chain graph:
+            -- run detection via a window sum of break flags, comp = run min
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                     WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                     ELSE CAST([] AS VARCHAR[]) END AS sh
+              FROM t),
+            j AS (
+              SELECT b.doc_id AS doc_b,
+                CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
+                     THEN (len(list_intersect(a.sh, b.sh)) * 1000000)
+                          // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                     ELSE 0 END AS jaccard_ppm
+              FROM s a JOIN s b ON b.doc_id = a.doc_id + 1),
+            brk AS (
+              SELECT d.doc_id,
+                CASE WHEN j.jaccard_ppm >= 5000 THEN 0 ELSE 1 END AS brk
+              FROM documents d LEFT JOIN j ON j.doc_b = d.doc_id),
+            g AS (SELECT doc_id,
+                    SUM(brk) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM brk)
+            SELECT doc_id,
+                   CAST(MIN(doc_id) OVER (PARTITION BY grp) AS BIGINT) AS comp
+            FROM g
         """,
         "embedding_knn": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

@@ -74,6 +74,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     from layout_analysis_ray.functions import (
         dedup,
+        graph,
         joins,
         quantiles,
         similarity,
@@ -147,6 +148,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "q_join_bucketed": joins.q_join_bucketed,
         "sketch_heavy_tokens": sketches.heavy_hitter_tokens,
         "lineitem_price_quantiles": quantiles.lineitem_price_quantiles,
+        "events_distinct_users_hourly": windows.distinct_users_hourly,
+        "dedup_minhash_groups": graph.dedup_minhash_groups,
     }
     # One timed run per query, then a targeted second run for cold-start
     # outliers only: the first execution of a plan right after the 1M-doc

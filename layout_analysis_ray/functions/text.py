@@ -233,3 +233,84 @@ def html_visible_stats(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         stats, batch_format="pyarrow"
     )
+
+
+def top_tokens_by_lang(sf_dir: str, k: int = 5):
+    """Top-k tokens per language by corpus frequency (the per-language
+    vocabulary head a training-data pipeline reports): (lang, token, n,
+    rank), ties broken (n DESC, token ASC).
+
+    Scale shape: per-batch exact (lang, token) counts (one RE2 tokenizer
+    pass + factorize/bincount), one partial+global groupby over the count
+    partials — the exchange moves one row per (block, lang, token), never
+    token instances — then per-lang top-k via block-level partial selection
+    and a tiny per-lang merge (same pattern as mode_value_by_type)."""
+    import pandas as pd
+
+    from ..pipelines.relational import _partial_then_global
+
+    _schema = pa.schema(
+        [("lang", pa.string()), ("token", pa.string()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parent, toks, _n = _flat_tokens(batch["text"])
+        if not len(toks):
+            return _schema.empty_table()
+        langs = np.asarray(
+            batch["lang"].to_numpy(zero_copy_only=False), dtype=object
+        )
+        tcodes, tuniq = pd.factorize(toks)
+        lcodes, luniq = pd.factorize(langs[parent])
+        comp = lcodes.astype(np.int64) * np.int64(len(tuniq)) + tcodes
+        binc = np.bincount(comp)
+        nz = np.nonzero(binc)[0]
+        return pa.table(
+            {
+                "lang": pa.array(
+                    np.asarray(luniq, dtype=object)[nz // len(tuniq)], pa.string()
+                ),
+                "token": pa.array(
+                    np.asarray(tuniq, dtype=object)[nz % len(tuniq)], pa.string()
+                ),
+                "n": pa.array(binc[nz].astype(np.int64)),
+            }
+        )
+
+    counts = _partial_then_global(
+        _read_docs(sf_dir, ["lang", "text"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["lang", "token"],
+        ["n"],
+    )
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["lang", "n", "token"], ascending=[True, False, True]
+        )
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False).head(k), preserve_index=False
+        )
+
+    def lang_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "token"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    from .schema import ensure_schema
+
+    return ensure_schema(
+        counts.map_batches(block_topk, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(lang_topk, batch_format="pandas"),
+        pa.schema(
+            [
+                ("lang", pa.string()),
+                ("token", pa.string()),
+                ("n", pa.int64()),
+                ("rank", pa.int64()),
+            ]
+        ),
+    )

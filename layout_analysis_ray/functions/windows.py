@@ -140,6 +140,119 @@ def sessionize(sf_dir: str):
     )
 
 
+def distinct_users_hourly(sf_dir: str):
+    """EXACT distinct users per (event_type, hour) — the exact sibling of
+    the HLL sketch path (``sketches.approx_distinct_users``), the same
+    pairing as mode-vs-CMS.
+
+    Scale shape: per-batch Arrow group_by dedupes (type, hour, user)
+    triples BEFORE the shuffle, one native groupby-Count over unique
+    triples (the only full exchange, moving unique triples not events),
+    then a tiny partial+global count per window."""
+    from ray.data.aggregate import Count
+
+    from ..pipelines.relational import _partial_then_global
+
+    ds = _read_events(sf_dir, ["ts", "event_type", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.divide(batch["ts"].cast(pa.int64()), pa.scalar(HOUR_US, pa.int64()))
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "epoch_hour": pc.cast(hour, pa.int64()),
+                "user_id": batch["user_id"],
+            }
+        )
+        # map-side dedupe: unique triples only cross the exchange
+        return t.group_by(["event_type", "epoch_hour", "user_id"]).aggregate([])
+
+    uniq = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "epoch_hour", "user_id"])
+        .aggregate(Count())
+    )
+
+    def one(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "epoch_hour": batch["epoch_hour"],
+                "n_users": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return _partial_then_global(
+        uniq.map_batches(one, batch_format="pyarrow"),
+        ["event_type", "epoch_hour"],
+        ["n_users"],
+    )
+
+
+def events_value_histogram(sf_dir: str, bin_cents: int = 500):
+    """Fixed-width value histogram: (bin, n) with bin = cents // bin_cents.
+    Pure map + partial/global count — the shuffle moves one row per
+    (block, bin), never events."""
+    from ..pipelines.relational import _partial_then_global
+
+    ds = _read_events(sf_dir, ["value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = cents_arrow(batch["value"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bin": pa.array(cents // bin_cents, pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return _partial_then_global(
+        ds.map_batches(prep, batch_format="pyarrow"), ["bin"], ["n"]
+    )
+
+
+_SESSION_ID_SCHEMA = pa.schema(
+    [("event_id", pa.int64()), ("session_seq", pa.int64())]
+)
+
+
+def session_ids(sf_dir: str):
+    """Per-event session index: (event_id, session_seq) where session_seq
+    is the 1-based index of the event's session within its user's history
+    (30-min gap rule, ordered by (ts, event_id)) — the row-grain companion
+    of ``sessionize``'s per-user summary.  Same coarse partition, same
+    vectorized kernel shape (global cumsum minus per-user base)."""
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id"]).map_batches(
+        _add_user_part, batch_format="pyarrow"
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        ts_us = g["ts"].astype("int64").to_numpy()
+        n = len(g)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gaps = np.diff(ts_us, prepend=ts_us[0])
+        new_session = new_user | (gaps > SESSION_GAP_S * 1_000_000)
+        sid = np.cumsum(new_session)  # global 1-based session id
+        starts = np.nonzero(new_user)[0]
+        per_user_len = np.diff(np.append(starts, n))
+        base = np.repeat(sid[starts], per_user_len)  # user's first sid
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "session_seq": (sid - base + 1).astype(np.int64),
+            }
+        )
+
+    return _ensure_schema(
+        ds.groupby("__upart").map_groups(per_part, batch_format="pandas"),
+        _SESSION_ID_SCHEMA,
+    )
+
+
 def running_total(sf_dir: str):
     """Per-user running sum of value (exact cents), ordered by (ts,
     event_id): one row per event with its cumulative total.  Same coarse

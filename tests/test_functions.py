@@ -232,6 +232,7 @@ def test_queries_oracle_keys_consistent():
         "media_features",
         "media_frame_sample",
         "dedup_minhash_pairs",
+        "dedup_minhash_groups",
         "dedup_simhash",
         "dedup_simhash_pairs",
         "embedding_neardup_pairs_lsh",

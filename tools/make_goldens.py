@@ -42,6 +42,7 @@ GOLDEN_QUERIES = [
     "embedding_neardup_pairs_lsh",
     "ann_knn_ivf",
     "ann_knn_lsh",
+    "dedup_minhash_groups",
 ]
 
 
