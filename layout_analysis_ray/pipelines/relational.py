@@ -144,12 +144,23 @@ Q3_SEGMENT = "BUILDING"
 Q3_DATE = "1997-01-01"
 
 
-def q3_top_orders(sf_dir: str):
+def q3_top_orders(sf_dir: str, use_bloom: bool = False):
     """Dimension (customer) broadcast + fact-fact hash-partition shuffle join
     (orders x lineitem via ``Dataset.join``) — both filters pushed below the
     join so only qualifying rows shuffle.  At 10^12-row scale the orders
-    side cannot be broadcast; this is the join shape that holds."""
+    side cannot be broadcast; this is the join shape that holds.
+
+    Semi-join pushdown (``use_bloom=True``): a Bloom filter over the
+    qualifying orderkeys (``functions.filters``) drops non-matching
+    lineitem rows BEFORE the exchange.  One-sided error means the join
+    result is provably unchanged (the hash join verifies every candidate);
+    the shuffle then moves only matching + false-positive probe rows.
+    Off by default: on this single-node sandbox the build barrier costs
+    more than the in-memory shuffle it saves (measured in
+    ``functions/filters.py``); it is the multi-node network-shuffle knob."""
     import ray
+
+    from ..functions.filters import bloom_contains, build_bloom
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     cust_keys = (
@@ -185,12 +196,21 @@ def q3_top_orders(sf_dir: str):
             }
         )
 
+    # materialize the filtered+projected build side (16 bytes/row after the
+    # segment+date cut) so it feeds BOTH the bloom build and the join
+    # without re-reading the orders table
     orders = _read(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(prep_orders, batch_format="pyarrow")
+    if use_bloom:
+        orders = orders.materialize()
+        bloom_ref = ray.put(build_bloom(orders, "o_orderkey"))
 
     def prep_li(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
+        if use_bloom:
+            keys = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            batch = batch.filter(pa.array(bloom_contains(ray.get(bloom_ref), keys)))
         price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
         disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
         return pa.table(

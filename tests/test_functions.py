@@ -246,3 +246,40 @@ def test_queries_oracle_keys_consistent():
         "sketch_distinct_users",
         "sketch_heavy_tokens",
     }
+
+
+def test_bloom_filter_no_false_negatives(ray_session):
+    """Distributed bitmap build ORs every batch partial: every inserted key
+    must test positive; disjoint probes stay near the designed fp rate."""
+    import ray.data as rd
+
+    from layout_analysis_ray.functions.filters import bloom_contains, build_bloom
+
+    keys = np.arange(1, 50_001, dtype=np.int64) * 7919  # spread, multi-block
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(8)
+    words = build_bloom(ds, "k", nbits=1 << 19)
+    assert bloom_contains(words, keys).all()
+    absent = np.arange(1, 200_001, dtype=np.int64) * 7919 + 1  # none inserted
+    fp = bloom_contains(words, absent).mean()
+    assert fp < 0.05, fp
+
+
+def test_bloom_filter_empty_build_side(ray_session):
+    import ray.data as rd
+
+    from layout_analysis_ray.functions.filters import bloom_contains, build_bloom
+
+    ds = rd.from_arrow(pa.schema([("k", pa.int64())]).empty_table())
+    words = build_bloom(ds, "k")
+    assert not bloom_contains(words, np.array([1, 2, 3], dtype=np.int64)).any()
+
+
+def test_q3_bloom_prefilter_identical(ray_session):
+    """The Bloom semi-join pushdown may only drop rows the join would drop:
+    results must be bit-identical with and without it."""
+    from layout_analysis_ray.pipelines.relational import q3_top_orders
+
+    sf = "/root/testdata/sf0.001"
+    base = q3_top_orders(sf, use_bloom=False).to_pandas()
+    bloom = q3_top_orders(sf, use_bloom=True).to_pandas()
+    pd.testing.assert_frame_equal(base, bloom)
