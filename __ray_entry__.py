@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         text,
         windows,
     )
+    from layout_analysis_ray.pipelines import corpus
     from layout_analysis_ray.pipelines import relational as rel
 
     return {
@@ -172,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_hash_buckets": rel.split_hash_buckets,
         "q_join_bucketed": joins.q_join_bucketed,
         "q_join_bucketed_agg": joins.q_join_bucketed_agg,
+        "cust_order_counts": rel.cust_order_counts,
         # stream-shaped windows
         "events_tumbling_1h": windows.tumbling_hourly,
         "events_sessionize": windows.sessionize,
@@ -183,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_hourly": windows.distinct_users_hourly,
         "events_value_histogram": windows.events_value_histogram,
         "events_session_ids": windows.session_ids,
+        "events_lag_diff": windows.lag_diff,
+        "events_moving_avg": windows.moving_avg,
         "events_asof_last_purchase": windows.asof_last_purchase,
         "events_range_join_purchase": windows.range_join_after_purchase,
         # time-range-salted variants (hot-key path): same results, bounded
@@ -198,6 +202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text.fingerprint,
         "html_visible_stats": text.html_visible_stats,
         "doc_top_tokens_by_lang": text.top_tokens_by_lang,
+        # corpus pipelines: cleaning chain + sequence packing
+        "corpus_clean_keep": corpus.corpus_clean_keep,
+        "pack_sequences": corpus.pack_sequences,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
@@ -322,6 +329,34 @@ def oracle_sql() -> dict[str, str]:
               COUNT(*) AS n_lines
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             GROUP BY o_orderkey
+        """,
+        "cust_order_counts": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   CAST(coalesce(o.cnt, 0) AS BIGINT) AS n_orders
+            FROM customer c LEFT JOIN
+              (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1) o
+            ON c.c_custkey = o.o_custkey
+        """,
+        "events_lag_diff": """
+            SELECT event_id, user_id,
+              CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id), -1)
+                AS BIGINT) AS gap_us
+            FROM events
+        """,
+        "events_moving_avg": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(round(value*100) AS BIGINT) AS cents
+              FROM events)
+            SELECT event_id, user_id,
+              CAST(SUM(cents) OVER w AS BIGINT) AS win_sum_cents,
+              CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
+              CAST((SUM(cents) OVER w * 10000) // (COUNT(*) OVER w)
+                AS BIGINT) AS win_avg_ppm
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         "events_tumbling_1h": """
             SELECT event_type,
@@ -493,6 +528,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
                    COUNT(*) AS n_dups
             FROM documents GROUP BY md5(text)
+        """,
+        "corpus_clean_keep": f"""
+            WITH lc AS (
+              SELECT doc_id,
+                len(list_filter({_TOKS}, w -> w IN ('the','and','of'))) AS en,
+                len(list_filter({_TOKS}, w -> w IN ('el','la','los'))) AS es,
+                len(list_filter({_TOKS}, w -> w IN ('der','und','das'))) AS de,
+                len(list_filter({_TOKS}, w -> w IN ('le','les','des'))) AS fr
+              FROM documents),
+            l AS (
+              SELECT doc_id, CASE
+                WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                WHEN en = greatest(en, es, de, fr) THEN 'en'
+                WHEN es = greatest(en, es, de, fr) THEN 'es'
+                WHEN de = greatest(en, es, de, fr) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+              FROM lc),
+            qc AS (
+              SELECT doc_id, len({_TOKS}) AS n_tokens,
+                len(list_filter({_TOKS}, w -> w IN {_STOPS})) AS n_stop,
+                length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+                length(text) AS n_chars
+              FROM documents),
+            q AS (
+              SELECT doc_id,
+                (4 * least(n_tokens * 10000, 1000000)
+                 + 3 * (CASE WHEN n_tokens > 0
+                        THEN (n_stop * 1000000) // n_tokens ELSE 0 END)
+                 + 3 * (CASE WHEN n_chars > 0
+                        THEN (n_alpha * 1000000) // n_chars ELSE 0 END)) // 10
+                  AS quality_ppm
+              FROM qc),
+            f AS (
+              SELECT d.doc_id, d.text, q.quality_ppm
+              FROM documents d
+              JOIN l ON l.doc_id = d.doc_id
+              JOIN q ON q.doc_id = d.doc_id
+              WHERE l.lang_pred = 'en' AND q.quality_ppm >= 500000)
+            SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
+                   COUNT(*) AS n_dups, MIN(quality_ppm) AS quality_ppm
+            FROM f GROUP BY 1
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                CAST(strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                  AS BIGINT) AS part
+              FROM documents),
+            c AS (
+              SELECT doc_id, part,
+                SUM(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_before
+              FROM t)
+            SELECT doc_id, part,
+              CAST(tok_before // 2048 AS BIGINT) AS seq_id,
+              CAST(tok_before % 2048 AS BIGINT) AS seq_offset
+            FROM c
         """,
         "ngram_jaccard_consecutive": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

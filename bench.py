@@ -82,6 +82,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         text,
         windows,
     )
+    from layout_analysis_ray.pipelines import corpus
     from layout_analysis_ray.pipelines import relational as rel
     from layout_analysis_ray.pipelines.extract import (
         extract_pipeline,
@@ -150,6 +151,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "lineitem_price_quantiles": quantiles.lineitem_price_quantiles,
         "events_distinct_users_hourly": windows.distinct_users_hourly,
         "dedup_minhash_groups": graph.dedup_minhash_groups,
+        "corpus_clean_keep": corpus.corpus_clean_keep,
+        "pack_sequences": corpus.pack_sequences,
     }
     # One timed run per query, then a targeted second run for cold-start
     # outliers only: the first execution of a plan right after the 1M-doc

@@ -868,3 +868,95 @@ def range_join_after_purchase_salted(
         ),
         _RANGE_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-grain window functions: lag diff + fixed-row moving aggregate
+# ---------------------------------------------------------------------------
+
+_LAG_SCHEMA = pa.schema(
+    [("event_id", pa.int64()), ("user_id", pa.int64()), ("gap_us", pa.int64())]
+)
+_MOVAVG_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("win_sum_cents", pa.int64()),
+        ("win_n", pa.int64()),
+        ("win_avg_ppm", pa.int64()),
+    ]
+)
+
+
+def lag_diff(sf_dir: str):
+    """Per event: microseconds since the user's previous event (ordered by
+    (ts, event_id)); -1 for the user's first event (the engine's sentinel
+    convention — see ``asof_last_purchase``).  Same coarse user-hash
+    partition + one vectorized diff per PARTITION as ``running_total``."""
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id"]).map_batches(
+        _add_user_part, batch_format="pyarrow"
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        tus = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = np.where(u[1:] == u[:-1], tus[1:] - tus[:-1], -1)
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(), "user_id": u, "gap_us": gap}
+        )
+
+    return _ensure_schema(
+        ds.groupby("__upart").map_groups(per_part, batch_format="pandas"),
+        _LAG_SCHEMA,
+    )
+
+
+MOVAVG_WINDOW = 3  # current row + 2 preceding
+
+
+def moving_avg(sf_dir: str, window: int = MOVAVG_WINDOW):
+    """Per event: exact sum/count/avg of value cents over the trailing
+    ``window`` rows of the same user (ROWS window-frame semantics).  The
+    frame sum is cumsum[i] - cumsum[start-1] with start clamped to the
+    user's first row — one vectorized pass per partition, no per-row or
+    per-user Python."""
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id", "value"]).map_batches(
+        _add_user_part, batch_format="pyarrow"
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        n = len(g)
+        u = g["user_id"].to_numpy()
+        cents = cents_np(g["value"].to_numpy())
+        cum = np.cumsum(cents)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        starts = np.nonzero(new_user)[0]
+        per_user_len = np.diff(np.append(starts, n))
+        user_start = np.repeat(starts, per_user_len)  # each row's user start
+        idx = np.arange(n, dtype=np.int64)
+        frame_start = np.maximum(idx - (window - 1), user_start)
+        base = np.where(frame_start > 0, cum[frame_start - 1], 0)
+        win_sum = cum - base
+        win_n = idx - frame_start + 1
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": u,
+                "win_sum_cents": win_sum,
+                "win_n": win_n,
+                # values are nonnegative cents: floor division matches the
+                # oracle's BIGINT // (both operands positive)
+                "win_avg_ppm": win_sum * 10000 // win_n,
+            }
+        )
+
+    return _ensure_schema(
+        ds.groupby("__upart").map_groups(per_part, batch_format="pandas"),
+        _MOVAVG_SCHEMA,
+    )

@@ -1,0 +1,157 @@
+"""LLM training-data corpus pipelines: the cleaning chain and sequence
+packing.
+
+These compose the text-analysis kernels (``functions/text.py``) and the
+exact-dedup reduce (``functions/dedup.py``) into the end-to-end shapes a
+pretraining data pipeline actually runs:
+
+- ``corpus_clean_keep``: language filter -> quality filter -> exact dedup
+  keep-one, in ONE streaming pass over the corpus plus one partial-combined
+  groupby over (hash, id) pairs.  Nothing document-sized ever shuffles.
+- ``pack_sequences``: concat-and-chunk packing — documents are laid out in
+  deterministic partition order and split into fixed token-budget context
+  windows; each doc gets its (window, offset) coordinate.  One coarse
+  hash-partition exchange of (id, n_tokens) pairs, cumsum inside.
+
+Both are oracle-checked against DuckDB SQL in ``__ray_entry__.py`` (the
+whole chain is SQL-expressible, which pins every intermediate semantic).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# cleaning thresholds — mirrored verbatim in the oracle SQL
+CLEAN_LANG = "en"
+CLEAN_MIN_QUALITY_PPM = 500_000
+
+# packing constants — mirrored verbatim in the oracle SQL
+PACK_BUDGET_TOKENS = 2048
+PACK_PARTS = 16  # first hex digit of md5(doc_id), as split_hash_buckets
+
+
+def _read_docs(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def corpus_clean_keep(sf_dir: str):
+    """The canonical cleaning chain: keep docs whose predicted language is
+    ``CLEAN_LANG`` and quality >= ``CLEAN_MIN_QUALITY_PPM``, then exact-dedup
+    the survivors keeping the min doc_id per content hash.
+
+    Shape: one map computes lang + quality + md5 per batch (three
+    vectorized kernels over the same Arrow batch — the corpus is read
+    ONCE); survivors emit only (content_hash, doc_id) pairs; the reduce is
+    the native Min+Count aggregate with map-side combining.  Output:
+    (content_hash, doc_id, n_dups, quality_ppm of the keeper).
+    """
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.text import lang_id_batch, quality_batch
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        lang = lang_id_batch(batch)["lang_pred"]
+        qual = quality_batch(batch)["quality_ppm"]
+        keep = pc.and_(
+            pc.equal(lang, CLEAN_LANG),
+            pc.greater_equal(qual, pa.scalar(CLEAN_MIN_QUALITY_PPM, pa.int64())),
+        )
+        kept = batch.filter(keep)
+        kept_q = pc.filter(qual, keep)
+        texts = kept["text"].to_pylist()
+        hashes = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        return pa.table(
+            {
+                "content_hash": pa.array(hashes, pa.string()),
+                "doc_id": kept["doc_id"],
+                "quality_ppm": kept_q,
+            }
+        )
+
+    pairs = ds.map_batches(prep, batch_format="pyarrow")
+    agg = pairs.groupby("content_hash").aggregate(
+        Min("doc_id"), Count(), Min("quality_ppm")
+    )
+    # quality is a function of text, so min-over-group == the keeper's value
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "content_hash": batch["content_hash"],
+                "doc_id": pc.cast(batch["min(doc_id)"], pa.int64()),
+                "n_dups": pc.cast(batch["count()"], pa.int64()),
+                "quality_ppm": pc.cast(batch["min(quality_ppm)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing: within each of ``PACK_PARTS``
+    deterministic partitions (first md5 hex digit of doc_id — the
+    ``split_hash_buckets`` convention), documents are concatenated in
+    doc_id order and chunked into ``PACK_BUDGET_TOKENS``-token context
+    windows.  Each doc's coordinate is (seq_id, seq_offset) of its FIRST
+    token; docs straddle window boundaries exactly as a pretraining
+    dataloader packs them.
+
+    Scale shape: the exchange moves (part, doc_id, n_tokens) triples — 24
+    bytes/doc regardless of document size; the per-partition kernel is one
+    sort + cumsum.  Window ids are per-partition, so 100 TB packs with 16
+    (or 16k) independent partitions and no global barrier."""
+    from ..functions.text import token_stats_batch
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        n_tok = token_stats_batch(batch)["n_tokens"]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        parts = [
+            int(hashlib.md5(str(int(i)).encode()).hexdigest()[0], 16) for i in ids
+        ]
+        return pa.table(
+            {
+                "part": pa.array(parts, pa.int64()),
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tok,
+            }
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        n_tok = g["n_tokens"].to_numpy().astype(np.int64)
+        before = np.cumsum(n_tok) - n_tok  # tokens laid out before this doc
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "part": g["part"].to_numpy(),
+                "seq_id": before // PACK_BUDGET_TOKENS,
+                "seq_offset": before % PACK_BUDGET_TOKENS,
+            }
+        )
+
+    from ..functions.schema import ensure_schema
+
+    return ensure_schema(
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("part", pa.int64()),
+                ("seq_id", pa.int64()),
+                ("seq_offset", pa.int64()),
+            ]
+        ),
+    )

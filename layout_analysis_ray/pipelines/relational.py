@@ -528,3 +528,47 @@ def part_type_stats(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cust_order_counts(sf_dir: str):
+    """Per-customer order count INCLUDING zero-order customers: the counts
+    side is pre-aggregated to one row per custkey (map-side partials, so the
+    shuffle moves partials, not orders), then a hash-partition LEFT OUTER
+    ``Dataset.join`` preserves unmatched customers and the null count is
+    filled with 0.  This is the outer-join member of the J-family —
+    semi/anti siblings are ``semi_join_customers`` / ``anti_join_customers``."""
+    counts = _partial_then_global(
+        _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "o_custkey": b["o_custkey"],
+                    "n_orders": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["o_custkey"],
+        ["n_orders"],
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = cust.join(
+        counts,
+        "left_outer",
+        num_partitions=16,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "c_mktsegment": batch["c_mktsegment"],
+                "n_orders": pc.cast(
+                    pc.fill_null(batch["n_orders"], pa.scalar(0, pa.int64())),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")

@@ -283,3 +283,45 @@ def test_q3_bloom_prefilter_identical(ray_session):
     base = q3_top_orders(sf, use_bloom=False).to_pandas()
     bloom = q3_top_orders(sf, use_bloom=True).to_pandas()
     pd.testing.assert_frame_equal(base, bloom)
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Packing is concat-and-chunk per partition: offsets stay below the
+    budget, coordinates are non-decreasing in doc_id, and each doc's start
+    equals the partition's running token total before it."""
+    from layout_analysis_ray.pipelines.corpus import (
+        PACK_BUDGET_TOKENS,
+        pack_sequences,
+    )
+
+    got = pack_sequences("/root/testdata/sf0.001").to_pandas()
+    assert len(got) == 500
+    assert (got["seq_offset"] >= 0).all() and (
+        got["seq_offset"] < PACK_BUDGET_TOKENS
+    ).all()
+    for _, g in got.groupby("part"):
+        g = g.sort_values("doc_id")
+        start = g["seq_id"].to_numpy() * PACK_BUDGET_TOKENS + g["seq_offset"].to_numpy()
+        assert (np.diff(start) >= 0).all()
+        assert start[0] == 0  # first doc of each partition starts at 0
+
+
+def test_corpus_clean_keep_subset_of_dedup(ray_session):
+    """Every kept doc must be a lang/quality survivor and the min doc_id of
+    its hash group among survivors."""
+    from layout_analysis_ray.functions.text import lang_id, quality
+    from layout_analysis_ray.pipelines.corpus import (
+        CLEAN_LANG,
+        CLEAN_MIN_QUALITY_PPM,
+        corpus_clean_keep,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    kept = corpus_clean_keep(sf).to_pandas()
+    langs = lang_id(sf).to_pandas().set_index("doc_id")["lang_pred"]
+    quals = quality(sf).to_pandas().set_index("doc_id")["quality_ppm"]
+    assert len(kept) > 0
+    assert (langs.loc[kept["doc_id"]] == CLEAN_LANG).all()
+    assert (quals.loc[kept["doc_id"]] >= CLEAN_MIN_QUALITY_PPM).all()
+    assert (kept["quality_ppm"].to_numpy() == quals.loc[kept["doc_id"]].to_numpy()).all()
+    assert kept["content_hash"].is_unique

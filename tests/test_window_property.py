@@ -185,3 +185,36 @@ def test_asof_property(ray_session, wtmp, df):
     for fn in (asof_last_purchase, asof_last_purchase_salted):
         got = fn(sf).to_pandas()
         assert dict(zip(got["event_id"], got["last_purchase_id"])) == exp, fn.__name__
+
+
+@settings(max_examples=10, deadline=None)
+@given(event_frames())
+def test_lag_diff_and_moving_avg_property(ray_session, wtmp, df):
+    from layout_analysis_ray.functions.windows import MOVAVG_WINDOW, lag_diff, moving_avg
+
+    sf = _write_events(df, wtmp)
+
+    got = lag_diff(sf).to_pandas().sort_values("event_id").reset_index(drop=True)
+    exp_gap = {}
+    for _, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("int64").to_numpy()
+        for i, eid in enumerate(g["event_id"]):
+            exp_gap[int(eid)] = int(ts[i] - ts[i - 1]) if i > 0 else -1
+    assert dict(zip(got["event_id"], got["gap_us"])) == exp_gap
+
+    got = moving_avg(sf).to_pandas().sort_values("event_id").reset_index(drop=True)
+    exp = {}
+    for _, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        cents = [int(np.round(v * 100.0)) for v in g["value"]]
+        for i, eid in enumerate(g["event_id"]):
+            frame = cents[max(0, i - (MOVAVG_WINDOW - 1)) : i + 1]
+            s, n = sum(frame), len(frame)
+            exp[int(eid)] = (s, n, s * 10000 // n)  # floor div, as the kernel
+    assert {
+        int(e): (int(s), int(n), int(a))
+        for e, s, n, a in zip(
+            got["event_id"], got["win_sum_cents"], got["win_n"], got["win_avg_ppm"]
+        )
+    } == exp
