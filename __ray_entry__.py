@@ -174,6 +174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_join_bucketed": joins.q_join_bucketed,
         "q_join_bucketed_agg": joins.q_join_bucketed_agg,
         "cust_order_counts": rel.cust_order_counts,
+        "top_orders_per_segment": rel.top_orders_per_segment,
+        "revenue_rollup": rel.revenue_rollup,
+        "orders_pivot_by_year": rel.orders_pivot_by_year,
         # stream-shaped windows
         "events_tumbling_1h": windows.tumbling_hourly,
         "events_sessionize": windows.sessionize,
@@ -202,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text.fingerprint,
         "html_visible_stats": text.html_visible_stats,
         "doc_top_tokens_by_lang": text.top_tokens_by_lang,
+        "doc_tfidf_top_terms": text.tfidf_top_terms,
         # corpus pipelines: cleaning chain + sequence packing
         "corpus_clean_keep": corpus.corpus_clean_keep,
         "pack_sequences": corpus.pack_sequences,
@@ -336,6 +340,42 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c LEFT JOIN
               (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1) o
             ON c.c_custkey = o.o_custkey
+        """,
+        "top_orders_per_segment": """
+            WITH j AS (
+              SELECT c.c_mktsegment, o.o_orderkey,
+                     CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                        ORDER BY price_cents DESC, o_orderkey ASC) AS rank
+              FROM j)
+            SELECT c_mktsegment, o_orderkey, price_cents,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3
+        """,
+        "revenue_rollup": """
+            WITH j AS (
+              SELECT c.c_mktsegment AS seg, year(o.o_orderdate) AS yr,
+                     CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+            SELECT coalesce(seg, 'ALL') AS c_mktsegment,
+                   CAST(coalesce(yr, -1) AS BIGINT) AS o_year,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM j GROUP BY ROLLUP(seg, yr)
+        """,
+        "orders_pivot_by_year": """
+            SELECT c.c_mktsegment,
+              CAST(COUNT(*) FILTER (WHERE year(o.o_orderdate) = 1992) AS BIGINT) AS y1992,
+              CAST(COUNT(*) FILTER (WHERE year(o.o_orderdate) = 1993) AS BIGINT) AS y1993,
+              CAST(COUNT(*) FILTER (WHERE year(o.o_orderdate) = 1994) AS BIGINT) AS y1994,
+              CAST(COUNT(*) FILTER (WHERE year(o.o_orderdate) = 1995) AS BIGINT) AS y1995,
+              CAST(COUNT(*) FILTER (WHERE year(o.o_orderdate) = 1996) AS BIGINT) AS y1996,
+              CAST(COUNT(*) FILTER (WHERE year(o.o_orderdate) = 1997) AS BIGINT) AS y1997,
+              CAST(COUNT(*) FILTER (WHERE year(o.o_orderdate) = 1998) AS BIGINT) AS y1998
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment
         """,
         "events_lag_diff": """
             SELECT event_id, user_id,
@@ -528,6 +568,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
                    COUNT(*) AS n_dups
             FROM documents GROUP BY md5(text)
+        """,
+        "doc_tfidf_top_terms": f"""
+            WITH t AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+            tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM t GROUP BY 1, 2),
+            df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                   FROM t GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.w AS term, tf.tf,
+                         tf.tf * ((SELECT n FROM n) * 1000000 // df.df) AS score
+                  FROM tf JOIN df ON tf.w = df.w),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term ASC) AS rank FROM s)
+            SELECT doc_id, term, tf, CAST(score AS BIGINT) AS score,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3
         """,
         "corpus_clean_keep": f"""
             WITH lc AS (

@@ -314,3 +314,100 @@ def top_tokens_by_lang(sf_dir: str, k: int = 5):
             ]
         ),
     )
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOP_K):
+    """Per-document top-k terms by TF-IDF — the classic IR keyword extractor,
+    in exact integer arithmetic so the DuckDB oracle hashes bit-for-bit:
+    ``idf_ppm = (N * 1_000_000) // df`` (df = docs containing the term) and
+    ``score = tf * idf_ppm``; ties broken (score DESC, term ASC).
+
+    Scale shape: pass 1 builds the document-frequency table from per-batch
+    (token, df) partials (tokens deduped per doc inside the batch, so the
+    exchange moves one row per distinct (block, token), never token
+    instances); the vocabulary table is broadcast once via ``ray.put``
+    (vocab-sized — graduate to a shuffle join on token above ~10^8 distinct
+    terms). Pass 2 is MAP-ONLY: each doc's tf, score and top-k live entirely
+    inside its own row, so no exchange of per-doc term rows at all."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from ..pipelines.relational import _partial_then_global
+    from .schema import ensure_schema
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata count: no scan
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        parent, toks, _n = _flat_tokens(batch["text"])
+        if not len(toks):
+            return pa.schema([("token", pa.string()), ("df", pa.int64())]).empty_table()
+        tcodes, tuniq = pd.factorize(toks)
+        # dedupe (doc, token) within the batch: df counts documents
+        comp = np.unique(parent * np.int64(len(tuniq)) + tcodes)
+        binc = np.bincount(comp % len(tuniq), minlength=len(tuniq))
+        return pa.table(
+            {
+                "token": pa.array(np.asarray(tuniq, dtype=object), pa.string()),
+                "df": pa.array(binc.astype(np.int64)),
+            }
+        )
+
+    df_table = (
+        _partial_then_global(
+            docs.map_batches(df_partial, batch_format="pyarrow"), ["token"], ["df"]
+        )
+        .to_pandas()
+        .sort_values("token")
+    )
+    vocab = np.asarray(df_table["token"].to_numpy(), dtype=object)
+    idf_ppm = (np.int64(n_docs) * 1_000_000) // df_table["df"].to_numpy().astype(
+        np.int64
+    )
+    vocab_ref = ray.put((vocab, idf_ppm))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        v, idf = ray.get(vocab_ref)
+        parent, toks, _n = _flat_tokens(batch["text"])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if not len(toks):
+            return _TFIDF_SCHEMA.empty_table()
+        tcodes, tuniq = pd.factorize(toks)
+        comp, tf = np.unique(
+            parent * np.int64(len(tuniq)) + tcodes, return_counts=True
+        )
+        doc_idx = comp // len(tuniq)
+        term = np.asarray(tuniq, dtype=object)[comp % len(tuniq)]
+        score = tf.astype(np.int64) * idf[np.searchsorted(v, term)]
+        df = pd.DataFrame(
+            {
+                "doc_id": ids[doc_idx],
+                "term": term,
+                "tf": tf.astype(np.int64),
+                "score": score,
+            }
+        ).sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True]
+        )
+        g = df.groupby("doc_id", sort=False)
+        df = df.assign(rank=(g.cumcount() + 1).astype(np.int64))
+        return pa.Table.from_pandas(df[df["rank"] <= k], preserve_index=False)
+
+    return ensure_schema(
+        docs.map_batches(score_batch, batch_format="pyarrow"), _TFIDF_SCHEMA
+    )
+
+
+_TFIDF_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("term", pa.string()),
+        ("tf", pa.int64()),
+        ("score", pa.int64()),
+        ("rank", pa.int64()),
+    ]
+)

@@ -572,3 +572,212 @@ def cust_order_counts(sf_dir: str):
         )
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k / rollup / pivot (classic warehouse shapes)
+# ---------------------------------------------------------------------------
+
+
+def _segment_lookup(sf_dir: str):
+    """Broadcast (sorted custkey array, segment array) for vectorized
+    searchsorted dimension lookups.  Dimension-sized (same policy and
+    graduation note as the q3/q5 broadcasts)."""
+    import ray
+
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+        .sort_values("c_custkey")
+    )
+    return ray.put(
+        (
+            cust["c_custkey"].to_numpy().astype(np.int64),
+            cust["c_mktsegment"].to_numpy(),
+        )
+    )
+
+
+def _orders_with_segment(sf_dir: str, lookup_ref, with_year: bool):
+    """orders -> (c_mktsegment, price_cents[, o_year]) via the broadcast
+    dimension; one searchsorted per batch, never a per-row loop."""
+    import ray
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"] + (
+        ["o_orderdate"] if with_year else []
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keys, segs = ray.get(lookup_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = segs[np.searchsorted(keys, ck)]  # FK integrity: every key hits
+        out = {
+            "c_mktsegment": pa.array(seg, pa.string()),
+            "o_orderkey": batch["o_orderkey"],
+            "price_cents": _cents(batch["o_totalprice"]),
+        }
+        if with_year:
+            yr = (
+                batch["o_orderdate"]
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[Y]")
+                .astype(np.int64)
+                + 1970
+            )
+            out["o_year"] = pa.array(yr, pa.int64())
+        return pa.table(out)
+
+    return _read(sf_dir, "orders", columns=cols).map_batches(
+        prep, batch_format="pyarrow"
+    )
+
+
+TOPK_PER_SEGMENT = 3
+
+
+def top_orders_per_segment(sf_dir: str, k: int = TOPK_PER_SEGMENT):
+    """Grouped top-k: the k highest-price orders per market segment, with
+    rank (ties broken by o_orderkey ASC) — the `row_number() <= k` window
+    shape.  Scale: per-block grouped partial top-k first (the global per-key
+    top-k is contained in the union of per-block per-key top-ks), so the
+    final exchange moves <= k x segments x blocks rows, never all orders."""
+    import pandas as pd
+
+    from ..functions.schema import ensure_schema
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["c_mktsegment", "price_cents", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        return pa.Table.from_pandas(
+            df.groupby("c_mktsegment", sort=False).head(k), preserve_index=False
+        )
+
+    def seg_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["price_cents", "o_orderkey"], ascending=[False, True])
+        g = g.head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    ds = _orders_with_segment(sf_dir, _segment_lookup(sf_dir), with_year=False)
+    return ensure_schema(
+        ds.map_batches(block_topk, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(seg_topk, batch_format="pandas"),
+        pa.schema(
+            [
+                ("c_mktsegment", pa.string()),
+                ("o_orderkey", pa.int64()),
+                ("price_cents", pa.int64()),
+                ("rank", pa.int64()),
+            ]
+        ),
+    )
+
+
+def revenue_rollup(sf_dir: str):
+    """ROLLUP(segment, year): revenue + order count at (segment, year),
+    (segment, ALL) and (ALL, ALL) grain.  Subtotal keys use the sentinels
+    'ALL' / -1 (coalesce'd identically in the oracle).
+
+    Scale: one pass builds per-batch (segment, year) partials; each partial
+    row is expanded map-side into its 3 rollup levels (3x GROUP-cardinality
+    rows, independent of input rows); ONE tiny groupby sums all levels —
+    the input is never rescanned per level."""
+
+    ds = _orders_with_segment(sf_dir, _segment_lookup(sf_dir), with_year=True)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "o_year": batch["o_year"],
+                "revenue_cents": batch["price_cents"],
+                "n_orders": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    fine = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        lambda b: b.group_by(["c_mktsegment", "o_year"])
+        .aggregate([("revenue_cents", "sum"), ("n_orders", "sum")])
+        .rename_columns(["c_mktsegment", "o_year", "revenue_cents", "n_orders"]),
+        batch_format="pyarrow",
+    )
+
+    def expand_levels(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        seg = b["c_mktsegment"].to_numpy(zero_copy_only=False)
+        yr = b["o_year"].to_numpy(zero_copy_only=False)
+        rev = b["revenue_cents"].to_numpy(zero_copy_only=False)
+        cnt = b["n_orders"].to_numpy(zero_copy_only=False)
+        all_seg = np.concatenate([seg, seg, np.full(n, "ALL", dtype=object)])
+        all_yr = np.concatenate([yr, np.full(n, -1), np.full(n, -1)])
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(all_seg, pa.string()),
+                "o_year": pa.array(all_yr, pa.int64()),
+                "revenue_cents": pa.array(np.tile(rev, 3)),
+                "n_orders": pa.array(np.tile(cnt, 3)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        fine.map_batches(expand_levels, batch_format="pyarrow")
+        .groupby(["c_mktsegment", "o_year"])
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+    return agg.map_batches(
+        lambda b: b.select(["c_mktsegment", "o_year", "revenue_cents", "n_orders"]),
+        batch_format="pyarrow",
+    )
+
+
+PIVOT_YEARS = tuple(range(1992, 1999))
+
+
+def orders_pivot_by_year(sf_dir: str):
+    """PIVOT: one row per market segment, one int64 count column per order
+    year (y1992..y1998).  Scale: per-batch (segment, year) count partials ->
+    tiny global groupby -> the pivot itself runs on the GROUP-cardinality
+    aggregate (segments x years rows), one map_groups per segment."""
+    import pandas as pd
+
+    from ..functions.schema import ensure_schema
+
+    ds = _orders_with_segment(sf_dir, _segment_lookup(sf_dir), with_year=True)
+
+    counts = _partial_then_global(
+        ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "c_mktsegment": b["c_mktsegment"],
+                    "o_year": b["o_year"],
+                    "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["c_mktsegment", "o_year"],
+        ["n"],
+    )
+
+    def pivot_seg(g: pd.DataFrame) -> pd.DataFrame:
+        by_year = dict(zip(g["o_year"], g["n"]))
+        row = {"c_mktsegment": [g["c_mktsegment"].iloc[0]]}
+        for y in PIVOT_YEARS:
+            row[f"y{y}"] = [np.int64(by_year.get(y, 0))]
+        return pd.DataFrame(row)
+
+    return ensure_schema(
+        counts.groupby("c_mktsegment").map_groups(pivot_seg, batch_format="pandas"),
+        pa.schema(
+            [("c_mktsegment", pa.string())]
+            + [(f"y{y}", pa.int64()) for y in PIVOT_YEARS]
+        ),
+    )

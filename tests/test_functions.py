@@ -325,3 +325,27 @@ def test_corpus_clean_keep_subset_of_dedup(ray_session):
     assert (quals.loc[kept["doc_id"]] >= CLEAN_MIN_QUALITY_PPM).all()
     assert (kept["quality_ppm"].to_numpy() == quals.loc[kept["doc_id"]].to_numpy()).all()
     assert kept["content_hash"].is_unique
+
+
+def test_new_relational_ops_match_duckdb(ray_session):
+    """Grouped top-k, rollup, pivot, and tf-idf vs their committed SQL
+    oracles at sf0.001 (the same compare the driver runs at sf0.01)."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from tools.check_parity import canon, to_pandas
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("orders", "customer", "documents"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in (
+        "top_orders_per_segment",
+        "revenue_rollup",
+        "orders_pivot_by_year",
+        "doc_tfidf_top_terms",
+    ):
+        got = canon(to_pandas(qs[name](sf)))
+        exp = canon(con.sql(oracles[name]).df())
+        pd.testing.assert_frame_equal(got, exp, check_dtype=True), name
