@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_ids": windows.session_ids,
         "events_lag_diff": windows.lag_diff,
         "events_moving_avg": windows.moving_avg,
+        "events_range_sum_1h": windows.range_sum_1h,
         "events_asof_last_purchase": windows.asof_last_purchase,
         "events_range_join_purchase": windows.range_join_after_purchase,
         # time-range-salted variants (hot-key path): same results, bounded
@@ -397,6 +398,19 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "events_range_sum_1h": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(round(value*100) AS BIGINT) AS cents
+              FROM events)
+            SELECT event_id, user_id,
+              CAST(SUM(cents) OVER w AS BIGINT) AS win_sum_cents,
+              CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
         """,
         "events_tumbling_1h": """
             SELECT event_type,

@@ -960,3 +960,72 @@ def moving_avg(sf_dir: str, window: int = MOVAVG_WINDOW):
         ds.groupby("__upart").map_groups(per_part, batch_format="pandas"),
         _MOVAVG_SCHEMA,
     )
+
+
+RANGE_SUM_WINDOW_US = 3_600_000_000  # 1 hour
+
+_RANGE_SUM_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("win_sum_cents", pa.int64()),
+        ("win_n", pa.int64()),
+    ]
+)
+
+
+def range_sum_1h(sf_dir: str, window_us: int = RANGE_SUM_WINDOW_US):
+    """Per event: exact sum/count of the same user's value cents over the
+    trailing TIME interval ``[ts - window, ts]`` — RANGE window-frame
+    semantics (peers with equal ts share one frame), the time-based sibling
+    of ``moving_avg``'s ROWS frame.
+
+    Kernel: one vectorized pass per coarse user-hash partition.  Rows sorted
+    by (user, ts) are embedded into a single sorted int64 axis by offsetting
+    each user's RELATIVE timestamps by a running segment offset (segment
+    width = user's span + window + 2, so frames can never cross users); both
+    frame edges are then two global ``searchsorted`` calls and the frame sum
+    is a cumsum difference.  No per-user or per-row Python."""
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id", "value"]).map_batches(
+        _add_user_part, batch_format="pyarrow"
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        n = len(g)
+        u = g["user_id"].to_numpy()
+        tus = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = cents_np(g["value"].to_numpy())
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        starts = np.nonzero(new_user)[0]
+        seg_len = np.diff(np.append(starts, n))
+        user_start = np.repeat(starts, seg_len)
+        base = tus - tus[user_start]  # per-user relative ts, >= 0
+        ends = np.append(starts[1:], n) - 1
+        spans = tus[ends] - tus[starts] + np.int64(window_us) + 2
+        seg_off = np.repeat(np.cumsum(spans) - spans, seg_len)
+        key = seg_off + base
+        if n and key[-1] >= np.int64(2) ** 62:
+            raise ValueError(
+                "range_sum_1h: per-partition time-span embedding overflows "
+                "int64 — shrink the partition (raise N_USER_PARTS)"
+            )
+        lo = np.searchsorted(key, seg_off + np.maximum(base - window_us, 0), "left")
+        hi = np.searchsorted(key, key, "right")
+        cum = np.cumsum(cents)
+        win_sum = cum[hi - 1] - np.where(lo > 0, cum[lo - 1], 0)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": u,
+                "win_sum_cents": win_sum,
+                "win_n": (hi - lo).astype(np.int64),
+            }
+        )
+
+    return _ensure_schema(
+        ds.groupby("__upart").map_groups(per_part, batch_format="pandas"),
+        _RANGE_SUM_SCHEMA,
+    )

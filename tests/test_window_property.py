@@ -218,3 +218,28 @@ def test_lag_diff_and_moving_avg_property(ray_session, wtmp, df):
             got["event_id"], got["win_sum_cents"], got["win_n"], got["win_avg_ppm"]
         )
     } == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(event_frames())
+def test_range_sum_property(ray_session, wtmp, df):
+    from layout_analysis_ray.functions.windows import (
+        RANGE_SUM_WINDOW_US,
+        range_sum_1h,
+    )
+
+    sf = _write_events(df, wtmp)
+    got = range_sum_1h(sf).to_pandas()
+    exp = {}
+    for _, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("int64").to_numpy()
+        cents = np.asarray([int(np.round(v * 100.0)) for v in g["value"]])
+        for i, eid in enumerate(g["event_id"]):
+            # RANGE frame: every row with ts in [ts_i - W, ts_i], incl. peers
+            in_frame = (ts >= ts[i] - RANGE_SUM_WINDOW_US) & (ts <= ts[i])
+            exp[int(eid)] = (int(cents[in_frame].sum()), int(in_frame.sum()))
+    assert {
+        int(e): (int(s), int(n))
+        for e, s, n in zip(got["event_id"], got["win_sum_cents"], got["win_n"])
+    } == exp
