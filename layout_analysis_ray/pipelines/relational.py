@@ -42,6 +42,19 @@ def _read(sf_dir: str, table: str, columns=None, row_filter=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kwargs)
 
 
+def _read_dim(sf_dir: str, table: str, columns=None):
+    """Driver-side DIMENSION load: plain pyarrow read, no Ray Dataset.
+
+    Dimension tables are materialized on the driver for ``ray.put``
+    broadcast anyway; routing them through a Ray Dataset execution adds a
+    fixed ~0.3 s of plan scheduling per table (measured: q5's four dim
+    loads cost ~1.3 s of wall before the join plan starts).  Storage
+    assumption is unchanged — the table must be dimension-sized."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns).to_pandas()
+
+
 def _cents(arr) -> pa.Array:
     """Exact 2-dp doubles -> int64 cents."""
     from ..functions.numeric import cents_arrow
@@ -162,17 +175,8 @@ def q3_top_orders(sf_dir: str, use_bloom: bool = False):
 
     from ..functions.filters import bloom_contains, build_bloom
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    cust_keys = (
-        cust.map_batches(
-            lambda b: b.filter(pc.equal(b["c_mktsegment"], Q3_SEGMENT)).select(
-                ["c_custkey"]
-            ),
-            batch_format="pyarrow",
-        )
-        .to_pandas()["c_custkey"]
-        .to_numpy()
-    )
+    cust = _read_dim(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust_keys = cust.loc[cust["c_mktsegment"] == Q3_SEGMENT, "c_custkey"].to_numpy()
     # dimension-sized: broadcast ONE Arrow array, probe with the vectorized
     # pc.is_in hash-set kernel (never a per-row Python membership loop)
     cust_ref = ray.put(pa.array(cust_keys, pa.int64()))
@@ -282,8 +286,8 @@ def q5_region_revenue(sf_dir: str):
     threshold is "fits comfortably in a worker heap", not table role."""
     import ray
 
-    region = _read(sf_dir, "region").to_pandas()
-    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read_dim(sf_dir, "region")
+    nation = _read_dim(sf_dir, "nation")
     rkeys = set(region[region["r_name"] == Q5_REGION]["r_regionkey"])
     nat = nation[nation["n_regionkey"].isin(rkeys)].sort_values("n_nationkey")
     nat_keys = nat["n_nationkey"].to_numpy(dtype=np.int64)
@@ -291,16 +295,12 @@ def q5_region_revenue(sf_dir: str):
 
     # broadcast each dimension as (sorted keys, values) numpy pairs; probes
     # are vectorized np.searchsorted binary searches, not per-row dict gets
-    supplier = (
-        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
-        .to_pandas()
-        .sort_values("s_suppkey")
-    )
-    customer = (
-        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-        .to_pandas()
-        .sort_values("c_custkey")
-    )
+    supplier = _read_dim(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).sort_values("s_suppkey")
+    customer = _read_dim(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).sort_values("c_custkey")
     refs = ray.put(
         (
             nat_keys,
@@ -321,11 +321,20 @@ def q5_region_revenue(sf_dir: str):
         return out
 
     def prep_orders(batch: pa.Table) -> pa.Table:
-        _, _, _, _, ck, cv = ray.get(refs)
+        nk, _, _, _, ck, cv = ray.get(refs)
         probe = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         c_nat = _lookup(ck, cv, probe)
+        # pushdown: the final predicate is s_nat == c_nat and every surviving
+        # lineitem row has s_nat in the region's nations, so orders whose
+        # customer nation is outside the region can never match — drop them
+        # BEFORE the exchange (~(1 - 1/regions) of the build side)
+        keep = np.isin(c_nat, nk)
+        batch = batch.filter(pa.array(keep))
         return pa.table(
-            {"o_orderkey": batch["o_orderkey"], "c_nat": pa.array(c_nat, pa.int64())}
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "c_nat": pa.array(c_nat[keep], pa.int64()),
+            }
         )
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
@@ -585,11 +594,9 @@ def _segment_lookup(sf_dir: str):
     graduation note as the q3/q5 broadcasts)."""
     import ray
 
-    cust = (
-        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-        .to_pandas()
-        .sort_values("c_custkey")
-    )
+    cust = _read_dim(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).sort_values("c_custkey")
     return ray.put(
         (
             cust["c_custkey"].to_numpy().astype(np.int64),
