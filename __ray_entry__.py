@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_diff": windows.lag_diff,
         "events_moving_avg": windows.moving_avg,
         "events_range_sum_1h": windows.range_sum_1h,
+        "events_user_retention_hourly": windows.user_retention_hourly,
         "events_asof_last_purchase": windows.asof_last_purchase,
         "events_range_join_purchase": windows.range_join_after_purchase,
         # time-range-salted variants (hot-key path): same results, bounded
@@ -398,6 +399,16 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "events_user_retention_hourly": """
+            WITH p AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 3600000000 AS h
+              FROM events)
+            SELECT CAST(a.h AS BIGINT) AS epoch_hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_retained
+            FROM p a JOIN p b ON a.user_id = b.user_id AND b.h = a.h + 1
+            GROUP BY a.h
         """,
         "events_range_sum_1h": """
             WITH e AS (

@@ -32,6 +32,39 @@ CC_MAX_ROUNDS = 50
 # pair graphs are small next to the corpus; partition count is a knob the
 # caller raises for genuinely huge duplicate graphs
 CC_NUM_PARTITIONS = 4
+# below this edge count the whole graph is pulled to the driver and solved
+# with vectorized numpy label propagation: each DISTRIBUTED round costs ~6
+# fixed exchange latencies (2 joins + union + groupby + repartition +
+# convergence aggregate), which dwarfs the compute when the duplicate graph
+# is thousands of rows.  64 MiB of edges is a conservative driver bound;
+# genuinely huge graphs take the round loop below.
+CC_DRIVER_MAX_EDGES = 4_000_000
+
+
+def _cc_driver(u: np.ndarray, v: np.ndarray) -> pa.Table:
+    """Vectorized min-label propagation on the driver: O(E) numpy per round,
+    pointer doubling, O(log diameter) rounds.  Labels are indices into the
+    SORTED node array, so the min label IS the min node id."""
+    uniq = np.unique(np.concatenate([u, v]))
+    cu = np.searchsorted(uniq, u)
+    cv = np.searchsorted(uniq, v)
+    lab = np.arange(len(uniq), dtype=np.int64)
+    prev = None
+    while True:
+        np.minimum.at(lab, cu, lab[cv])
+        np.minimum.at(lab, cv, lab[cu])
+        while True:  # pointer doubling to a per-round fixpoint
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        cur = int(lab.sum())
+        if cur == prev:
+            break
+        prev = cur
+    return pa.table(
+        {"node": pa.array(uniq, pa.int64()), "comp": pa.array(uniq[lab], pa.int64())}
+    )
 
 
 def _pairs_to_edges(pairs, col_a: str, col_b: str):
@@ -62,6 +95,7 @@ def connected_components(
     node_col: str = "node",
     max_rounds: int = CC_MAX_ROUNDS,
     num_partitions: int = CC_NUM_PARTITIONS,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
 ):
     """(node, comp) for every node, comp = min node id of its component.
 
@@ -81,8 +115,6 @@ def connected_components(
         n = batch["u"]
         return pa.table({"node": n, "label": n})
 
-    seeds = edges.map_batches(to_node_label, batch_format="pyarrow")
-
     def finish_min(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -93,63 +125,85 @@ def connected_components(
             }
         )
 
-    labels = (
-        seeds.groupby("node").aggregate(Min("label"))
-        .map_batches(finish_min, batch_format="pyarrow")
-        .materialize()
-    )
     # edgeless graph: every node is its own component; the join path would
     # feed Ray's hash shuffle column-less empty blocks (known quirk)
-    rounds = max_rounds if edges.count() else 0
-    prev_sum = None
-    for _round in range(rounds):
-        # neighbor messages: for edge (u, v), v learns label(u)
-        neigh = edges.join(
-            labels,
-            "inner",
-            num_partitions=num_partitions,
-            on=("u",),
-            right_on=("node",),
+    n_edges = edges.count()
+    rounds = max_rounds if n_edges else 0
+    if 0 < n_edges <= driver_max_edges:
+        # small-graph cutover: solve on the driver (identical output — min
+        # node id per component) instead of paying ~6 fixed exchange
+        # latencies per distributed round on a graph that is thousands of
+        # rows.  The duplicate graph is already orders of magnitude smaller
+        # than the corpus; above the bound the round loop below takes over.
+        import ray.data as rd
+
+        e = edges.to_pandas()
+        labels = rd.from_arrow(
+            _cc_driver(
+                e["u"].to_numpy().astype(np.int64),
+                e["v"].to_numpy().astype(np.int64),
+            )
         ).map_batches(
-            lambda b: pa.table({"node": b["v"], "label": b["label"]}),
+            lambda b: pa.table({"node": b["node"], "label": b["comp"]}),
             batch_format="pyarrow",
         )
-        # pointer doubling: node learns label(label(node))
-        hop = labels.join(
-            labels.map_batches(
-                lambda b: pa.table({"node2": b["node"], "label2": b["label"]}),
-                batch_format="pyarrow",
-            ),
-            "inner",
-            num_partitions=num_partitions,
-            on=("label",),
-            right_on=("node2",),
-        ).map_batches(
-            lambda b: pa.table({"node": b["node"], "label": b["label2"]}),
-            batch_format="pyarrow",
-        )
-        # repartition before materializing: the aggregate's shuffle can emit
-        # COLUMN-LESS empty blocks (the schema.py quirk) which map_batches
-        # skips and the next round's hash join rejects; repartition rebuilds
-        # typed blocks from the dataset schema
+    else:
+        seeds = edges.map_batches(to_node_label, batch_format="pyarrow")
         labels = (
-            labels.union(neigh)
-            .union(hop)
-            .groupby("node")
+            seeds.groupby("node")
             .aggregate(Min("label"))
             .map_batches(finish_min, batch_format="pyarrow")
-            .repartition(num_partitions)
             .materialize()
         )
-        # labels only ever decrease -> unchanged sum == fixpoint
-        cur = labels.aggregate(Sum("label"), Min("label"))
-        cur_sum = int(cur["sum(label)"])
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        if rounds:  # pragma: no cover — log-round doubling converges early
-            raise RuntimeError(f"no convergence in {max_rounds} rounds")
+        prev_sum = None
+        for _round in range(rounds):
+            # neighbor messages: for edge (u, v), v learns label(u)
+            neigh = edges.join(
+                labels,
+                "inner",
+                num_partitions=num_partitions,
+                on=("u",),
+                right_on=("node",),
+            ).map_batches(
+                lambda b: pa.table({"node": b["v"], "label": b["label"]}),
+                batch_format="pyarrow",
+            )
+            # pointer doubling: node learns label(label(node))
+            hop = labels.join(
+                labels.map_batches(
+                    lambda b: pa.table({"node2": b["node"], "label2": b["label"]}),
+                    batch_format="pyarrow",
+                ),
+                "inner",
+                num_partitions=num_partitions,
+                on=("label",),
+                right_on=("node2",),
+            ).map_batches(
+                lambda b: pa.table({"node": b["node"], "label": b["label2"]}),
+                batch_format="pyarrow",
+            )
+            # repartition before materializing: the aggregate's shuffle can
+            # emit COLUMN-LESS empty blocks (the schema.py quirk) which
+            # map_batches skips and the next round's hash join rejects;
+            # repartition rebuilds typed blocks from the dataset schema
+            labels = (
+                labels.union(neigh)
+                .union(hop)
+                .groupby("node")
+                .aggregate(Min("label"))
+                .map_batches(finish_min, batch_format="pyarrow")
+                .repartition(num_partitions)
+                .materialize()
+            )
+            # labels only ever decrease -> unchanged sum == fixpoint
+            cur = labels.aggregate(Sum("label"), Min("label"))
+            cur_sum = int(cur["sum(label)"])
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            if rounds:  # pragma: no cover — log-round doubling converges early
+                raise RuntimeError(f"no convergence in {max_rounds} rounds")
 
     comp = labels.map_batches(
         lambda b: pa.table({"node": b["node"], "comp": b["label"]}),

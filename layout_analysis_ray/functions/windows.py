@@ -1029,3 +1029,77 @@ def range_sum_1h(sf_dir: str, window_us: int = RANGE_SUM_WINDOW_US):
         ds.groupby("__upart").map_groups(per_part, batch_format="pandas"),
         _RANGE_SUM_SCHEMA,
     )
+
+
+_RETENTION_SCHEMA = pa.schema(
+    [("epoch_hour", pa.int64()), ("n_retained", pa.int64())]
+)
+
+
+def user_retention_hourly(sf_dir: str):
+    """Hour-over-hour cohort retention: for each hour h, how many users were
+    active in BOTH h and h+1 — the self-join-on-derived-key shape of cohort
+    analysis, decorrelated so no self-join ever runs.
+
+    Scale shape: batches emit (user, hour) pairs deduped WITHIN the batch
+    (map-side, so the exchange moves distinct pairs per block, never
+    events); one coarse user-hash partition then holds every pair of a
+    user, where a vectorized unique+diff finds consecutive-hour runs and
+    emits (hour, count) partials; a tiny groupby sums them.  Equivalent to
+    the SQL `p JOIN p ON same user AND b.h = a.h + 1` without materializing
+    the join."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["user_id", "ts"]).map_batches(
+        _add_user_part, batch_format="pyarrow"
+    )
+
+    def pair_dedup(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (
+            batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ).astype(np.int64) // 3_600_000_000
+        uniq = np.unique(np.stack([u, h, batch["__upart"].to_numpy(zero_copy_only=False).astype(np.int64)], axis=1), axis=0)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq[:, 0]),
+                "epoch_hour": pa.array(uniq[:, 1]),
+                "__upart": pa.array(uniq[:, 2]),
+            }
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        uh = np.unique(
+            np.stack(
+                [g["user_id"].to_numpy(), g["epoch_hour"].to_numpy()], axis=1
+            ),
+            axis=0,
+        )  # sorted by (user, hour)
+        u, h = uh[:, 0], uh[:, 1]
+        retained = (u[1:] == u[:-1]) & (h[1:] == h[:-1] + 1)
+        hours = h[:-1][retained]
+        if not len(hours):
+            return pd.DataFrame({"epoch_hour": [], "n_retained": []}).astype(
+                {"epoch_hour": np.int64, "n_retained": np.int64}
+            )
+        vals, counts = np.unique(hours, return_counts=True)
+        return pd.DataFrame(
+            {"epoch_hour": vals, "n_retained": counts.astype(np.int64)}
+        )
+
+    partials = (
+        ds.map_batches(pair_dedup, batch_format="pyarrow")
+        .groupby("__upart")
+        .map_groups(
+            lambda g: per_part(g.drop(columns="__upart")), batch_format="pandas"
+        )
+    )
+    agg = partials.groupby("epoch_hour").aggregate(
+        Sum("n_retained", alias_name="n_retained")
+    )
+    return _ensure_schema(
+        agg.map_batches(
+            lambda b: b.select(["epoch_hour", "n_retained"]), batch_format="pyarrow"
+        ),
+        _RETENTION_SCHEMA,
+    )

@@ -29,8 +29,10 @@ def _union_find(n_nodes: list[int], edges: list[tuple[int, int]]) -> dict[int, i
     return {v: min(members) for members in comp.values() for v in members}
 
 
-def _run(edges, nodes):
+def _run(edges, nodes, driver_max_edges=None):
     import ray.data as rd
+
+    from layout_analysis_ray.functions.graph import CC_DRIVER_MAX_EDGES
 
     pairs = rd.from_arrow(
         pa.table(
@@ -41,14 +43,26 @@ def _run(edges, nodes):
         )
     )
     nds = rd.from_arrow(pa.table({"node": pa.array(nodes, pa.int64())}))
-    out = connected_components(pairs, nodes=nds)
+    out = connected_components(
+        pairs,
+        nodes=nds,
+        driver_max_edges=(
+            CC_DRIVER_MAX_EDGES if driver_max_edges is None else driver_max_edges
+        ),
+    )
     return {r["node"]: r["comp"] for r in out.take_all()}
 
 
-def test_cc_random_graphs(ray_session):
+import pytest
+
+
+@pytest.mark.parametrize("driver_max_edges", [None, 0])
+def test_cc_random_graphs(ray_session, driver_max_edges):
     """Sparse + medium + dense random graphs over DISJOINT node ranges,
     merged into one call — one disconnected graph covers all three regimes
-    while paying the propagation rounds once."""
+    while paying the propagation rounds once.  Runs BOTH the driver
+    small-graph cutover (default) and the distributed round loop
+    (driver_max_edges=0)."""
     rng = np.random.RandomState(11)
     nodes: list[int] = []
     edges: list[tuple[int, int]] = []
@@ -59,17 +73,18 @@ def test_cc_random_graphs(ray_session):
             (int(part[rng.randint(40)]), int(part[rng.randint(40)]))
             for _ in range(m)
         ]
-    got = _run(edges, nodes)
+    got = _run(edges, nodes, driver_max_edges=driver_max_edges)
     assert got == _union_find(nodes, edges)
 
 
-def test_cc_chain_and_isolated(ray_session):
+@pytest.mark.parametrize("driver_max_edges", [None, 0])
+def test_cc_chain_and_isolated(ray_session, driver_max_edges):
     """A 40-node chain (worst diameter — exercises pointer doubling) plus
     isolated nodes that must come back as singleton components."""
     chain = list(range(100, 140))
     edges = list(zip(chain[:-1], chain[1:]))
     nodes = chain + [7, 9]
-    got = _run(edges, nodes)
+    got = _run(edges, nodes, driver_max_edges=driver_max_edges)
     assert got == {**{v: 100 for v in chain}, 7: 7, 9: 9}
 
 
