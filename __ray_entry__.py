@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": rel.top_orders_per_segment,
         "revenue_rollup": rel.revenue_rollup,
         "orders_pivot_by_year": rel.orders_pivot_by_year,
+        "orders_above_cust_avg": rel.orders_above_cust_avg,
         # stream-shaped windows
         "events_tumbling_1h": windows.tumbling_hourly,
         "events_sessionize": windows.sessionize,
@@ -399,6 +400,18 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "orders_above_cust_avg": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+              FROM orders),
+            a AS (
+              SELECT o_custkey, SUM(price_cents) AS s, COUNT(*) AS n
+              FROM o GROUP BY 1)
+            SELECT o.o_orderkey, o.o_custkey, o.price_cents
+            FROM o JOIN a USING (o_custkey)
+            WHERE o.price_cents * a.n > a.s
         """,
         "events_user_retention_hourly": """
             WITH p AS (

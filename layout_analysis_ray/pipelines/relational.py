@@ -788,3 +788,61 @@ def orders_pivot_by_year(sf_dir: str):
             + [(f"y{y}", pa.int64()) for y in PIVOT_YEARS]
         ),
     )
+
+
+def orders_above_cust_avg(sf_dir: str):
+    """Orders whose price exceeds their OWN customer's average order price —
+    the correlated-subquery shape, decorrelated: per-customer (sum, count)
+    partials -> tiny groupby -> hash join back to orders -> exact integer
+    predicate ``price_cents * n > sum_cents`` (no division, no floats, so
+    the oracle comparison is bit-for-bit).
+
+    Scale: the aggregate side the join ships is one row per customer; the
+    orders side streams through the same hash-partition exchange as
+    q3/q5's fact-fact edge."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "price_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(prep, batch_format="pyarrow")
+
+    stats = _partial_then_global(
+        orders.map_batches(
+            lambda b: pa.table(
+                {
+                    "custkey": b["o_custkey"],
+                    "sum_cents": b["price_cents"],
+                    "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["custkey"],
+        ["sum_cents", "n"],
+    )
+
+    joined = orders.join(
+        stats,
+        "inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("custkey",),
+    )
+
+    def filt(batch: pa.Table) -> pa.Table:
+        p = batch["price_cents"].to_numpy(zero_copy_only=False)
+        s = batch["sum_cents"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        keep = p * n > s
+        out = batch.filter(pa.array(keep))
+        return out.select(["o_orderkey", "o_custkey", "price_cents"])
+
+    return joined.map_batches(filt, batch_format="pyarrow")
