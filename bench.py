@@ -153,6 +153,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "dedup_minhash_groups": graph.dedup_minhash_groups,
         "corpus_clean_keep": corpus.corpus_clean_keep,
         "pack_sequences": corpus.pack_sequences,
+        "doc_tfidf_top_terms": text.tfidf_top_terms,
+        "events_range_sum_1h": windows.range_sum_1h,
+        "events_user_retention_hourly": windows.user_retention_hourly,
+        "orders_above_cust_avg": rel.orders_above_cust_avg,
+        "revenue_rollup": rel.revenue_rollup,
     }
     # One timed run per query, then a targeted second run for cold-start
     # outliers only: the first execution of a plan right after the 1M-doc
