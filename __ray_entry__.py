@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_hourly": windows.distinct_users_hourly,
         "events_value_histogram": windows.events_value_histogram,
         "events_session_ids": windows.session_ids,
+        "events_top_sessions": windows.top_sessions_by_value,
         "events_lag_diff": windows.lag_diff,
         "events_moving_avg": windows.moving_avg,
         "events_range_sum_1h": windows.range_sum_1h,
@@ -537,6 +538,33 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
                 AS BIGINT) AS session_seq
             FROM g
+        """,
+        "events_top_sessions": """
+            WITH g AS (
+              SELECT event_id, user_id, ts,
+                CAST(round(value*100) AS BIGINT) AS cents,
+                CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id))
+                     > 1800000000 THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT user_id, cents,
+                1 + SUM(brk) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                  AS session_seq
+              FROM g),
+            sess AS (
+              SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                     CAST(SUM(cents) AS BIGINT) AS session_cents,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM s GROUP BY 1, 2),
+            r AS (
+              SELECT *, row_number() OVER (ORDER BY session_cents DESC,
+                        user_id ASC, session_seq ASC) AS rank
+              FROM sess)
+            SELECT user_id, session_seq, session_cents, n_events,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5
         """,
         "doc_token_stats": f"""
             SELECT doc_id, len({_TOKS}) AS n_tokens,

@@ -1103,3 +1103,90 @@ def user_retention_hourly(sf_dir: str):
         ),
         _RETENTION_SCHEMA,
     )
+
+
+TOP_SESSIONS_K = 5
+
+_TOP_SESSION_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("session_seq", pa.int64()),
+        ("session_cents", pa.int64()),
+        ("n_events", pa.int64()),
+        ("rank", pa.int64()),
+    ]
+)
+
+
+def top_sessions_by_value(sf_dir: str, k: int = TOP_SESSIONS_K):
+    """The k highest-value sessions corpus-wide (30-min gap rule), with the
+    session's total cents, event count and global rank — sessionization
+    COMPOSED with grouped top-k, all in the kernels that already exist:
+    each coarse user-hash partition assigns session ids (the
+    ``session_ids`` cumsum kernel), reduces events to per-session rows via
+    ``reduceat`` at session starts, and emits only its LOCAL top-k (the
+    global top-k is contained in the union of per-partition top-ks); one
+    tiny merge ranks the <= k x partitions survivors."""
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id", "value"]).map_batches(
+        _add_user_part, batch_format="pyarrow"
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        ts_us = g["ts"].astype("int64").to_numpy()
+        cents = cents_np(g["value"].to_numpy())
+        n = len(g)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gaps = np.diff(ts_us, prepend=ts_us[0])
+        new_session = new_user | (gaps > SESSION_GAP_S * 1_000_000)
+        sid = np.cumsum(new_session)
+        s_starts = np.nonzero(new_session)[0]
+        sums = np.add.reduceat(cents, s_starts)
+        counts = np.diff(np.append(s_starts, n))
+        u_starts = np.nonzero(new_user)[0]
+        per_user_sessions = np.diff(
+            np.append(np.searchsorted(s_starts, u_starts), len(s_starts))
+        )
+        base = np.repeat(sid[u_starts], per_user_sessions)
+        out = pd.DataFrame(
+            {
+                "user_id": u[s_starts],
+                "session_seq": (sid[s_starts] - base + 1).astype(np.int64),
+                "session_cents": sums.astype(np.int64),
+                "n_events": counts.astype(np.int64),
+            }
+        ).sort_values(
+            ["session_cents", "user_id", "session_seq"],
+            ascending=[False, True, True],
+        )
+        return out.head(k)
+
+    partials = (
+        ds.groupby("__upart")
+        .map_groups(
+            lambda g: per_part(g.drop(columns="__upart")), batch_format="pandas"
+        )
+        .map_batches(
+            lambda b: b.append_column(
+                "__g", pa.array(np.zeros(b.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["session_cents", "user_id", "session_seq"],
+            ascending=[False, True, True],
+        ).head(k)
+        g = g.drop(columns="__g").reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return _ensure_schema(
+        partials.groupby("__g").map_groups(final, batch_format="pandas"),
+        _TOP_SESSION_SCHEMA,
+    )
