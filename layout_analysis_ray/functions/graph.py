@@ -196,7 +196,7 @@ def connected_components(
                 .materialize()
             )
             # labels only ever decrease -> unchanged sum == fixpoint
-            cur = labels.aggregate(Sum("label"), Min("label"))
+            cur = labels.aggregate(Sum("label"))
             cur_sum = int(cur["sum(label)"])
             if cur_sum == prev_sum:
                 break

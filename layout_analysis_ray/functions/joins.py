@@ -179,7 +179,8 @@ def q_join_bucketed_agg(sf_dir: str):
     on the same key, ONE all-to-all exchange total — the bucket-layout
     reuse the module header promises, oracle-checked in __ray_entry__ and
     exchange-counted in tests/test_functions.py."""
-    from layout_analysis_ray.pipelines.relational import _cents, _read
+    from .core import read_table as _read
+    from .numeric import cents_arrow as _cents
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey"])
 
@@ -233,11 +234,9 @@ def q_join_bucketed_agg(sf_dir: str):
 def q_join_bucketed(sf_dir: str):
     """Revenue by order priority via the explicit bucketed orders x lineitem
     join (the fact-fact scale path promised by pipelines.relational)."""
-    from layout_analysis_ray.pipelines.relational import (
-        _cents,
-        _partial_then_global,
-        _read,
-    )
+    from .core import partial_then_global as _partial_then_global
+    from .core import read_table as _read
+    from .numeric import cents_arrow as _cents
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
 

@@ -28,3 +28,12 @@ def cents_np(v: np.ndarray) -> np.ndarray:
     """double numpy array -> int64 cents, half away from zero."""
     x = np.asarray(v, dtype=np.float64) * 100.0
     return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
+def trunc_div_np(a: np.ndarray, b) -> np.ndarray:
+    """Integer division TRUNCATING toward zero, matching DuckDB's ``//``
+    (verified: DuckDB ``(-7)//2 = -3``; numpy ``//`` floors to -4).  Use
+    this whenever the numerator can be negative; plain ``//`` is fine for
+    provably non-negative values."""
+    a = np.asarray(a)
+    return (np.sign(a) * (np.abs(a) // b)).astype(np.int64)

@@ -247,7 +247,7 @@ def top_tokens_by_lang(sf_dir: str, k: int = 5):
     and a tiny per-lang merge (same pattern as mode_value_by_type)."""
     import pandas as pd
 
-    from ..pipelines.relational import _partial_then_global
+    from .core import partial_then_global as _partial_then_global
 
     _schema = pa.schema(
         [("lang", pa.string()), ("token", pa.string()), ("n", pa.int64())]
@@ -261,7 +261,12 @@ def top_tokens_by_lang(sf_dir: str, k: int = 5):
             batch["lang"].to_numpy(zero_copy_only=False), dtype=object
         )
         tcodes, tuniq = pd.factorize(toks)
-        lcodes, luniq = pd.factorize(langs[parent])
+        # use_na_sentinel=False: a NULL lang is an ordinary group (as the
+        # oracle's GROUP BY lang), not a -1 code that poisons bincount
+        lcodes, luniq = pd.factorize(langs[parent], use_na_sentinel=False)
+        luniq = np.array(
+            [x if isinstance(x, str) else None for x in luniq], dtype=object
+        )
         comp = lcodes.astype(np.int64) * np.int64(len(tuniq)) + tcodes
         binc = np.bincount(comp)
         nz = np.nonzero(binc)[0]
@@ -336,7 +341,7 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOP_K):
     import ray
     import ray.data as rd
 
-    from ..pipelines.relational import _partial_then_global
+    from .core import partial_then_global as _partial_then_global
     from .schema import ensure_schema
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .numeric import cents_arrow, cents_np
+from .numeric import cents_arrow, cents_np, trunc_div_np
 
 SESSION_GAP_S = 1800
 HOUR_US = 3_600_000_000
@@ -38,7 +38,7 @@ def tumbling_hourly(sf_dir: str):
     Pre-aggregated per batch, then a small global groupby — the window key
     (epoch-hour) is derived inside map_batches so the shuffle only moves
     (type, hour) partials."""
-    from ..pipelines.relational import _partial_then_global
+    from .core import partial_then_global as _partial_then_global
 
     ds = _read_events(sf_dir, ["ts", "event_type", "value"])
 
@@ -115,7 +115,7 @@ def sessionize(sf_dir: str):
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
         u = g["user_id"].to_numpy()
-        ts_us = g["ts"].astype("int64").to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         new_user = np.empty(len(g), dtype=bool)
         new_user[0] = True
         new_user[1:] = u[1:] != u[:-1]
@@ -151,7 +151,7 @@ def distinct_users_hourly(sf_dir: str):
     then a tiny partial+global count per window."""
     from ray.data.aggregate import Count
 
-    from ..pipelines.relational import _partial_then_global
+    from .core import partial_then_global as _partial_then_global
 
     ds = _read_events(sf_dir, ["ts", "event_type", "user_id"])
 
@@ -193,7 +193,7 @@ def events_value_histogram(sf_dir: str, bin_cents: int = 500):
     """Fixed-width value histogram: (bin, n) with bin = cents // bin_cents.
     Pure map + partial/global count — the shuffle moves one row per
     (block, bin), never events."""
-    from ..pipelines.relational import _partial_then_global
+    from .core import partial_then_global as _partial_then_global
 
     ds = _read_events(sf_dir, ["value"])
 
@@ -201,7 +201,9 @@ def events_value_histogram(sf_dir: str, bin_cents: int = 500):
         cents = cents_arrow(batch["value"]).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "bin": pa.array(cents // bin_cents, pa.int64()),
+                # trunc-div: cents can be negative (refunds); DuckDB's //
+                # truncates toward zero where numpy floors
+                "bin": pa.array(trunc_div_np(cents, bin_cents), pa.int64()),
                 "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
             }
         )
@@ -229,7 +231,7 @@ def session_ids(sf_dir: str):
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
         u = g["user_id"].to_numpy()
-        ts_us = g["ts"].astype("int64").to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         n = len(g)
         new_user = np.empty(n, dtype=bool)
         new_user[0] = True
@@ -317,7 +319,7 @@ def mode_value_by_type(sf_dir: str):
     groupby of partials (shuffle moves distinct pairs per block, not rows)
     -> per-block partial top-1 per type -> tiny final merge.  No per-group
     Python call anywhere; works at any type cardinality."""
-    from ..pipelines.relational import _partial_then_global
+    from .core import partial_then_global as _partial_then_global
 
     ds = _read_events(sf_dir, ["event_type", "value"])
 
@@ -375,7 +377,7 @@ def hopping_1h_30m(sf_dir: str):
     windows; the window assignment is derived inside map_batches (each event
     fans out to its two window keys), so the shuffle moves only
     (type, window, partial) rows — same pre-aggregate shape as tumbling."""
-    from ..pipelines.relational import _partial_then_global
+    from .core import partial_then_global as _partial_then_global
 
     ds = _read_events(sf_dir, ["ts", "event_type", "value"])
 
@@ -547,7 +549,7 @@ def sessionize_salted(sf_dir: str, bucket_us: int = SALT_BUCKET_US):
         g = g.sort_values(["user_id", "tbucket", "ts", "event_id"])
         u = g["user_id"].to_numpy()
         tb = g["tbucket"].to_numpy()
-        ts_us = g["ts"].astype("int64").to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         n = len(g)
         new_chunk = np.empty(n, dtype=bool)
         new_chunk[0] = True
@@ -950,9 +952,9 @@ def moving_avg(sf_dir: str, window: int = MOVAVG_WINDOW):
                 "user_id": u,
                 "win_sum_cents": win_sum,
                 "win_n": win_n,
-                # values are nonnegative cents: floor division matches the
-                # oracle's BIGINT // (both operands positive)
-                "win_avg_ppm": win_sum * 10000 // win_n,
+                # trunc-div toward zero (DuckDB //): exact for negative
+                # frame sums too (refund values)
+                "win_avg_ppm": trunc_div_np(win_sum * 10000, win_n),
             }
         )
 
@@ -1134,7 +1136,7 @@ def top_sessions_by_value(sf_dir: str, k: int = TOP_SESSIONS_K):
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
         u = g["user_id"].to_numpy()
-        ts_us = g["ts"].astype("int64").to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         cents = cents_np(g["value"].to_numpy())
         n = len(g)
         new_user = np.empty(n, dtype=bool)

@@ -28,18 +28,11 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
 
-def _read(sf_dir: str, table: str, columns=None, row_filter=None):
-    """Column-pruned (and optionally row-filtered) parquet read.
-
-    ``row_filter`` is a ``pyarrow.dataset`` expression pushed into the scan:
-    row groups whose statistics exclude the predicate never leave storage —
-    the prune-at-the-read rule for 100 TB inputs."""
-    import ray.data as rd
-
-    kwargs = {}
-    if row_filter is not None:
-        kwargs["filter"] = row_filter
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kwargs)
+# shared streaming primitives live in functions.core (promoted there so the
+# functions layer never imports pipeline-private helpers); these aliases
+# keep this module's call sites and docstrings unchanged
+from ..functions.core import partial_then_global as _partial_then_global  # noqa: E402
+from ..functions.core import read_table as _read  # noqa: E402
 
 
 def _read_dim(sf_dir: str, table: str, columns=None):
@@ -60,21 +53,6 @@ def _cents(arr) -> pa.Array:
     from ..functions.numeric import cents_arrow
 
     return cents_arrow(arr)
-
-
-def _partial_then_global(ds, keys: list[str], sum_cols: list[str]):
-    """Per-batch Arrow group_by partial aggregation, then a global groupby
-    over the (tiny) partials.  The shuffle moves one row per key per block
-    instead of every input row."""
-    from ray.data.aggregate import Sum
-
-    def partial(batch: pa.Table) -> pa.Table:
-        out = batch.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
-        return out.rename_columns(keys + sum_cols)
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    aggs = [Sum(c, alias_name=c) for c in sum_cols]
-    return partials.groupby(keys).aggregate(*aggs)
 
 
 # ---------------------------------------------------------------------------

@@ -348,4 +348,4 @@ def test_new_relational_ops_match_duckdb(ray_session):
     ):
         got = canon(to_pandas(qs[name](sf)))
         exp = canon(con.sql(oracles[name]).df())
-        pd.testing.assert_frame_equal(got, exp, check_dtype=True), name
+        pd.testing.assert_frame_equal(got, exp, check_dtype=True, obj=name)

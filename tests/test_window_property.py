@@ -211,7 +211,10 @@ def test_lag_diff_and_moving_avg_property(ray_session, wtmp, df):
         for i, eid in enumerate(g["event_id"]):
             frame = cents[max(0, i - (MOVAVG_WINDOW - 1)) : i + 1]
             s, n = sum(frame), len(frame)
-            exp[int(eid)] = (s, n, s * 10000 // n)  # floor div, as the kernel
+            # trunc toward zero, as DuckDB's // (the engine's trunc_div_np);
+            # Python's // floors, which differs on negative frame sums
+            a = (1 if s >= 0 else -1) * (abs(s) * 10000 // n)
+            exp[int(eid)] = (s, n, a)
     assert {
         int(e): (int(s), int(n), int(a))
         for e, s, n, a in zip(
@@ -243,3 +246,46 @@ def test_range_sum_property(ray_session, wtmp, df):
         int(e): (int(s), int(n))
         for e, s, n in zip(got["event_id"], got["win_sum_cents"], got["win_n"])
     } == exp
+
+
+def test_value_histogram_negative_values_match_duckdb(ray_session, wtmp):
+    """Negative cents must bin with DuckDB's trunc-toward-zero //, not
+    numpy's floor (the sf fixtures are all-positive, so only this test
+    exercises the sign edge)."""
+    import duckdb
+
+    from layout_analysis_ray.functions.windows import events_value_histogram
+
+    n = 40
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(1, n + 1, dtype=np.int64),
+            "ts": (BASE_US + np.arange(n, dtype=np.int64) * 1_000_000).astype(
+                "datetime64[us]"
+            ),
+            "user_id": np.ones(n, dtype=np.int64),
+            "event_type": ["view"] * n,
+            # straddles zero: bins -2, -1, 0, 1 with trunc semantics
+            "value": [(c * 37 - 740) / 100.0 for c in range(n)],
+            "props": ["{}"] * n,
+        }
+    )
+    sf = _write_events(df, wtmp)
+    got = (
+        events_value_histogram(sf)
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    exp = (
+        duckdb.sql(
+            f"""SELECT CAST(round(value*100) AS BIGINT) // 500 AS bin,
+                       COUNT(*) AS n
+                FROM read_parquet('{sf}/events.parquet')
+                GROUP BY 1 ORDER BY 1"""
+        )
+        .df()
+        .astype({"bin": np.int64, "n": np.int64})
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
