@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus pipelines: cleaning chain + sequence packing
         "corpus_clean_keep": corpus.corpus_clean_keep,
         "pack_sequences": corpus.pack_sequences,
+        "pack_sequences_global": corpus.pack_sequences_global,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
@@ -708,6 +709,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, part,
               CAST(tok_before // 2048 AS BIGINT) AS seq_id,
               CAST(tok_before % 2048 AS BIGINT) AS seq_offset
+            FROM c
+        """,
+        "pack_sequences_global": f"""
+            WITH t AS (
+              SELECT doc_id,
+                CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                CAST(strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                  AS BIGINT) AS part
+              FROM documents),
+            c AS (
+              SELECT doc_id, part,
+                SUM(n_tokens) OVER (ORDER BY part, doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS gbefore
+              FROM t)
+            SELECT doc_id, part,
+              CAST(gbefore // 2048 AS BIGINT) AS seq_id,
+              CAST(gbefore % 2048 AS BIGINT) AS seq_offset
             FROM c
         """,
         "ngram_jaccard_consecutive": f"""

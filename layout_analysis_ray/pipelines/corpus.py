@@ -96,19 +96,9 @@ def corpus_clean_keep(sf_dir: str):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
-def pack_sequences(sf_dir: str):
-    """Concat-and-chunk sequence packing: within each of ``PACK_PARTS``
-    deterministic partitions (first md5 hex digit of doc_id — the
-    ``split_hash_buckets`` convention), documents are concatenated in
-    doc_id order and chunked into ``PACK_BUDGET_TOKENS``-token context
-    windows.  Each doc's coordinate is (seq_id, seq_offset) of its FIRST
-    token; docs straddle window boundaries exactly as a pretraining
-    dataloader packs them.
-
-    Scale shape: the exchange moves (part, doc_id, n_tokens) triples — 24
-    bytes/doc regardless of document size; the per-partition kernel is one
-    sort + cumsum.  Window ids are per-partition, so 100 TB packs with 16
-    (or 16k) independent partitions and no global barrier."""
+def _token_triples(sf_dir: str):
+    """(part, doc_id, n_tokens) triples — 24 bytes/doc regardless of
+    document size.  Shared by both packing variants."""
     from ..functions.text import token_stats_batch
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
@@ -127,6 +117,33 @@ def pack_sequences(sf_dir: str):
             }
         )
 
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+_PACK_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("part", pa.int64()),
+        ("seq_id", pa.int64()),
+        ("seq_offset", pa.int64()),
+    ]
+)
+
+
+def pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing: within each of ``PACK_PARTS``
+    deterministic partitions (first md5 hex digit of doc_id — the
+    ``split_hash_buckets`` convention), documents are concatenated in
+    doc_id order and chunked into ``PACK_BUDGET_TOKENS``-token context
+    windows.  Each doc's coordinate is (seq_id, seq_offset) of its FIRST
+    token; docs straddle window boundaries exactly as a pretraining
+    dataloader packs them.
+
+    Scale shape: the exchange moves (part, doc_id, n_tokens) triples — 24
+    bytes/doc regardless of document size; the per-partition kernel is one
+    sort + cumsum.  Window ids are per-partition, so 100 TB packs with 16
+    (or 16k) independent partitions and no global barrier."""
+
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id")
         n_tok = g["n_tokens"].to_numpy().astype(np.int64)
@@ -143,15 +160,54 @@ def pack_sequences(sf_dir: str):
     from ..functions.schema import ensure_schema
 
     return ensure_schema(
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(per_part, batch_format="pandas"),
-        pa.schema(
-            [
-                ("doc_id", pa.int64()),
-                ("part", pa.int64()),
-                ("seq_id", pa.int64()),
-                ("seq_offset", pa.int64()),
-            ]
+        _token_triples(sf_dir).groupby("part").map_groups(
+            per_part, batch_format="pandas"
         ),
+        _PACK_SCHEMA,
+    )
+
+
+def pack_sequences_global(sf_dir: str):
+    """Sequence packing with GLOBAL window coordinates — documents laid out
+    in (part, doc_id) order across ALL partitions, windows numbered
+    corpus-wide.  The global order costs no global barrier: phase 1 reduces
+    the triples to one (part, total_tokens) row per partition, the driver
+    prefix-sums that partition-count-sized list into start offsets
+    (broadcast via ``ray.put``), and phase 2 is the same independent
+    per-partition cumsum shifted by its partition's offset — the offset
+    stitch pattern the salted windows already use.
+
+    Scale: two passes over the 24-byte triples (materialized once), driver
+    state = one row per partition."""
+    import ray
+
+    from ..functions.core import partial_then_global
+    from ..functions.schema import ensure_schema
+
+    triples = _token_triples(sf_dir).materialize()
+
+    totals = partial_then_global(triples, ["part"], ["n_tokens"]).to_pandas()
+    totals = totals.sort_values("part")
+    starts = np.cumsum(totals["n_tokens"].to_numpy()) - totals["n_tokens"].to_numpy()
+    off_ref = ray.put(
+        dict(zip(totals["part"].astype(int), starts.astype(np.int64)))
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        part_off = ray.get(off_ref)[int(g["part"].iloc[0])]
+        g = g.sort_values("doc_id")
+        n_tok = g["n_tokens"].to_numpy().astype(np.int64)
+        before = part_off + np.cumsum(n_tok) - n_tok
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "part": g["part"].to_numpy(),
+                "seq_id": before // PACK_BUDGET_TOKENS,
+                "seq_offset": before % PACK_BUDGET_TOKENS,
+            }
+        )
+
+    return ensure_schema(
+        triples.groupby("part").map_groups(per_part, batch_format="pandas"),
+        _PACK_SCHEMA,
     )

@@ -306,6 +306,38 @@ def test_pack_sequences_invariants(ray_session):
         assert start[0] == 0  # first doc of each partition starts at 0
 
 
+def test_pack_sequences_global_stitch(ray_session):
+    """Global packing is local packing shifted by a per-partition constant
+    (the cumulative token total of all earlier partitions): within each
+    part the offset delta is constant, deltas are non-decreasing in part
+    order, part 0's delta is 0, and the whole corpus packs gap-free."""
+    from layout_analysis_ray.pipelines.corpus import (
+        PACK_BUDGET_TOKENS,
+        pack_sequences,
+        pack_sequences_global,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    local = pack_sequences(sf).to_pandas().set_index("doc_id").sort_index()
+    glob = pack_sequences_global(sf).to_pandas().set_index("doc_id").sort_index()
+    assert len(glob) == len(local) == 500
+    pd.testing.assert_series_equal(glob["part"], local["part"])
+    l_start = local["seq_id"] * PACK_BUDGET_TOKENS + local["seq_offset"]
+    g_start = glob["seq_id"] * PACK_BUDGET_TOKENS + glob["seq_offset"]
+    delta = (g_start - l_start).groupby(glob["part"]).unique()
+    assert all(len(d) == 1 for d in delta)  # constant shift per part
+    shifts = delta.map(lambda d: d[0]).sort_index()
+    assert shifts.iloc[0] == 0
+    assert (shifts.diff().dropna() >= 0).all()
+    # gap-free: each part's shift equals the previous part's shift plus
+    # the previous part's total token count (= its max start + last doc len);
+    # weaker but representation-only check: the global max start is >= every
+    # local max start + shift, and parts tile without overlap.
+    part_max = (g_start).groupby(glob["part"]).max().sort_index()
+    part_min = (g_start).groupby(glob["part"]).min().sort_index()
+    assert (part_min.iloc[1:].to_numpy() > part_max.iloc[:-1].to_numpy()).all()
+
+
 def test_corpus_clean_keep_subset_of_dedup(ray_session):
     """Every kept doc must be a lang/quality survivor and the min doc_id of
     its hash group among survivors."""
