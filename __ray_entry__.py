@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_heavy_tokens": sketches.heavy_hitter_tokens,
         # exact distributed order statistics (histogram narrowing, no sort)
         "lineitem_price_quantiles": quantiles.lineitem_price_quantiles,
+        "lineitem_price_quartiles_interp": quantiles.lineitem_price_quartiles_interp,
         "events_value_quantiles": quantiles.events_value_quantiles,
         "events_value_median_by_type": quantiles.events_value_median_by_type,
         "events_value_quartile": quantiles.events_value_quartile,
@@ -829,6 +830,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(qs.q_ppm AS BIGINT) AS q_ppm, r.c AS value_cents
             FROM qs, n, r
             WHERE r.rn = (CAST(qs.q_ppm AS BIGINT) * n.n + 999999) // 1000000
+        """,
+        "lineitem_price_quartiles_interp": """
+            WITH v AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS c
+                       FROM lineitem),
+            o AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+            n AS (SELECT COUNT(*) AS n FROM v),
+            p(pq) AS (VALUES (1),(2),(3)),
+            ix AS (SELECT pq,
+                          ((n.n - 1) * pq) // 4 + 1 AS ra,
+                          ((n.n - 1) * pq) % 4 AS f4
+                   FROM p, n)
+            SELECT CAST(ix.pq * 250000 AS BIGINT) AS q_ppm,
+                   CAST(4 * a.c + (COALESCE(b.c, a.c) - a.c) * ix.f4
+                     AS BIGINT) AS value_qcents
+            FROM ix
+            JOIN o a ON a.rn = ix.ra
+            LEFT JOIN o b ON b.rn = ix.ra + 1
         """,
         "events_value_quantiles": """
             WITH v AS (SELECT CAST(round(value*100) AS BIGINT) AS c FROM events),

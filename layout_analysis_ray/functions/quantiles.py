@@ -194,6 +194,60 @@ def events_value_quantiles(sf_dir: str, qs_ppm=DEFAULT_QS_PPM) -> pa.Table:
 
     return _quantile_table(make_ds, qs_ppm)
 
+def _interp_quartiles(make_ds) -> pa.Table:
+    """PERCENTILE_CONT / quantile_cont quartiles in EXACT integer
+    arithmetic: position of quartile pq/4 over n rows is pos = (n-1) * pq
+    quarter-steps, so the interpolated value is
+        4*a + (b - a) * (pos % 4)   in quarter-cent units,
+    where a, b are the (pos//4 + 1)-th and next order statistics.  The six
+    (deduped) ranks resolve in ONE shared ``kth_smallest`` narrowing —
+    adjacent ranks land in the same histogram bin, so the pass count stays
+    ~log_B(range).  No floats anywhere, so the oracle hash matches
+    bit-for-bit."""
+    stats = _min_max_count(make_ds)
+    n = stats[2]
+    want: dict[int, tuple[int, int, int]] = {}
+    ranks: set[int] = set()
+    for pq in (1, 2, 3):
+        lo0, f4 = divmod((n - 1) * pq, 4)
+        ra = lo0 + 1
+        rb = min(ra + 1, n) if f4 else ra
+        want[pq] = (ra, rb, f4)
+        ranks |= {ra, rb}
+    vals = kth_smallest(make_ds, sorted(ranks), _stats=stats)
+    return pa.table(
+        {
+            "q_ppm": pa.array([pq * 250_000 for pq in (1, 2, 3)], pa.int64()),
+            "value_qcents": pa.array(
+                [
+                    4 * vals[want[pq][0]]
+                    + (vals[want[pq][1]] - vals[want[pq][0]]) * want[pq][2]
+                    for pq in (1, 2, 3)
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def lineitem_price_quartiles_interp(sf_dir: str) -> pa.Table:
+    """Interpolated (quantile_cont) quartiles of l_extendedprice in exact
+    quarter-cent integers — the continuous sibling of
+    ``lineitem_price_quantiles`` (which is the discrete smallest-rank
+    convention).  Same streaming histogram narrowing, no sort."""
+    import ray.data as rd
+
+    def make_ds():
+        return rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+        ).map_batches(
+            lambda b: pa.table({"v": _cents(b["l_extendedprice"])}),
+            batch_format="pyarrow",
+        )
+
+    return _interp_quartiles(make_ds)
+
+
 # ---------------------------------------------------------------------------
 # Per-group exact quantiles (same narrowing, histogram keyed by group)
 # ---------------------------------------------------------------------------

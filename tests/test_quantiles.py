@@ -66,6 +66,33 @@ def test_quantiles_match_numpy_sf0001(ray_session):
     assert dict(zip(got["q_ppm"], got["value_cents"])) == exp
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=200
+    )
+)
+def test_interp_quartiles_property(ray_session, vals):
+    """Quarter-cent interpolated quartiles == numpy quantile(linear)*4 on
+    random arrays (incl. n=1 and tie-heavy inputs)."""
+    from layout_analysis_ray.functions.quantiles import _interp_quartiles
+
+    arr = np.asarray(vals, dtype=np.int64)
+    got = _interp_quartiles(_mk(arr)).to_pandas()
+    sv = np.sort(arr)
+    n = len(sv)
+    exp = {}
+    for pq in (1, 2, 3):
+        lo0, f4 = divmod((n - 1) * pq, 4)
+        a = int(sv[lo0])
+        b = int(sv[min(lo0 + 1, n - 1)]) if f4 else a
+        exp[pq * 250_000] = 4 * a + (b - a) * f4
+    assert dict(zip(got["q_ppm"], got["value_qcents"])) == exp
+    # cross-check against numpy's own linear interpolation (scaled by 4)
+    npq = np.quantile(sv, [0.25, 0.5, 0.75], method="linear") * 4
+    assert np.allclose(sorted(exp.values()), np.sort(npq))
+
+
 def test_grouped_median_matches_numpy(ray_session):
     """Per-group narrowing vs per-group sort, including a 1-row group and a
     huge-domain group resolved in the same passes as the others."""
