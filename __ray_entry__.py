@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed order statistics (histogram narrowing, no sort)
         "lineitem_price_quantiles": quantiles.lineitem_price_quantiles,
         "lineitem_price_quartiles_interp": quantiles.lineitem_price_quartiles_interp,
+        "events_value_median_interp_by_type": quantiles.events_value_median_interp_by_type,
         "events_value_quantiles": quantiles.events_value_quantiles,
         "events_value_median_by_type": quantiles.events_value_median_by_type,
         "events_value_quartile": quantiles.events_value_quartile,
@@ -856,6 +857,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(qs.q_ppm AS BIGINT) AS q_ppm, r.c AS value_cents
             FROM qs, n, r
             WHERE r.rn = (CAST(qs.q_ppm AS BIGINT) * n.n + 999999) // 1000000
+        """,
+        "events_value_median_interp_by_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value*100) AS BIGINT) AS c
+                       FROM events),
+            o AS (SELECT event_type, c,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY c) AS rn,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n
+                  FROM c),
+            ix AS (SELECT DISTINCT event_type,
+                          (n - 1) // 2 + 1 AS ra,
+                          (n - 1) % 2 AS f2
+                   FROM o)
+            SELECT ix.event_type,
+                   CAST(2 * a.c + (COALESCE(b.c, a.c) - a.c) * ix.f2
+                     AS BIGINT) AS median_hcents
+            FROM ix
+            JOIN o a ON a.event_type = ix.event_type AND a.rn = ix.ra
+            LEFT JOIN o b ON b.event_type = ix.event_type AND b.rn = ix.ra + 1
         """,
         # exact mode per type: most frequent cents value, ties -> smallest
         "events_mode_value_by_type": """

@@ -252,7 +252,7 @@ def lineitem_price_quartiles_interp(sf_dir: str) -> pa.Table:
 # Per-group exact quantiles (same narrowing, histogram keyed by group)
 # ---------------------------------------------------------------------------
 
-def grouped_quantile(make_ds, q_ppm: int) -> dict[str, int]:
+def grouped_quantile(make_ds, q_ppm: int, rank_fn=None, return_counts=False):
     """Exact q-quantile PER GROUP of a dataset with columns (g: string,
     v: int64): one grouped Min/Max/Count aggregate, then histogram passes
     where each group narrows its own interval — all groups advance in the
@@ -264,6 +264,11 @@ def grouped_quantile(make_ds, q_ppm: int) -> dict[str, int]:
     inside the map closure; swap to ray.put above ~10^5 groups).  For very
     high group cardinality shrink N_BUCKETS — more passes, bounded driver
     rows.
+
+    ``rank_fn(n) -> 1-based rank`` overrides the default ceil(q_ppm*n/1e6)
+    convention (used by the interpolated variants, which need the two
+    adjacent order statistics).  With ``return_counts`` the result is
+    {g: (value, n)} instead of {g: value}.
     """
     from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -275,9 +280,11 @@ def grouped_quantile(make_ds, q_ppm: int) -> dict[str, int]:
     )
     # state per group: (lo, hi, offset, target_rank)
     state = {}
+    counts_by_g: dict[str, int] = {}
     for r in rows:
         n = int(r["count()"])
-        k = (q_ppm * n + 999_999) // 1_000_000
+        counts_by_g[r["g"]] = n
+        k = rank_fn(n) if rank_fn is not None else (q_ppm * n + 999_999) // 1_000_000
         state[r["g"]] = (int(r["min(v)"]), int(r["max(v)"]), 0, k)
     resolved: dict[str, int] = {}
 
@@ -287,6 +294,8 @@ def grouped_quantile(make_ds, q_ppm: int) -> dict[str, int]:
                 resolved[g] = lo
                 del state[g]
         if not state:
+            if return_counts:
+                return {g: (v, counts_by_g[g]) for g, v in resolved.items()}
             return resolved
 
         groups = sorted(state)
@@ -393,6 +402,44 @@ def events_value_median_by_type(sf_dir: str) -> pa.Table:
         {
             "event_type": pa.array(keys, pa.string()),
             "median_cents": pa.array([med[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def events_value_median_interp_by_type(sf_dir: str) -> pa.Table:
+    """PERCENTILE_CONT(0.5) per event type in exact HALF-CENT integers —
+    the interpolated sibling of ``events_value_median_by_type``.  For a
+    group of n values the median position is (n-1)/2, so the value is
+        2*a + (b - a) * ((n-1) % 2)
+    where a is the ((n-1)//2 + 1)-th order statistic and b the next one.
+    Two grouped narrowings (all groups advance together in each), no
+    per-group sort, no floats."""
+    import ray.data as rd
+
+    def make_ds():
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).map_batches(
+            lambda b: pa.table({"g": b["event_type"], "v": _cents(b["value"])}),
+            batch_format="pyarrow",
+        )
+
+    lo_stat = grouped_quantile(
+        make_ds, 0, rank_fn=lambda n: (n - 1) // 2 + 1, return_counts=True
+    )
+    hi_stat = grouped_quantile(
+        make_ds, 0, rank_fn=lambda n: min((n - 1) // 2 + 1 + ((n - 1) % 2), n)
+    )
+    keys = sorted(lo_stat)
+    med = []
+    for g in keys:
+        a, n = lo_stat[g]
+        b = hi_stat[g]
+        med.append(2 * a + (b - a) * ((n - 1) % 2))
+    return pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "median_hcents": pa.array(med, pa.int64()),
         }
     )
 

@@ -122,6 +122,48 @@ def test_grouped_median_matches_numpy(ray_session):
     assert got == exp
 
 
+def test_grouped_interp_median_matches_numpy(ray_session):
+    """Half-cent interpolated per-group median == numpy median*2, with odd,
+    even, and single-row groups."""
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.quantiles import (
+        events_value_median_interp_by_type,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = events_value_median_interp_by_type(sf).to_pandas()
+    t = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "value"])
+    df = t.to_pandas()
+    df["c"] = np.round(df["value"] * 100).astype(np.int64)
+    exp = {
+        g: int(round(np.median(sub["c"].to_numpy()) * 2))
+        for g, sub in df.groupby("event_type")
+    }
+    assert dict(zip(got["event_type"], got["median_hcents"])) == exp
+
+
+def test_grouped_interp_median_group_sizes(ray_session):
+    """Explicit odd/even/1-row groups via an in-memory dataset."""
+    import ray.data as rd
+
+    from layout_analysis_ray.functions.quantiles import grouped_quantile
+
+    t = pa.table(
+        {
+            "g": pa.array(["odd"] * 3 + ["even"] * 4 + ["one"], pa.string()),
+            "v": pa.array([1, 5, 9, 2, 4, 6, 8, 42], pa.int64()),
+        }
+    )
+    mk = lambda: rd.from_arrow(t)
+    lo = grouped_quantile(mk, 0, rank_fn=lambda n: (n - 1) // 2 + 1, return_counts=True)
+    hi = grouped_quantile(
+        mk, 0, rank_fn=lambda n: min((n - 1) // 2 + 1 + ((n - 1) % 2), n)
+    )
+    med = {g: 2 * a + (hi[g] - a) * ((n - 1) % 2) for g, (a, n) in lo.items()}
+    assert med == {"odd": 10, "even": 10, "one": 84}  # 5, 5.0, 42 in half-units
+
+
 def test_stratified_sample_batch_invariance(ray_session):
     """The per-batch partial head must not change the final sample: running
     on 1 block and on many blocks gives identical (lang, doc_id, rn) rows."""
