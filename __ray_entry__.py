@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_1h_30m": windows.hopping_1h_30m,
         "events_mode_value_by_type": windows.mode_value_by_type,
         "events_top_per_user": windows.top_event_per_user,
+        "events_first_last_per_user": windows.first_last_event_per_user,
         "events_distinct_users_hourly": windows.distinct_users_hourly,
         "events_value_histogram": windows.events_value_histogram,
         "events_session_ids": windows.session_ids,
@@ -512,6 +513,27 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rn
               FROM events)
             WHERE rn = 1
+        """,
+        "events_first_last_per_user": """
+            WITH f AS (
+              SELECT user_id, event_id,
+                     CAST(round(value*100) AS BIGINT) AS vc,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            l AS (
+              SELECT user_id, event_id,
+                     CAST(round(value*100) AS BIGINT) AS vc,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT f.user_id,
+                   f.event_id AS first_event_id,
+                   f.vc AS first_value_cents,
+                   l.event_id AS last_event_id,
+                   l.vc AS last_value_cents
+            FROM (SELECT * FROM f WHERE rn = 1) f
+            JOIN (SELECT * FROM l WHERE rn = 1) l USING (user_id)
         """,
         "events_props_json": """
             SELECT event_id,

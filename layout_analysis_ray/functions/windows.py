@@ -455,6 +455,76 @@ def top_event_per_user(sf_dir: str):
     )
 
 
+_FIRST_LAST_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("first_event_id", pa.int64()),
+        ("first_value_cents", pa.int64()),
+        ("last_event_id", pa.int64()),
+        ("last_value_cents", pa.int64()),
+    ]
+)
+
+
+def first_last_event_per_user(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE per user by event time (ties -> lowest
+    event_id) — the latest-snapshot / SCD compaction shape: one wide row
+    per user with its earliest and latest event.
+
+    Scale shape: per-batch PARTIAL endpoint pick (first and last are both
+    associative under the (ts, event_id) lexicographic order, so the
+    shuffle moves <= TWO candidate rows per user per batch, never events),
+    then the coarse user-hash partition with one vectorized lexsort +
+    run-boundary pick per partition."""
+    ds = _read_events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def _endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        n = len(df)
+        first = np.empty(n, dtype=bool)
+        last = np.empty(n, dtype=bool)
+        if n:
+            first[0] = True
+            first[1:] = u[1:] != u[:-1]
+            last[-1] = True
+            last[:-1] = u[1:] != u[:-1]
+        return df, first, last
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "value_cents": cents_arrow(batch["value"]),
+            }
+        )
+        df, first, last = _endpoints(t.to_pandas())
+        return pa.Table.from_pandas(df[first | last], preserve_index=False)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        df, first, last = _endpoints(g.drop(columns="__upart"))
+        f, l = df[first], df[last]
+        return pd.DataFrame(
+            {
+                "user_id": f["user_id"].to_numpy(),
+                "first_event_id": f["event_id"].to_numpy(),
+                "first_value_cents": f["value_cents"].to_numpy(),
+                "last_event_id": l["event_id"].to_numpy(),
+                "last_value_cents": l["value_cents"].to_numpy(),
+            }
+        )
+
+    return _ensure_schema(
+        ds.map_batches(prep, batch_format="pyarrow")
+        .map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("__upart")
+        .map_groups(pick, batch_format="pandas"),
+        _FIRST_LAST_SCHEMA,
+    )
+
+
 ASOF_REF_TYPE = "purchase"
 
 

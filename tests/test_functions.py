@@ -359,6 +359,35 @@ def test_corpus_clean_keep_subset_of_dedup(ray_session):
     assert kept["content_hash"].is_unique
 
 
+def test_first_last_per_user_ties_and_batching(ray_session, tmp_path):
+    """Duplicate timestamps resolve by lowest event_id for first / highest
+    for last, and the per-batch partial pick is batching-invariant (forced
+    1-row batches == one batch)."""
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.windows import first_last_event_per_user
+
+    t = pa.table(
+        {
+            "event_id": pa.array([5, 3, 9, 1, 7, 2], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+            "ts": pa.array([100, 100, 50, 10, 10, 10], pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"), row_group_size=1)
+    got = (
+        first_last_event_per_user(str(tmp_path))
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    # user 1: first = ts50/eid9, last = ts100 tie -> max eid 5
+    assert list(got.loc[1]) == [9, 300, 5, 100]
+    # user 2: all ts tie -> first eid 1, last eid 7
+    assert list(got.loc[2]) == [1, 400, 7, 500]
+
+
 def test_new_relational_ops_match_duckdb(ray_session):
     """Grouped top-k, rollup, pivot, and tf-idf vs their committed SQL
     oracles at sf0.001 (the same compare the driver runs at sf0.01)."""
