@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches (approximate; pytest gates vs exact answers)
         "sketch_distinct_users": sketches.approx_distinct_users,
         "sketch_heavy_tokens": sketches.heavy_hitter_tokens,
+        "sketch_value_quantiles": sketches.approx_value_quantiles,
         # exact distributed order statistics (histogram narrowing, no sort)
         "lineitem_price_quantiles": quantiles.lineitem_price_quantiles,
         "lineitem_price_quartiles_interp": quantiles.lineitem_price_quartiles_interp,

@@ -234,3 +234,112 @@ def heavy_hitter_tokens(sf_dir: str, top_k: int = 20):
         .sort(["est_count", "token"], descending=[True, False])
         .limit(top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (DDSketch-style log-gamma histogram)
+# ---------------------------------------------------------------------------
+# Relative-error quantiles in ONE streaming pass: each batch bins its cents
+# values into a fixed int64[DDS_NBINS] log-gamma histogram (bin i holds
+# v in (gamma^(i-1), gamma^i], so any value in a bin is within
+# (gamma-1)/(gamma+1) ~ DDS_EPS of the bin's midpoint estimate), partials
+# merge by vector ADD through the same two-level crc32 groupby tree as the
+# CMS — the driver only ever sees one ~16 KiB merged histogram.  The exact
+# siblings (functions/quantiles.py) need ~3 full scans; this needs one, at
+# the cost of a bounded relative error.  Cf. DDSketch (Masson et al.,
+# VLDB 2019) — public algorithm; reference repo has no sketches (SURVEY §2.5).
+
+DDS_EPS = 0.01
+DDS_GAMMA = (1 + DDS_EPS) / (1 - DDS_EPS)
+_DDS_LOG_G = np.log(DDS_GAMMA)
+DDS_NBINS = 2048  # gamma^2048 ~ 4e17 cents; larger values saturate the top bin
+
+
+def _dds_partial(c: np.ndarray) -> np.ndarray:
+    """int64[DDS_NBINS + 1] histogram: slot 0 counts v <= 0 (cents are
+    nonnegative in every pipeline that uses this; zeros are exact),
+    slots 1.. hold the log-gamma bins shifted by one."""
+    out = np.zeros(DDS_NBINS + 1, dtype=np.int64)
+    pos = c > 0
+    out[0] = int((~pos).sum())
+    if pos.any():
+        idx = np.ceil(np.log(c[pos].astype(np.float64)) / _DDS_LOG_G).astype(np.int64)
+        np.clip(idx, 0, DDS_NBINS - 1, out=idx)
+        out[1:] += np.bincount(idx, minlength=DDS_NBINS)
+    return out
+
+
+def _dds_quantiles(hist: np.ndarray, qs_ppm) -> dict[int, int]:
+    """{q_ppm: approx_cents} with the same ceil-rank convention as the
+    exact quantiles (rank k = ceil(q*n)), bin midpoint estimate."""
+    n = int(hist.sum())
+    if n == 0:
+        return {int(q): 0 for q in qs_ppm}
+    cum = np.cumsum(hist)
+    out = {}
+    for q in qs_ppm:
+        k = (int(q) * n + 999_999) // 1_000_000
+        b = int(np.searchsorted(cum, k))
+        if b == 0:
+            out[int(q)] = 0
+        else:
+            g = DDS_GAMMA ** (b - 1)  # un-shift: slot b is log bin b-1
+            out[int(q)] = max(1, int(round(2.0 * g / (DDS_GAMMA + 1.0))))
+    return out
+
+
+SKETCH_QS_PPM = (250_000, 500_000, 750_000, 900_000)
+
+
+def approx_value_quantiles(sf_dir: str, qs_ppm=SKETCH_QS_PPM):
+    """(q_ppm, approx_cents) quantiles of events.value from ONE streaming
+    pass — the sketch sibling of ``quantiles.events_value_quantiles``
+    (exact, ~3 scans).  Partial histograms merge associatively through the
+    two-level groupby tree; estimates are within ~DDS_EPS relative error
+    (pytest-gated against the exact values)."""
+    import zlib
+
+    import ray.data as rd
+
+    from .numeric import cents_arrow
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = cents_arrow(batch["value"]).to_numpy(zero_copy_only=False)
+        payload = _dds_partial(c).tobytes()
+        return pa.table(
+            {
+                "mpart": pa.array(
+                    [zlib.crc32(payload) % CMS_MERGE_FANIN], pa.int64()
+                ),
+                "payload": pa.array([payload], pa.binary()),
+            }
+        )
+
+    def merge_rows(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(DDS_NBINS + 1, dtype=np.int64)
+        for b in g["payload"]:
+            acc += np.frombuffer(b, dtype=np.int64)
+        return pd.DataFrame({"mpart": [0], "payload": [acc.tobytes()]})
+
+    lvl1 = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("mpart")
+        .map_groups(merge_rows, batch_format="pandas")
+    )
+    merged = lvl1.groupby("mpart").map_groups(
+        merge_rows, batch_format="pandas"
+    ).take_all()
+    hist = (
+        np.frombuffer(merged[0]["payload"], dtype=np.int64)
+        if merged
+        else np.zeros(DDS_NBINS + 1, dtype=np.int64)
+    )
+    est = _dds_quantiles(hist, qs_ppm)
+    return pa.table(
+        {
+            "q_ppm": pa.array(sorted(est), pa.int64()),
+            "approx_cents": pa.array([est[q] for q in sorted(est)], pa.int64()),
+        }
+    )

@@ -82,3 +82,46 @@ def test_heavy_hitters_empty_corpus(ray_session, tmp_path):
     )
     out = heavy_hitter_tokens(str(tmp_path), top_k=5).take_all()
     assert out == []
+
+
+def test_quantile_sketch_vs_exact(ray_session):
+    """One-pass DDSketch quantiles within the documented relative error of
+    the exact 3-scan values (+1 cent rounding slack)."""
+    from layout_analysis_ray.functions.quantiles import events_value_quantiles
+    from layout_analysis_ray.functions.sketches import (
+        DDS_EPS,
+        approx_value_quantiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = dict(
+        zip(*(lambda t: (t["q_ppm"].to_pylist(), t["value_cents"].to_pylist()))(
+            events_value_quantiles(sf)
+        ))
+    )
+    approx = dict(
+        zip(*(lambda t: (t["q_ppm"].to_pylist(), t["approx_cents"].to_pylist()))(
+            approx_value_quantiles(sf)
+        ))
+    )
+    assert set(approx) == set(exact)
+    for q, ev in exact.items():
+        assert abs(approx[q] - ev) <= DDS_EPS * ev + 1, (q, approx[q], ev)
+
+
+def test_quantile_sketch_merge_invariance(ray_session):
+    """The partial+tree merge must be batching-invariant: the merged
+    histogram of many small partials equals one whole-array partial."""
+    import numpy as np
+
+    from layout_analysis_ray.functions.sketches import _dds_partial, _dds_quantiles
+
+    rng = np.random.default_rng(3)
+    c = rng.integers(0, 10**7, 20_000).astype(np.int64)
+    whole = _dds_partial(c)
+    chunks = sum(_dds_partial(ch) for ch in np.array_split(c, 37))
+    assert (whole == chunks).all()
+    # sanity: median estimate within eps of true median
+    true_med = int(np.sort(c)[(len(c) + 1) // 2 - 1])
+    est = _dds_quantiles(whole, [500_000])[500_000]
+    assert abs(est - true_med) <= 0.011 * true_med + 1
