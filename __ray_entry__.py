@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode_value_by_type": windows.mode_value_by_type,
         "events_top_per_user": windows.top_event_per_user,
         "events_first_last_per_user": windows.first_last_event_per_user,
+        "events_new_users_hourly": windows.new_users_hourly,
         "events_distinct_users_hourly": windows.distinct_users_hourly,
         "events_value_histogram": windows.events_value_histogram,
         "events_session_ids": windows.session_ids,
@@ -514,6 +515,18 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rn
               FROM events)
             WHERE rn = 1
+        """,
+        "events_new_users_hourly": """
+            WITH f AS (SELECT user_id, MIN(ts) AS fts FROM events GROUP BY 1),
+            h AS (SELECT epoch_us(fts) // 3600000000 AS epoch_hour,
+                         COUNT(*) AS n_new
+                  FROM f GROUP BY 1)
+            SELECT CAST(epoch_hour AS BIGINT) AS epoch_hour,
+                   CAST(n_new AS BIGINT) AS n_new,
+                   CAST(SUM(n_new) OVER (ORDER BY epoch_hour
+                                         ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS cum_new
+            FROM h
         """,
         "events_first_last_per_user": """
             WITH f AS (

@@ -455,6 +455,59 @@ def top_event_per_user(sf_dir: str):
     )
 
 
+def new_users_hourly(sf_dir: str):
+    """New-user funnel: users whose FIRST event falls in each hour, plus
+    the running cumulative — the growth-curve shape.
+
+    Scale: per-user first-seen rides the native groupby ``Min`` (map-side
+    combined — per-batch partials, never events, cross the exchange), the
+    per-hour count is a second partial+global aggregate over one row per
+    user, and the cumulative sum runs over the tiny hour table (one row per
+    hour of corpus history — thousands at 100 TB, driver-safe)."""
+    from ray.data.aggregate import Min
+
+    from .core import partial_then_global
+
+    ds = _read_events(sf_dir, ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": batch["user_id"], "ts_us": batch["ts"].cast(pa.int64())}
+        )
+
+    firsts = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("ts_us"))
+    )
+
+    def hour_counts(batch: pa.Table) -> pa.Table:
+        ts = batch["min(ts_us)"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(ts // HOUR_US, return_counts=True)
+        return pa.table(
+            {
+                "epoch_hour": pa.array(u.astype(np.int64), pa.int64()),
+                "n_new": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hours = partial_then_global(
+        firsts.map_batches(hour_counts, batch_format="pyarrow"),
+        ["epoch_hour"],
+        ["n_new"],
+    ).to_pandas()
+    hours = hours.sort_values("epoch_hour").reset_index(drop=True)
+    return pa.table(
+        {
+            "epoch_hour": pa.array(hours["epoch_hour"].to_numpy(), pa.int64()),
+            "n_new": pa.array(hours["n_new"].to_numpy(), pa.int64()),
+            "cum_new": pa.array(
+                np.cumsum(hours["n_new"].to_numpy()).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
 _FIRST_LAST_SCHEMA = pa.schema(
     [
         ("user_id", pa.int64()),

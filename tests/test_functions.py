@@ -388,6 +388,35 @@ def test_first_last_per_user_ties_and_batching(ray_session, tmp_path):
     assert list(got.loc[2]) == [1, 400, 7, 500]
 
 
+def test_new_users_hourly_consistency(ray_session):
+    """cum_new is the prefix sum of n_new, the final cumulative equals the
+    distinct-user count, and each user's first-event hour (from
+    first_last_event_per_user) lands in the funnel exactly once."""
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.windows import (
+        HOUR_US,
+        first_last_event_per_user,
+        new_users_hourly,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = new_users_hourly(sf).to_pandas()
+    assert (got["cum_new"] == got["n_new"].cumsum()).all()
+    assert got["epoch_hour"].is_monotonic_increasing
+
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["user_id", "ts"]).to_pandas()
+    assert got["cum_new"].iloc[-1] == ev["user_id"].nunique()
+    first_hours = (
+        ev.assign(tus=ev["ts"].astype("datetime64[us]").astype(np.int64))
+        .groupby("user_id")["tus"]
+        .min()
+        // HOUR_US
+    )
+    exp = first_hours.value_counts().sort_index()
+    assert dict(zip(got["epoch_hour"], got["n_new"])) == exp.to_dict()
+
+
 def test_new_relational_ops_match_duckdb(ray_session):
     """Grouped top-k, rollup, pivot, and tf-idf vs their committed SQL
     oracles at sf0.001 (the same compare the driver runs at sf0.01)."""
