@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sampling,
         similarity,
         sketches,
+        stats,
         text,
         windows,
     )
@@ -188,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_per_user": windows.top_event_per_user,
         "events_first_last_per_user": windows.first_last_event_per_user,
         "events_new_users_hourly": windows.new_users_hourly,
+        "events_value_outliers": stats.events_value_outliers,
         "events_distinct_users_hourly": windows.distinct_users_hourly,
         "events_value_histogram": windows.events_value_histogram,
         "events_session_ids": windows.session_ids,
@@ -515,6 +517,21 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rn
               FROM events)
             WHERE rn = 1
+        """,
+        "events_value_outliers": """
+            WITH c AS (SELECT event_id, event_type,
+                              CAST(round(value*100) AS BIGINT) AS vc
+                       FROM events),
+            s AS (SELECT event_type,
+                         CAST(COUNT(*) AS HUGEINT) AS n,
+                         SUM(CAST(vc AS HUGEINT)) AS s1,
+                         SUM(CAST(vc AS HUGEINT) * CAST(vc AS HUGEINT)) AS s2
+                  FROM c GROUP BY 1)
+            SELECT c.event_id, c.event_type, c.vc AS value_cents
+            FROM c JOIN s USING (event_type)
+            WHERE (CAST(c.vc AS HUGEINT) * s.n - s.s1)
+                * (CAST(c.vc AS HUGEINT) * s.n - s.s1)
+                > 9 * (s.n * s.s2 - s.s1 * s.s1)
         """,
         "events_new_users_hourly": """
             WITH f AS (SELECT user_id, MIN(ts) AS fts FROM events GROUP BY 1),

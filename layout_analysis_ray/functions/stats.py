@@ -1,0 +1,126 @@
+"""Moment-based statistics: exact integer mean/variance partials and the
+3-sigma outlier flag built on them.
+
+The classic (n, sum, sum-of-squares) partial pattern: each batch reduces to
+one moment row per group, the tiny per-group moments merge on the driver in
+arbitrary-precision Python ints (sum-of-squares exceeds int64 around 10^19
+— per-BATCH partials stay int64-safe, only the merge needs big ints), and
+the per-row predicate is decomposed into two precomputed int64 CENTS bounds
+so the full-table flagging pass is a vectorized compare, sqrt-free and
+float-free:
+
+    |v*n - s1| > sqrt(9*(n*s2 - s1^2))
+        <=>  v >= hi_ge  or  v <= lo_le          (v, n, s1, s2 integers)
+
+with hi_ge = (s1 + r + n) // n and lo_le = (s1 - r - 1) // n for
+r = isqrt(9*(n*s2 - s1^2)) — exact because for integer v and D:
+v^2 > D <=> |v| > isqrt(D).  The SQL oracle states the same predicate in
+HUGEINT squares; both sides are exact, so the hash matches bit-for-bit.
+
+No reference analogue (the reference has no statistics; SURVEY §2.5) —
+this is the data-quality/anomaly member of the beyond-reference families.
+"""
+
+from __future__ import annotations
+
+from math import isqrt
+
+import numpy as np
+import pyarrow as pa
+
+from .numeric import cents_arrow
+
+
+def _moment_partials(sf_dir: str):
+    """One (event_type, n, s1, s2) row per (batch, type) — int64-safe for
+    batches up to ~10^10 cents^2 per row x 10^5 rows."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = cents_arrow(batch["value"]).to_numpy(zero_copy_only=False)
+        types = batch["event_type"].to_numpy(zero_copy_only=False)
+        import pandas as pd
+
+        codes, uniq = pd.factorize(types)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        # integer sums via add.at (float64 bincount weights lose exactness
+        # above 2^53)
+        s1 = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s1, codes, c)
+        s2 = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s2, codes, c * c)
+        return pa.table(
+            {
+                "event_type": pa.array([str(u) for u in uniq], pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "s1": pa.array(s1, pa.int64()),
+                "s2": pa.array(s2, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def events_value_outliers(sf_dir: str):
+    """Rows whose value is more than 3 population-sigma from their event
+    type's mean — exact integer arithmetic end-to-end (see module
+    docstring).  Two passes: a moment-partial aggregate (one row per
+    group per batch crosses the exchange), then a map-only flagging scan
+    against the broadcast per-type bounds."""
+    import ray
+    import ray.data as rd
+
+    from .schema import ensure_schema
+
+    # merge the tiny partial table in exact big-int arithmetic
+    merged: dict[str, list[int]] = {}
+    for row in _moment_partials(sf_dir).take_all():
+        m = merged.setdefault(row["event_type"], [0, 0, 0])
+        m[0] += int(row["n"])
+        m[1] += int(row["s1"])
+        m[2] += int(row["s2"])
+
+    types = sorted(merged)
+    lo_le = np.empty(len(types), dtype=np.int64)
+    hi_ge = np.empty(len(types), dtype=np.int64)
+    for i, t in enumerate(types):
+        n, s1, s2 = merged[t]
+        r = isqrt(9 * (n * s2 - s1 * s1))
+        lo_le[i] = (s1 - r - 1) // n
+        hi_ge[i] = (s1 + r + n) // n
+    bounds_ref = ray.put((pa.array(types, pa.string()), lo_le, hi_ge))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ta, lo, hi = ray.get(bounds_ref)
+        idx = pc.index_in(batch["event_type"], value_set=ta)
+        gi = np.asarray(pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        c = cents_arrow(batch["value"]).to_numpy(zero_copy_only=False)
+        keep = (c <= lo[gi]) | (c >= hi[gi])
+        out = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_id": out["event_id"],
+                "event_type": out["event_type"],
+                "value_cents": cents_arrow(out["value"]),
+            }
+        )
+
+    flagged = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).map_batches(flag, batch_format="pyarrow")
+    return ensure_schema(
+        flagged,
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value_cents", pa.int64()),
+            ]
+        ),
+    )
