@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean_keep": corpus.corpus_clean_keep,
         "pack_sequences": corpus.pack_sequences,
         "pack_sequences_global": corpus.pack_sequences_global,
+        "corpus_prepare": corpus.corpus_prepare,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_pairs": dedup.dedup_minhash_pairs,

@@ -143,27 +143,29 @@ def pack_sequences(sf_dir: str):
     bytes/doc regardless of document size; the per-partition kernel is one
     sort + cumsum.  Window ids are per-partition, so 100 TB packs with 16
     (or 16k) independent partitions and no global barrier."""
-
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        n_tok = g["n_tokens"].to_numpy().astype(np.int64)
-        before = np.cumsum(n_tok) - n_tok  # tokens laid out before this doc
-        return pd.DataFrame(
-            {
-                "doc_id": g["doc_id"].to_numpy(),
-                "part": g["part"].to_numpy(),
-                "seq_id": before // PACK_BUDGET_TOKENS,
-                "seq_offset": before % PACK_BUDGET_TOKENS,
-            }
-        )
-
     from ..functions.schema import ensure_schema
 
     return ensure_schema(
         _token_triples(sf_dir).groupby("part").map_groups(
-            per_part, batch_format="pandas"
+            _pack_per_part, batch_format="pandas"
         ),
         _PACK_SCHEMA,
+    )
+
+
+def _pack_per_part(g: pd.DataFrame) -> pd.DataFrame:
+    """Concat-and-chunk one partition: doc_id order, running token total,
+    (seq_id, seq_offset) of each doc's first token."""
+    g = g.sort_values("doc_id")
+    n_tok = g["n_tokens"].to_numpy().astype(np.int64)
+    before = np.cumsum(n_tok) - n_tok  # tokens laid out before this doc
+    return pd.DataFrame(
+        {
+            "doc_id": g["doc_id"].to_numpy(),
+            "part": g["part"].to_numpy(),
+            "seq_id": before // PACK_BUDGET_TOKENS,
+            "seq_offset": before % PACK_BUDGET_TOKENS,
+        }
     )
 
 
@@ -209,5 +211,92 @@ def pack_sequences_global(sf_dir: str):
 
     return ensure_schema(
         triples.groupby("part").map_groups(per_part, batch_format="pandas"),
+        _PACK_SCHEMA,
+    )
+
+
+def corpus_prepare(sf_dir: str):
+    """The END-TO-END pretraining corpus prep, all stages composed:
+
+        clean (lang + quality) -> exact-dedup keep-one
+            -> MinHash-LSH near-dup CLUSTER filter (keep one per cluster)
+            -> concat-and-chunk sequence packing of the final keepers.
+
+    Output: (doc_id, part, seq_id, seq_offset) for exactly the documents a
+    pretraining run would tokenize, with their context-window coordinates.
+
+    Scale shape — the set algebra is ONE distributed groupby, no broadcast
+    of corpus-sized key sets: exact-dedup keepers (a corpus-sized set) and
+    near-dup drops (pair-graph-sized) are unioned with the 24-byte token
+    triples as tagged rows and reduced per doc_id by native Max/Sum
+    aggregates (map-side combined); survivors flow straight into the same
+    per-partition pack kernel as ``pack_sequences``.  Not SQL-expressible
+    (MinHash banding) — golden-pinned and invariant-tested instead
+    (result == clean keepers minus near-dup non-representatives, packed).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    from ..functions.graph import dedup_minhash_groups
+    from ..functions.schema import ensure_schema
+
+    triples = _token_triples(sf_dir).map_batches(
+        lambda b: b.append_column(
+            "is_keep", pa.array(np.zeros(b.num_rows, dtype=np.int64))
+        ).append_column("is_drop", pa.array(np.zeros(b.num_rows, dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    keepers = corpus_clean_keep(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "part": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_tokens": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "is_keep": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "is_drop": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    drops = dedup_minhash_groups(sf_dir).map_batches(
+        lambda b: (
+            lambda kept: pa.table(
+                {
+                    "part": pa.array(np.zeros(kept.num_rows, dtype=np.int64)),
+                    "doc_id": pc.cast(kept["doc_id"], pa.int64()),
+                    "n_tokens": pa.array(np.zeros(kept.num_rows, dtype=np.int64)),
+                    "is_keep": pa.array(np.zeros(kept.num_rows, dtype=np.int64)),
+                    "is_drop": pa.array(np.ones(kept.num_rows, dtype=np.int64)),
+                }
+            )
+        )(b.filter(pc.invert(b["keep"]))),
+        batch_format="pyarrow",
+    )
+
+    merged = (
+        triples.union(keepers)
+        .union(drops)
+        .groupby("doc_id")
+        .aggregate(Max("part"), Sum("n_tokens"), Max("is_keep"), Max("is_drop"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(batch["max(is_keep)"], pa.scalar(1, pa.int64())),
+            pc.equal(batch["max(is_drop)"], pa.scalar(0, pa.int64())),
+        )
+        out = batch.filter(keep)
+        return pa.table(
+            {
+                "part": pc.cast(out["max(part)"], pa.int64()),
+                "doc_id": pc.cast(out["doc_id"], pa.int64()),
+                "n_tokens": pc.cast(out["sum(n_tokens)"], pa.int64()),
+            }
+        )
+
+    return ensure_schema(
+        merged.map_batches(finalize, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_pack_per_part, batch_format="pandas"),
         _PACK_SCHEMA,
     )

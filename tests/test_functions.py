@@ -338,6 +338,36 @@ def test_pack_sequences_global_stitch(ray_session):
     assert (part_min.iloc[1:].to_numpy() > part_max.iloc[:-1].to_numpy()).all()
 
 
+def test_corpus_prepare_composition(ray_session):
+    """corpus_prepare == pack(clean keepers minus minhash non-keepers):
+    the doc set matches the recomposed set exactly and every partition's
+    coordinates equal the pack kernel re-run on that set's token counts."""
+    from layout_analysis_ray.functions.graph import dedup_minhash_groups
+    from layout_analysis_ray.pipelines.corpus import (
+        PACK_BUDGET_TOKENS,
+        _token_triples,
+        corpus_clean_keep,
+        corpus_prepare,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = corpus_prepare(sf).to_pandas()
+    keep_ids = set(corpus_clean_keep(sf).to_pandas()["doc_id"])
+    groups = dedup_minhash_groups(sf).to_pandas()
+    drop_ids = set(groups.loc[~groups["keep"], "doc_id"])
+    exp_ids = keep_ids - drop_ids
+    assert set(got["doc_id"]) == exp_ids and len(got) == len(exp_ids)
+
+    triples = _token_triples(sf).to_pandas().set_index("doc_id")
+    for part, g in got.groupby("part"):
+        g = g.sort_values("doc_id")
+        ntok = triples.loc[g["doc_id"], "n_tokens"].to_numpy(dtype=np.int64)
+        assert (triples.loc[g["doc_id"], "part"].to_numpy() == part).all()
+        before = np.cumsum(ntok) - ntok
+        start = g["seq_id"].to_numpy() * PACK_BUDGET_TOKENS + g["seq_offset"].to_numpy()
+        assert (start == before).all()
+
+
 def test_corpus_clean_keep_subset_of_dedup(ray_session):
     """Every kept doc must be a lang/quality survivor and the min doc_id of
     its hash group among survivors."""

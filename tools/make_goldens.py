@@ -43,6 +43,8 @@ GOLDEN_QUERIES = [
     "ann_knn_ivf",
     "ann_knn_lsh",
     "dedup_minhash_groups",
+    "corpus_prepare",
+    "sketch_value_quantiles",
 ]
 
 
