@@ -496,6 +496,8 @@ def new_users_hourly(sf_dir: str):
         ["epoch_hour"],
         ["n_new"],
     ).to_pandas()
+    if hours.empty:  # empty corpus: Ray drops columns from empty Datasets
+        hours = pd.DataFrame({"epoch_hour": [], "n_new": []}, dtype=np.int64)
     hours = hours.sort_values("epoch_hour").reset_index(drop=True)
     return pa.table(
         {

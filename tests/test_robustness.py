@@ -312,3 +312,74 @@ def test_cli_media_demo_decoder(tmp_path):
     refs = t.column("media_ref").to_pylist()
     assert t.column("width").to_pylist() == [len(x) * 10 for x in refs]
     assert set(t.column("n_frames").to_pylist()) == {2}
+
+
+def test_new_event_ops_single_row_and_empty(ray_session, tmp_path):
+    """The late round-3 event operators must survive a single-row corpus
+    (zero variance, first == last, n=1 quantiles) and a fully EMPTY events
+    table (empty results with intact schemas, no crashes)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.quantiles import (
+        events_value_median_interp_by_type,
+    )
+    from layout_analysis_ray.functions.sketches import approx_value_quantiles
+    from layout_analysis_ray.functions.stats import events_value_outliers
+    from layout_analysis_ray.functions.windows import (
+        first_last_event_per_user,
+        new_users_hourly,
+    )
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("ts", pa.timestamp("us")),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    one = tmp_path / "one"
+    one.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "user_id": pa.array([7], pa.int64()),
+                "event_type": pa.array(["click"], pa.string()),
+                "ts": pa.array([3_600_000_000 * 5 + 42], pa.timestamp("us")),
+                "value": pa.array([12.34], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        ),
+        str(one / "events.parquet"),
+    )
+    assert events_value_outliers(str(one)).count() == 0  # zero variance
+    fl = first_last_event_per_user(str(one)).to_pandas()
+    assert fl.to_dict("records") == [
+        {
+            "user_id": 7,
+            "first_event_id": 1,
+            "first_value_cents": 1234,
+            "last_event_id": 1,
+            "last_value_cents": 1234,
+        }
+    ]
+    nu = new_users_hourly(str(one)).to_pandas()
+    assert nu.to_dict("records") == [{"epoch_hour": 5, "n_new": 1, "cum_new": 1}]
+    med = events_value_median_interp_by_type(str(one)).to_pandas()
+    assert med.to_dict("records") == [{"event_type": "click", "median_hcents": 2468}]
+    sk = approx_value_quantiles(str(one)).to_pandas()
+    assert (np.abs(sk["approx_cents"] - 1234) <= 0.011 * 1234 + 1).all()
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(schema.empty_table(), str(empty / "events.parquet"))
+    assert events_value_outliers(str(empty)).count() == 0
+    assert first_last_event_per_user(str(empty)).count() == 0
+    assert len(new_users_hourly(str(empty))) == 0
+    sk0 = approx_value_quantiles(str(empty)).to_pandas()
+    assert (sk0["approx_cents"] == 0).all()  # documented empty convention
