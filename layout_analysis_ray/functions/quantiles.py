@@ -252,7 +252,9 @@ def lineitem_price_quartiles_interp(sf_dir: str) -> pa.Table:
 # Per-group exact quantiles (same narrowing, histogram keyed by group)
 # ---------------------------------------------------------------------------
 
-def grouped_quantile(make_ds, q_ppm: int, rank_fn=None, return_counts=False):
+def grouped_quantile(
+    make_ds, q_ppm: int, rank_fn=None, return_counts=False, _stats_rows=None
+):
     """Exact q-quantile PER GROUP of a dataset with columns (g: string,
     v: int64): one grouped Min/Max/Count aggregate, then histogram passes
     where each group narrows its own interval — all groups advance in the
@@ -268,15 +270,16 @@ def grouped_quantile(make_ds, q_ppm: int, rank_fn=None, return_counts=False):
     ``rank_fn(n) -> 1-based rank`` overrides the default ceil(q_ppm*n/1e6)
     convention (used by the interpolated variants, which need the two
     adjacent order statistics).  With ``return_counts`` the result is
-    {g: (value, n)} instead of {g: value}.
+    {g: (value, n)} instead of {g: value}.  ``_stats_rows`` (the grouped
+    Min/Max/Count take_all rows) lets callers running several narrowings
+    over the same dataset pay for that first scan once.
     """
     from ray.data.aggregate import Count, Max, Min, Sum
 
     rows = (
-        make_ds()
-        .groupby("g")
-        .aggregate(Min("v"), Max("v"), Count())
-        .take_all()
+        _stats_rows
+        if _stats_rows is not None
+        else make_ds().groupby("g").aggregate(Min("v"), Max("v"), Count()).take_all()
     )
     # state per group: (lo, hi, offset, target_rank)
     state = {}
@@ -412,8 +415,11 @@ def events_value_median_interp_by_type(sf_dir: str) -> pa.Table:
     group of n values the median position is (n-1)/2, so the value is
         2*a + (b - a) * ((n-1) % 2)
     where a is the ((n-1)//2 + 1)-th order statistic and b the next one.
-    Two grouped narrowings (all groups advance together in each), no
-    per-group sort, no floats."""
+    Two grouped narrowings (all groups advance together in each) sharing
+    ONE grouped Min/Max/Count scan; no per-group sort, no floats.  (A
+    single narrowing tracking both ranks per group would save the second
+    set of histogram scans — the per-(group, rank) interval bookkeeping
+    isn't worth it at the current scan count, documented trade.)"""
     import ray.data as rd
 
     def make_ds():
@@ -424,11 +430,23 @@ def events_value_median_interp_by_type(sf_dir: str) -> pa.Table:
             batch_format="pyarrow",
         )
 
+    from ray.data.aggregate import Count, Max, Min
+
+    stats_rows = (
+        make_ds().groupby("g").aggregate(Min("v"), Max("v"), Count()).take_all()
+    )
     lo_stat = grouped_quantile(
-        make_ds, 0, rank_fn=lambda n: (n - 1) // 2 + 1, return_counts=True
+        make_ds,
+        0,
+        rank_fn=lambda n: (n - 1) // 2 + 1,
+        return_counts=True,
+        _stats_rows=stats_rows,
     )
     hi_stat = grouped_quantile(
-        make_ds, 0, rank_fn=lambda n: min((n - 1) // 2 + 1 + ((n - 1) % 2), n)
+        make_ds,
+        0,
+        rank_fn=lambda n: min((n - 1) // 2 + 1 + ((n - 1) % 2), n),
+        _stats_rows=stats_rows,
     )
     keys = sorted(lo_stat)
     med = []

@@ -256,35 +256,50 @@ DDS_NBINS = 2048  # gamma^2048 ~ 4e17 cents; larger values saturate the top bin
 
 
 def _dds_partial(c: np.ndarray) -> np.ndarray:
-    """int64[DDS_NBINS + 1] histogram: slot 0 counts v <= 0 (cents are
-    nonnegative in every pipeline that uses this; zeros are exact),
-    slots 1.. hold the log-gamma bins shifted by one."""
-    out = np.zeros(DDS_NBINS + 1, dtype=np.int64)
-    pos = c > 0
-    out[0] = int((~pos).sum())
-    if pos.any():
-        idx = np.ceil(np.log(c[pos].astype(np.float64)) / _DDS_LOG_G).astype(np.int64)
-        np.clip(idx, 0, DDS_NBINS - 1, out=idx)
-        out[1:] += np.bincount(idx, minlength=DDS_NBINS)
+    """int64[2*DDS_NBINS + 1] histogram: slot 0 counts exact zeros, slots
+    1..DDS_NBINS the positive log-gamma bins, slots DDS_NBINS+1.. the
+    MIRRORED negative bins (binned on |v|) — refund-style negative values
+    keep the same relative-error bound as positives."""
+    out = np.zeros(2 * DDS_NBINS + 1, dtype=np.int64)
+    out[0] = int((c == 0).sum())
+    for sign, base in ((1, 1), (-1, DDS_NBINS + 1)):
+        sel = c * sign
+        sel = sel[sel > 0]
+        if len(sel):
+            idx = np.ceil(np.log(sel.astype(np.float64)) / _DDS_LOG_G).astype(
+                np.int64
+            )
+            np.clip(idx, 0, DDS_NBINS - 1, out=idx)
+            out[base : base + DDS_NBINS] += np.bincount(idx, minlength=DDS_NBINS)
     return out
+
+
+def _dds_bin_estimate(kbin: int) -> int:
+    """Midpoint estimate of log bin k (>= 1 cent)."""
+    g = DDS_GAMMA**kbin
+    return max(1, int(round(2.0 * g / (DDS_GAMMA + 1.0))))
 
 
 def _dds_quantiles(hist: np.ndarray, qs_ppm) -> dict[int, int]:
     """{q_ppm: approx_cents} with the same ceil-rank convention as the
-    exact quantiles (rank k = ceil(q*n)), bin midpoint estimate."""
+    exact quantiles (rank k = ceil(q*n)), bin midpoint estimates, values
+    ordered most-negative -> zero -> most-positive."""
     n = int(hist.sum())
     if n == 0:
         return {int(q): 0 for q in qs_ppm}
-    cum = np.cumsum(hist)
+    neg_desc = hist[DDS_NBINS + 1 :][::-1]  # |v| bin DDS_NBINS-1 .. 0
+    ordered = np.concatenate([neg_desc, hist[:1], hist[1 : DDS_NBINS + 1]])
+    cum = np.cumsum(ordered)
     out = {}
     for q in qs_ppm:
         k = (int(q) * n + 999_999) // 1_000_000
         b = int(np.searchsorted(cum, k))
-        if b == 0:
+        if b < DDS_NBINS:
+            out[int(q)] = -_dds_bin_estimate(DDS_NBINS - 1 - b)
+        elif b == DDS_NBINS:
             out[int(q)] = 0
         else:
-            g = DDS_GAMMA ** (b - 1)  # un-shift: slot b is log bin b-1
-            out[int(q)] = max(1, int(round(2.0 * g / (DDS_GAMMA + 1.0))))
+            out[int(q)] = _dds_bin_estimate(b - DDS_NBINS - 1)
     return out
 
 
@@ -318,7 +333,7 @@ def approx_value_quantiles(sf_dir: str, qs_ppm=SKETCH_QS_PPM):
         )
 
     def merge_rows(g: pd.DataFrame) -> pd.DataFrame:
-        acc = np.zeros(DDS_NBINS + 1, dtype=np.int64)
+        acc = np.zeros(2 * DDS_NBINS + 1, dtype=np.int64)
         for b in g["payload"]:
             acc += np.frombuffer(b, dtype=np.int64)
         return pd.DataFrame({"mpart": [0], "payload": [acc.tobytes()]})
@@ -334,7 +349,7 @@ def approx_value_quantiles(sf_dir: str, qs_ppm=SKETCH_QS_PPM):
     hist = (
         np.frombuffer(merged[0]["payload"], dtype=np.int64)
         if merged
-        else np.zeros(DDS_NBINS + 1, dtype=np.int64)
+        else np.zeros(2 * DDS_NBINS + 1, dtype=np.int64)
     )
     est = _dds_quantiles(hist, qs_ppm)
     return pa.table(

@@ -39,10 +39,24 @@ def _moment_partials(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        # NULL event_type rows can never be flagged (SQL's USING join drops
+        # the NULL group) — exclude them here so factorize never emits -1
+        batch = batch.filter(pc.is_valid(batch["event_type"]))
         c = cents_arrow(batch["value"]).to_numpy(zero_copy_only=False)
         types = batch["event_type"].to_numpy(zero_copy_only=False)
-        import pandas as pd
-
+        if len(c):
+            # exactness guard: |c| and len*c^2 must fit int64 for the
+            # integer moment sums (the SQL oracle uses HUGEINT; graduating
+            # the partials to Python ints is the fix if this ever trips)
+            amax = int(np.abs(c).max())
+            if amax > 3_000_000_000 or len(c) * amax * amax > (1 << 62):
+                raise ValueError(
+                    "moment partial would overflow int64: "
+                    f"max |cents|={amax}, rows={len(c)}"
+                )
         codes, uniq = pd.factorize(types)
         n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
         # integer sums via add.at (float64 bincount weights lose exactness
@@ -97,11 +111,22 @@ def events_value_outliers(sf_dir: str):
 
         ta, lo, hi = ray.get(bounds_ref)
         idx = pc.index_in(batch["event_type"], value_set=ta)
+        known = np.asarray(pc.is_valid(idx).to_numpy(zero_copy_only=False))
         gi = np.asarray(pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)).astype(
             np.int64
         )
         c = cents_arrow(batch["value"]).to_numpy(zero_copy_only=False)
-        keep = (c <= lo[gi]) | (c >= hi[gi])
+        if len(ta) == 0:  # empty corpus: nothing can be flagged
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "value_cents": pa.array([], pa.int64()),
+                }
+            )
+        # `known` guards NULL types (and any type unseen by the moment
+        # pass) from being compared against group 0's bounds
+        keep = known & ((c <= lo[gi]) | (c >= hi[gi]))
         out = batch.filter(pa.array(keep))
         return pa.table(
             {

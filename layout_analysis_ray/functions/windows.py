@@ -482,8 +482,12 @@ def new_users_hourly(sf_dir: str):
     )
 
     def hour_counts(batch: pa.Table) -> pa.Table:
+        from .numeric import trunc_div_np
+
         ts = batch["min(ts_us)"].to_numpy(zero_copy_only=False)
-        u, c = np.unique(ts // HOUR_US, return_counts=True)
+        # trunc (not floor) division: matches DuckDB's // for pre-1970
+        # (negative-epoch) timestamps, per the engine-wide convention
+        u, c = np.unique(trunc_div_np(ts, HOUR_US), return_counts=True)
         return pa.table(
             {
                 "epoch_hour": pa.array(u.astype(np.int64), pa.int64()),
@@ -522,9 +526,10 @@ _FIRST_LAST_SCHEMA = pa.schema(
 
 
 def first_last_event_per_user(sf_dir: str):
-    """FIRST_VALUE / LAST_VALUE per user by event time (ties -> lowest
-    event_id) — the latest-snapshot / SCD compaction shape: one wide row
-    per user with its earliest and latest event.
+    """FIRST_VALUE / LAST_VALUE per user by event time (ties: lowest
+    event_id wins FIRST, highest event_id wins LAST — the (ts, event_id)
+    lexicographic extremes) — the latest-snapshot / SCD compaction shape:
+    one wide row per user with its earliest and latest event.
 
     Scale shape: per-batch PARTIAL endpoint pick (first and last are both
     associative under the (ts, event_id) lexicographic order, so the

@@ -219,21 +219,30 @@ def corpus_prepare(sf_dir: str):
     """The END-TO-END pretraining corpus prep, all stages composed:
 
         clean (lang + quality) -> exact-dedup keep-one
-            -> MinHash-LSH near-dup CLUSTER filter (keep one per cluster)
+            -> MinHash-LSH near-dup CLUSTER filter
             -> concat-and-chunk sequence packing of the final keepers.
+
+    Cluster-filter semantics match the SEQUENTIAL pipeline: the kept
+    representative of each near-dup cluster is the min doc_id among the
+    CLEAN SURVIVORS of that cluster (not the raw-corpus representative —
+    if a cluster's raw min-id doc fails the lang/quality filter, the
+    cluster's content survives through its lowest-id clean member rather
+    than vanishing).
 
     Output: (doc_id, part, seq_id, seq_offset) for exactly the documents a
     pretraining run would tokenize, with their context-window coordinates.
 
-    Scale shape — the set algebra is ONE distributed groupby, no broadcast
-    of corpus-sized key sets: exact-dedup keepers (a corpus-sized set) and
-    near-dup drops (pair-graph-sized) are unioned with the 24-byte token
-    triples as tagged rows and reduced per doc_id by native Max/Sum
-    aggregates (map-side combined); survivors flow straight into the same
-    per-partition pack kernel as ``pack_sequences``.  Not SQL-expressible
-    (MinHash banding) — golden-pinned and invariant-tested instead
-    (result == clean keepers minus near-dup non-representatives, packed).
+    Scale shape — no broadcast of corpus-sized key sets: exact-dedup
+    keepers (corpus-sized), the near-dup cluster rows (pair-graph-sized)
+    and the 24-byte token triples union as tagged rows into ONE per-doc_id
+    groupby of native Max/Sum aggregates (map-side combined); clean
+    cluster members then re-pick representatives in a coarse comp-hash
+    partition (vectorized first-per-comp, the ``top_event_per_user``
+    pattern); winners and cluster-free survivors flow into the shared pack
+    kernel.  Not SQL-expressible (MinHash banding) — golden-pinned and
+    invariant-tested instead.
     """
+    import pandas as pd
     import pyarrow.compute as pc
     from ray.data.aggregate import Max, Sum
 
@@ -243,7 +252,9 @@ def corpus_prepare(sf_dir: str):
     triples = _token_triples(sf_dir).map_batches(
         lambda b: b.append_column(
             "is_keep", pa.array(np.zeros(b.num_rows, dtype=np.int64))
-        ).append_column("is_drop", pa.array(np.zeros(b.num_rows, dtype=np.int64))),
+        ).append_column(
+            "comp", pa.array(np.full(b.num_rows, -1, dtype=np.int64))
+        ),
         batch_format="pyarrow",
     )
     keepers = corpus_clean_keep(sf_dir).map_batches(
@@ -253,49 +264,77 @@ def corpus_prepare(sf_dir: str):
                 "doc_id": pc.cast(b["doc_id"], pa.int64()),
                 "n_tokens": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
                 "is_keep": pa.array(np.ones(b.num_rows, dtype=np.int64)),
-                "is_drop": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "comp": pa.array(np.full(b.num_rows, -1, dtype=np.int64)),
             }
         ),
         batch_format="pyarrow",
     )
-    drops = dedup_minhash_groups(sf_dir).map_batches(
-        lambda b: (
-            lambda kept: pa.table(
-                {
-                    "part": pa.array(np.zeros(kept.num_rows, dtype=np.int64)),
-                    "doc_id": pc.cast(kept["doc_id"], pa.int64()),
-                    "n_tokens": pa.array(np.zeros(kept.num_rows, dtype=np.int64)),
-                    "is_keep": pa.array(np.zeros(kept.num_rows, dtype=np.int64)),
-                    "is_drop": pa.array(np.ones(kept.num_rows, dtype=np.int64)),
-                }
-            )
-        )(b.filter(pc.invert(b["keep"]))),
+    clusters = dedup_minhash_groups(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "part": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_tokens": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "is_keep": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "comp": pc.cast(b["comp"], pa.int64()),
+            }
+        ),
         batch_format="pyarrow",
     )
 
     merged = (
         triples.union(keepers)
-        .union(drops)
+        .union(clusters)
         .groupby("doc_id")
-        .aggregate(Max("part"), Sum("n_tokens"), Max("is_keep"), Max("is_drop"))
+        .aggregate(Max("part"), Sum("n_tokens"), Max("is_keep"), Max("comp"))
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.equal(batch["max(is_keep)"], pa.scalar(1, pa.int64())),
-            pc.equal(batch["max(is_drop)"], pa.scalar(0, pa.int64())),
+        """Clean survivors only, with a comp-hash partition key for the
+        representative pick (comp == -1: cluster-free, kept as-is)."""
+        out = batch.filter(
+            pc.equal(batch["max(is_keep)"], pa.scalar(1, pa.int64()))
         )
-        out = batch.filter(keep)
+        comp = out["max(comp)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = comp.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        cpart = np.where(
+            comp < 0, -1, (key % np.uint64(64)).astype(np.int64)
+        ).astype(np.int64)
         return pa.table(
             {
                 "part": pc.cast(out["max(part)"], pa.int64()),
                 "doc_id": pc.cast(out["doc_id"], pa.int64()),
                 "n_tokens": pc.cast(out["sum(n_tokens)"], pa.int64()),
+                "comp": pa.array(comp, pa.int64()),
+                "__cpart": pa.array(cpart, pa.int64()),
+            }
+        )
+
+    survivors = merged.map_batches(finalize, batch_format="pyarrow")
+
+    def pick_reps(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized min-doc-per-comp (one coarse partition = many comps;
+        the __cpart == -1 partition is the cluster-free passthrough)."""
+        g = g.sort_values(["comp", "doc_id"], kind="mergesort")
+        if int(g["__cpart"].iloc[0]) < 0:
+            win = np.ones(len(g), dtype=bool)
+        else:
+            comp = g["comp"].to_numpy()
+            win = np.empty(len(g), dtype=bool)
+            win[0] = True
+            win[1:] = comp[1:] != comp[:-1]
+        kept = g[win]
+        return pd.DataFrame(
+            {
+                "part": kept["part"].to_numpy(),
+                "doc_id": kept["doc_id"].to_numpy(),
+                "n_tokens": kept["n_tokens"].to_numpy(),
             }
         )
 
     return ensure_schema(
-        merged.map_batches(finalize, batch_format="pyarrow")
+        survivors.groupby("__cpart")
+        .map_groups(pick_reps, batch_format="pandas")
         .groupby("part")
         .map_groups(_pack_per_part, batch_format="pandas"),
         _PACK_SCHEMA,

@@ -235,6 +235,8 @@ def test_queries_oracle_keys_consistent():
         "dedup_minhash_groups",
         "dedup_simhash",
         "dedup_simhash_pairs",
+        "corpus_prepare",
+        "sketch_value_quantiles",
         "embedding_neardup_pairs_lsh",
         "ann_lsh_buckets",
         "ann_knn_lsh",
@@ -354,8 +356,13 @@ def test_corpus_prepare_composition(ray_session):
     got = corpus_prepare(sf).to_pandas()
     keep_ids = set(corpus_clean_keep(sf).to_pandas()["doc_id"])
     groups = dedup_minhash_groups(sf).to_pandas()
-    drop_ids = set(groups.loc[~groups["keep"], "doc_id"])
-    exp_ids = keep_ids - drop_ids
+    in_graph = set(groups["doc_id"])
+    # representative re-picked among CLEAN cluster members (sequential
+    # pipeline semantics): min clean doc_id per comp, or nobody if the
+    # whole cluster failed cleaning
+    clean_members = groups[groups["doc_id"].isin(keep_ids)]
+    reps = set(clean_members.groupby("comp")["doc_id"].min())
+    exp_ids = (keep_ids - in_graph) | reps
     assert set(got["doc_id"]) == exp_ids and len(got) == len(exp_ids)
 
     triples = _token_triples(sf).to_pandas().set_index("doc_id")
@@ -469,3 +476,46 @@ def test_new_relational_ops_match_duckdb(ray_session):
         got = canon(to_pandas(qs[name](sf)))
         exp = canon(con.sql(oracles[name]).df())
         pd.testing.assert_frame_equal(got, exp, check_dtype=True, obj=name)
+
+
+def test_corpus_prepare_mixed_cluster_repick(ray_session, tmp_path):
+    """A near-dup cluster whose min-doc_id member FAILS cleaning must
+    survive through its lowest-id clean member (sequential-pipeline
+    semantics), not vanish: doc 1 (quality-killed variant) clusters with
+    doc 2 (clean); the kept set is {2, 3}, never {3} alone."""
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.pipelines.corpus import corpus_prepare
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then it runs away "
+        "to the forest where many animals live in peace and they all share "
+        "the food that nature gives them every day of the year with joy and "
+        "the sun shines on the green trees while birds sing their songs in "
+        "the morning light and rivers flow gently to the sea"
+    )
+    other = (
+        "completely different clean text about the weather and the ocean "
+        "with the wind and the waves that crash on the shore all day long "
+        "under the bright sky and the boats that sail far away from the "
+        "harbor while the people watch them go with wonder and the evening "
+        "comes slowly as the light fades over the calm water of the bay and "
+        "the stars appear one by one in the clear night air above the town"
+    )
+    variant = base + " " + " ".join(["99##"] * 400)  # same shingles + junk
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3, 4], dtype=np.int64),
+            "text": [variant, base, other, "der schnelle braune fuchs springt"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(variant), len(base), len(other), 33],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = corpus_prepare(str(tmp_path)).to_pandas()
+    assert set(got["doc_id"]) == {2, 3}
+    assert (got["seq_id"] == 0).all() and (got["seq_offset"] >= 0).all()

@@ -125,3 +125,28 @@ def test_quantile_sketch_merge_invariance(ray_session):
     true_med = int(np.sort(c)[(len(c) + 1) // 2 - 1])
     est = _dds_quantiles(whole, [500_000])[500_000]
     assert abs(est - true_med) <= 0.011 * true_med + 1
+
+
+def test_quantile_sketch_negative_values(ray_session):
+    """Mirrored negative bins keep the relative-error bound for
+    refund-style data (and the zero slot stays exact)."""
+    import numpy as np
+
+    from layout_analysis_ray.functions.sketches import (
+        _dds_partial,
+        _dds_quantiles,
+    )
+
+    rng = np.random.default_rng(9)
+    c = np.concatenate(
+        [rng.integers(-(10**6), -1, 5000), np.zeros(100, np.int64),
+         rng.integers(1, 10**6, 5000)]
+    ).astype(np.int64)
+    hist = _dds_partial(c)
+    assert hist.sum() == len(c)
+    sv = np.sort(c)
+    for q in (100_000, 250_000, 500_000, 750_000, 900_000):
+        k = (q * len(c) + 999_999) // 1_000_000
+        true = int(sv[k - 1])
+        est = _dds_quantiles(hist, [q])[q]
+        assert abs(est - true) <= 0.011 * abs(true) + 1, (q, est, true)

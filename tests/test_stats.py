@@ -86,3 +86,44 @@ def test_outliers_match_duckdb_with_negatives(ray_session, tmp_path):
     assert len(got) == len(exp) > 0  # the -400 cluster must be flagged
     assert (got["event_id"].to_numpy() == exp["event_id"].to_numpy()).all()
     assert (got["value_cents"].to_numpy() == exp["value_cents"].to_numpy()).all()
+
+
+def test_outliers_null_type_and_overflow_guard(ray_session, tmp_path):
+    """NULL event_type rows are ignored (as SQL's USING join does) and a
+    value beyond the exact-int64 moment range raises instead of silently
+    wrapping."""
+    import pyarrow.parquet as pq
+    import pytest
+    import ray
+
+    from layout_analysis_ray.functions.stats import events_value_outliers
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "event_type": pa.array(["a", "a", None, "a"], pa.string()),
+            "value": pa.array([1.0, 1.0, 999.0, 100.0], pa.float64()),
+        }
+    )
+    d1 = tmp_path / "nulls"
+    d1.mkdir()
+    pq.write_table(t, str(d1 / "events.parquet"))
+    got = events_value_outliers(str(d1)).to_pandas()
+    # (empty to_pandas frames are column-less — documented Ray limit)
+    flagged = set(got["event_id"]) if len(got) else set()
+    assert 3 not in flagged  # the NULL-type row never flags
+
+    d2 = tmp_path / "huge"
+    d2.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "event_type": pa.array(["a", "a"], pa.string()),
+                "value": pa.array([1.0, 40_000_000.5], pa.float64()),
+            }
+        ),
+        str(d2 / "events.parquet"),
+    )
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        events_value_outliers(str(d2))
