@@ -153,6 +153,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "dedup_minhash_groups": graph.dedup_minhash_groups,
         "corpus_clean_keep": corpus.corpus_clean_keep,
         "pack_sequences": corpus.pack_sequences,
+        "corpus_prepare": corpus.corpus_prepare,
+        "events_first_last_per_user": windows.first_last_event_per_user,
         "doc_tfidf_top_terms": text.tfidf_top_terms,
         "events_range_sum_1h": windows.range_sum_1h,
         "events_user_retention_hourly": windows.user_retention_hourly,
