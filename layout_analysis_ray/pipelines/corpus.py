@@ -232,43 +232,74 @@ def corpus_prepare(sf_dir: str):
     Output: (doc_id, part, seq_id, seq_offset) for exactly the documents a
     pretraining run would tokenize, with their context-window coordinates.
 
-    Scale shape — no broadcast of corpus-sized key sets: exact-dedup
-    keepers (corpus-sized), the near-dup cluster rows (pair-graph-sized)
-    and the 24-byte token triples union as tagged rows into ONE per-doc_id
-    groupby of native Max/Sum aggregates (map-side combined); clean
-    cluster members then re-pick representatives in a coarse comp-hash
-    partition (vectorized first-per-comp, the ``top_event_per_user``
-    pattern); winners and cluster-free survivors flow into the shared pack
-    kernel.  Not SQL-expressible (MinHash banding) — golden-pinned and
-    invariant-tested instead.
+    Scale shape — ONE fused corpus scan and no corpus-sized broadcast:
+    lang, quality, content hash and token count come out of the same
+    batch pass (n_tokens is a function of the text, so every member of an
+    exact-dup group shares it and the native Min aggregate carries the
+    winner's count through the hash groupby; the winner's pack partition
+    is md5(doc_id) computed after the reduce).  The near-dup filter is a
+    per-doc_id groupby of tagged rows — one 24-byte row per CLEAN KEEPER
+    plus the pair-graph-sized cluster rows, map-side combined — followed
+    by a coarse comp-hash partition that re-picks representatives
+    vectorized (the ``top_event_per_user`` pattern).  Winners flow into
+    the shared pack kernel.  Not SQL-expressible (MinHash banding) —
+    golden-pinned and invariant-tested instead.
     """
     import pandas as pd
     import pyarrow.compute as pc
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Max, Min, Sum
 
     from ..functions.graph import dedup_minhash_groups
     from ..functions.schema import ensure_schema
+    from ..functions.text import lang_id_batch, quality_batch
 
-    triples = _token_triples(sf_dir).map_batches(
-        lambda b: b.append_column(
-            "is_keep", pa.array(np.zeros(b.num_rows, dtype=np.int64))
-        ).append_column(
-            "comp", pa.array(np.full(b.num_rows, -1, dtype=np.int64))
-        ),
-        batch_format="pyarrow",
-    )
-    keepers = corpus_clean_keep(sf_dir).map_batches(
-        lambda b: pa.table(
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        """Fused clean + hash + token-count pass (corpus read ONCE)."""
+        lang = lang_id_batch(batch)["lang_pred"]
+        qt = quality_batch(batch)
+        keep = pc.and_(
+            pc.equal(lang, CLEAN_LANG),
+            pc.greater_equal(
+                qt["quality_ppm"], pa.scalar(CLEAN_MIN_QUALITY_PPM, pa.int64())
+            ),
+        )
+        kept = batch.filter(keep)
+        hashes = [
+            hashlib.md5((t or "").encode()).hexdigest()
+            for t in kept["text"].to_pylist()
+        ]
+        return pa.table(
             {
-                "part": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
-                "doc_id": pc.cast(b["doc_id"], pa.int64()),
-                "n_tokens": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
-                "is_keep": pa.array(np.ones(b.num_rows, dtype=np.int64)),
-                "comp": pa.array(np.full(b.num_rows, -1, dtype=np.int64)),
+                "content_hash": pa.array(hashes, pa.string()),
+                "doc_id": pc.cast(kept["doc_id"], pa.int64()),
+                "n_tokens": pc.cast(pc.filter(qt["n_tokens"], keep), pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
+        )
+
+    winners = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Min("doc_id"), Min("n_tokens"))
     )
+
+    def to_keeper(batch: pa.Table) -> pa.Table:
+        ids = batch["min(doc_id)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = [
+            int(hashlib.md5(str(int(i)).encode()).hexdigest()[0], 16) for i in ids
+        ]
+        return pa.table(
+            {
+                "part": pa.array(parts, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pc.cast(batch["min(n_tokens)"], pa.int64()),
+                "is_keep": pa.array(np.ones(len(ids), dtype=np.int64)),
+                "comp": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            }
+        )
+
+    keepers = winners.map_batches(to_keeper, batch_format="pyarrow")
     clusters = dedup_minhash_groups(sf_dir).map_batches(
         lambda b: pa.table(
             {
@@ -283,8 +314,7 @@ def corpus_prepare(sf_dir: str):
     )
 
     merged = (
-        triples.union(keepers)
-        .union(clusters)
+        keepers.union(clusters)
         .groupby("doc_id")
         .aggregate(Max("part"), Sum("n_tokens"), Max("is_keep"), Max("comp"))
     )
