@@ -768,6 +768,11 @@ def orders_pivot_by_year(sf_dir: str):
     )
 
 
+# below this many customers the per-customer stats table broadcasts via
+# ray.put (~24 B/customer -> ~120 MB at the bound); above, the hash join
+AVG_BROADCAST_MAX_CUST = 5_000_000
+
+
 def orders_above_cust_avg(sf_dir: str):
     """Orders whose price exceeds their OWN customer's average order price —
     the correlated-subquery shape, decorrelated: per-customer (sum, count)
@@ -777,7 +782,13 @@ def orders_above_cust_avg(sf_dir: str):
 
     Scale: the aggregate side the join ships is one row per customer; the
     orders side streams through the same hash-partition exchange as
-    q3/q5's fact-fact edge."""
+    q3/q5's fact-fact edge.  Below ``AVG_BROADCAST_MAX_CUST`` customers
+    (from parquet metadata — no execution) the per-customer stats table is
+    broadcast via ``ray.put`` instead and the filter becomes a MAP-ONLY
+    searchsorted lookup, skipping the join exchange entirely (the same
+    size-adaptive cutover as connected_components / q5's dimensions; both
+    paths produce identical rows and share the exact integer predicate)."""
+    import pyarrow.parquet as pq
 
     def prep(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -806,6 +817,31 @@ def orders_above_cust_avg(sf_dir: str):
         ["custkey"],
         ["sum_cents", "n"],
     )
+
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    if n_cust <= AVG_BROADCAST_MAX_CUST:
+        import ray
+
+        mat = stats.to_pandas().sort_values("custkey")
+        ref = ray.put(
+            (
+                mat["custkey"].to_numpy(dtype=np.int64),
+                mat["sum_cents"].to_numpy(dtype=np.int64),
+                mat["n"].to_numpy(dtype=np.int64),
+            )
+        )
+
+        def bfilt(batch: pa.Table) -> pa.Table:
+            ck, sc, nn = ray.get(ref)
+            probe = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(ck, probe)  # every order's customer exists
+            p = batch["price_cents"].to_numpy(zero_copy_only=False)
+            keep = p * nn[idx] > sc[idx]
+            return batch.filter(pa.array(keep)).select(
+                ["o_orderkey", "o_custkey", "price_cents"]
+            )
+
+        return orders.map_batches(bfilt, batch_format="pyarrow")
 
     joined = orders.join(
         stats,

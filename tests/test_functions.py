@@ -519,3 +519,16 @@ def test_corpus_prepare_mixed_cluster_repick(ray_session, tmp_path):
     got = corpus_prepare(str(tmp_path)).to_pandas()
     assert set(got["doc_id"]) == {2, 3}
     assert (got["seq_id"] == 0).all() and (got["seq_offset"] >= 0).all()
+
+
+def test_orders_above_cust_avg_paths_agree(ray_session, monkeypatch):
+    """The broadcast cutover and the hash-join path must produce identical
+    rows (the same guarantee the q3 bloom toggle test pins)."""
+    import layout_analysis_ray.pipelines.relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    b = rel.orders_above_cust_avg(sf).to_pandas()  # broadcast (default)
+    monkeypatch.setattr(rel, "AVG_BROADCAST_MAX_CUST", 0)
+    j = rel.orders_above_cust_avg(sf).to_pandas()  # forced join path
+    key = lambda d: d.sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(b), key(j)[b.columns])
