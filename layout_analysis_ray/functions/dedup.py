@@ -64,10 +64,14 @@ def _shingle_ints(text: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def exact_hash_batch(batch: pa.Table) -> pa.Table:
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    texts = batch["text"].to_pylist()
-    hs = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
-    return pa.table({"doc_id": pa.array(ids), "content_hash": pa.array(hs, pa.string())})
+    from .hashing import md5_hex
+
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "content_hash": md5_hex(batch["text"]),
+        }
+    )
 
 
 def dedup_exact(sf_dir: str):

@@ -1,0 +1,155 @@
+"""Vectorized md5 kernels for the engine's oracle-pinned hash conventions.
+
+Two conventions run through every sampling / dedup / packing stage, both
+mirrored verbatim in the DuckDB oracle SQL (``__ray_entry__.py``):
+
+- content hash: ``md5(text)`` hex digest (NULL text hashes as '');
+- id hash: ``md5(CAST(id AS VARCHAR))`` with a hex-prefix read
+  (``substr(.., 1, 1)`` bucket digit, ``substr(.., 1, 8)`` uniform u32).
+
+Because the convention is pinned by the oracles it can never change — but
+the per-row ``hashlib.md5`` Python loops it used to run as were the
+hottest lines of ``corpus_prepare`` (VERDICT r3 finding 1).  This module
+gives every call site one vectorized path:
+
+- primary: DuckDB's ``md5()`` over a zero-copy Arrow column — one C++
+  pass per batch (~2x faster than a hashlib loop on document text, ~4.5x
+  on short id strings, measured in-sandbox);
+- fallback (duckdb unimportable): zero-copy ``hashlib`` over the Arrow
+  string buffer via memoryview slices — no ``to_pylist`` string
+  materialization, no ``.encode()`` copies.
+
+Both paths produce identical bytes; ``tests/test_hashing.py`` pins the
+equality plus known digests.  The DuckDB connection is created lazily
+once per worker process (never shipped in a closure).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+try:
+    import duckdb as _duckdb
+except Exception:  # pragma: no cover - duckdb is baked into the image
+    _duckdb = None
+
+_CON = None
+
+
+def _con():
+    """Per-process lazy DuckDB connection (single-threaded: Ray map tasks
+    are separate processes and actor calls are serialized)."""
+    global _CON
+    if _CON is None:
+        _CON = _duckdb.connect()
+    return _CON
+
+
+def _as_string_array(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not isinstance(col, pa.Array):
+        col = pa.array(col, pa.string())
+    return pc.fill_null(col, "")
+
+
+def _md5_hex_fallback(arr: pa.Array) -> pa.Array:
+    """Zero-copy hashlib path: md5 over memoryview slices of the Arrow
+    UTF-8 buffer (Arrow strings are already the bytes ``str.encode()``
+    would produce)."""
+    if arr.type == pa.large_string():
+        arr = pc.cast(arr, pa.string())
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    md5 = hashlib.md5
+    return pa.array(
+        [md5(mv[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(arr))],
+        pa.string(),
+    )
+
+
+def md5_hex(col) -> pa.Array:
+    """md5 hex digest of each UTF-8 string (NULL hashes as '' — the
+    oracle's ``md5(COALESCE(text, ''))`` / the old ``(t or '')``)."""
+    arr = _as_string_array(col)
+    if _duckdb is None:
+        return _md5_hex_fallback(arr)
+    tbl = pa.table({"t": arr})
+    out = _con().from_arrow(tbl).project("md5(t) AS h").arrow()
+    return out["h"].combine_chunks()
+
+
+def _ids_table(ids) -> pa.Table:
+    a = np.ascontiguousarray(np.asarray(ids, dtype=np.int64))
+    return pa.table({"i": pa.array(a, pa.int64())})
+
+
+def md5_hex_of_ids(ids) -> pa.Array:
+    """Full md5 hex of the decimal representation of each int64 id —
+    the oracle's ``md5(CAST(id AS VARCHAR))``."""
+    if _duckdb is None:
+        return pa.array(
+            [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids],
+            pa.string(),
+        )
+    out = (
+        _con()
+        .from_arrow(_ids_table(ids))
+        .project("md5(CAST(i AS VARCHAR)) AS h")
+        .arrow()
+    )
+    return out["h"].combine_chunks()
+
+
+def id_bucket_digit(ids) -> np.ndarray:
+    """First hex digit of md5(str(id)) as int64 in [0, 16) — the
+    ``split_hash_buckets`` / ``PACK_PARTS`` partitioning convention."""
+    if _duckdb is None:
+        md5 = hashlib.md5
+        return np.fromiter(
+            (md5(str(int(i)).encode()).digest()[0] >> 4 for i in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+    out = (
+        _con()
+        .from_arrow(_ids_table(ids))
+        .project(
+            "CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 1)) AS BIGINT)"
+            " AS h"
+        )
+        .arrow()
+    )
+    return out["h"].combine_chunks().to_numpy(zero_copy_only=False)
+
+
+def id_hash_u32(ids) -> np.ndarray:
+    """First 8 hex digits of md5(str(id)) as int64 — uniform in
+    [0, 16**8), the deterministic-sampling convention (``HASH_DENOM``)."""
+    if _duckdb is None:
+        md5 = hashlib.md5
+        return np.fromiter(
+            (
+                int.from_bytes(md5(str(int(i)).encode()).digest()[:4], "big")
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+    out = (
+        _con()
+        .from_arrow(_ids_table(ids))
+        .project(
+            "CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)"
+            " AS h"
+        )
+        .arrow()
+    )
+    return out["h"].combine_chunks().to_numpy(zero_copy_only=False)

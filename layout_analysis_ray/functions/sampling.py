@@ -22,7 +22,6 @@ Everything is SQL-expressible, so all three carry DuckDB oracles in
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -38,14 +37,9 @@ def _read_docs(sf_dir: str, columns):
 
 
 def _hash_u32(ids) -> np.ndarray:
-    return np.fromiter(
-        (
-            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
-            for i in ids
-        ),
-        dtype=np.int64,
-        count=len(ids),
-    )
+    from .hashing import id_hash_u32
+
+    return id_hash_u32(np.asarray(ids, dtype=np.int64))
 
 
 def train_test_split_hash(sf_dir: str, test_denom: int = 3):
@@ -95,12 +89,14 @@ def stratified_sample_by_lang(sf_dir: str, n_per_key: int = 10):
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        ids = batch.column("doc_id").to_pylist()
+        from .hashing import md5_hex_of_ids
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         df = pd.DataFrame(
             {
                 "lang": batch.column("lang").to_pylist(),
                 "doc_id": ids,
-                "h": [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+                "h": md5_hex_of_ids(ids).to_pylist(),
             }
         )
         top = df.sort_values(["lang", "h", "doc_id"]).groupby("lang").head(n_per_key)

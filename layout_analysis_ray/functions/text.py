@@ -28,6 +28,11 @@ import pyarrow.compute as pc
 TOKEN_RE = r"[a-z0-9]+"
 _token = re.compile(TOKEN_RE)
 
+# Sentinel standing in for a NULL lang through Ray shuffles (Ray's
+# sort-based groupby can't compare None to str); decoded back to NULL in
+# the final stage.  Real lang codes never contain a NUL byte.
+_NULL_LANG = "\x00"
+
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 
 LANG_MARKERS = (
@@ -264,8 +269,13 @@ def top_tokens_by_lang(sf_dir: str, k: int = 5):
         # use_na_sentinel=False: a NULL lang is an ordinary group (as the
         # oracle's GROUP BY lang), not a -1 code that poisons bincount
         lcodes, luniq = pd.factorize(langs[parent], use_na_sentinel=False)
+        # NULL lang is an ordinary group (as the oracle's GROUP BY lang), but
+        # Ray's sort-based groupby raises on None string keys — encode NULL
+        # as a NUL-byte sentinel through the shuffles, decoded at the end
+        # (real lang codes never contain "\x00").
         luniq = np.array(
-            [x if isinstance(x, str) else None for x in luniq], dtype=object
+            [x if isinstance(x, str) else _NULL_LANG for x in luniq],
+            dtype=object,
         )
         comp = lcodes.astype(np.int64) * np.int64(len(tuniq)) + tcodes
         binc = np.bincount(comp)
@@ -294,8 +304,11 @@ def top_tokens_by_lang(sf_dir: str, k: int = 5):
         df = b.to_pandas().sort_values(
             ["lang", "n", "token"], ascending=[True, False, True]
         )
+        # dropna=False: keep the NULL-lang group (the oracle's GROUP BY lang
+        # keeps NULLs; pandas groupby drops NaN keys by default).
         return pa.Table.from_pandas(
-            df.groupby("lang", sort=False).head(k), preserve_index=False
+            df.groupby("lang", sort=False, dropna=False).head(k),
+            preserve_index=False,
         )
 
     def lang_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -306,10 +319,21 @@ def top_tokens_by_lang(sf_dir: str, k: int = 5):
 
     from .schema import ensure_schema
 
+    def decode_null_lang(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lang = pc.if_else(
+            pc.equal(b["lang"], _NULL_LANG),
+            pa.scalar(None, pa.string()),
+            b["lang"],
+        )
+        return b.set_column(b.schema.get_field_index("lang"), "lang", lang)
+
     return ensure_schema(
         counts.map_batches(block_topk, batch_format="pyarrow")
         .groupby("lang")
-        .map_groups(lang_topk, batch_format="pandas"),
+        .map_groups(lang_topk, batch_format="pandas")
+        .map_batches(decode_null_lang, batch_format="pyarrow"),
         pa.schema(
             [
                 ("lang", pa.string()),

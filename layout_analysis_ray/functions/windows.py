@@ -1188,9 +1188,17 @@ def user_retention_hourly(sf_dir: str):
 
     def pair_dedup(batch: pa.Table) -> pa.Table:
         u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (
-            batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
-        ).astype(np.int64) // 3_600_000_000
+        # trunc (not floor) division: DuckDB's `//` truncates toward zero,
+        # which diverges from numpy for pre-1970 timestamps (engine-wide
+        # convention, same as new_users_hourly).
+        h = trunc_div_np(
+            (
+                batch["ts"]
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+            ).astype(np.int64),
+            3_600_000_000,
+        )
         uniq = np.unique(np.stack([u, h, batch["__upart"].to_numpy(zero_copy_only=False).astype(np.int64)], axis=1), axis=0)
         return pa.table(
             {

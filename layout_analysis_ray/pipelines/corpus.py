@@ -19,12 +19,12 @@ whole chain is SQL-expressible, which pins every intermediate semantic).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ..functions.hashing import id_bucket_digit, md5_hex
 
 # cleaning thresholds — mirrored verbatim in the oracle SQL
 CLEAN_LANG = "en"
@@ -67,11 +67,9 @@ def corpus_clean_keep(sf_dir: str):
         )
         kept = batch.filter(keep)
         kept_q = pc.filter(qual, keep)
-        texts = kept["text"].to_pylist()
-        hashes = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
         return pa.table(
             {
-                "content_hash": pa.array(hashes, pa.string()),
+                "content_hash": md5_hex(kept["text"]),
                 "doc_id": kept["doc_id"],
                 "quality_ppm": kept_q,
             }
@@ -106,12 +104,9 @@ def _token_triples(sf_dir: str):
     def prep(batch: pa.Table) -> pa.Table:
         n_tok = token_stats_batch(batch)["n_tokens"]
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        parts = [
-            int(hashlib.md5(str(int(i)).encode()).hexdigest()[0], 16) for i in ids
-        ]
         return pa.table(
             {
-                "part": pa.array(parts, pa.int64()),
+                "part": pa.array(id_bucket_digit(ids), pa.int64()),
                 "doc_id": batch["doc_id"],
                 "n_tokens": n_tok,
             }
@@ -266,13 +261,9 @@ def corpus_prepare(sf_dir: str):
             ),
         )
         kept = batch.filter(keep)
-        hashes = [
-            hashlib.md5((t or "").encode()).hexdigest()
-            for t in kept["text"].to_pylist()
-        ]
         return pa.table(
             {
-                "content_hash": pa.array(hashes, pa.string()),
+                "content_hash": md5_hex(kept["text"]),
                 "doc_id": pc.cast(kept["doc_id"], pa.int64()),
                 "n_tokens": pc.cast(pc.filter(qt["n_tokens"], keep), pa.int64()),
             }
@@ -286,12 +277,9 @@ def corpus_prepare(sf_dir: str):
 
     def to_keeper(batch: pa.Table) -> pa.Table:
         ids = batch["min(doc_id)"].to_numpy(zero_copy_only=False).astype(np.int64)
-        parts = [
-            int(hashlib.md5(str(int(i)).encode()).hexdigest()[0], 16) for i in ids
-        ]
         return pa.table(
             {
-                "part": pa.array(parts, pa.int64()),
+                "part": pa.array(id_bucket_digit(ids), pa.int64()),
                 "doc_id": pa.array(ids, pa.int64()),
                 "n_tokens": pc.cast(batch["min(n_tokens)"], pa.int64()),
                 "is_keep": pa.array(np.ones(len(ids), dtype=np.int64)),

@@ -463,13 +463,14 @@ def split_hash_buckets(sf_dir: str):
     SQL exactly (analogue of the reference's random split
     /root/reference/src/prepare_data/split_dataset.py:9-19, made
     deterministic per SURVEY.md T5)."""
-    import hashlib
-
     ds = _read(sf_dir, "documents", columns=["doc_id"])
 
     def bucket(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import id_bucket_digit
+
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        bs = [hashlib.md5(str(int(i)).encode()).hexdigest()[0] for i in ids]
+        digits = id_bucket_digit(ids)
+        bs = np.array(list("0123456789abcdef"), dtype=object)[digits]
         return pa.table(
             {
                 "bucket": pa.array(bs, pa.string()),
@@ -799,9 +800,19 @@ def orders_above_cust_avg(sf_dir: str):
             }
         )
 
-    orders = _read(
-        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
-    ).map_batches(prep, batch_format="pyarrow")
+    # materialize once: both the per-customer aggregate and the final
+    # filter/join pass consume `orders`, and without this the read+prep
+    # lineage would execute twice (one extra full fact-table scan) — same
+    # pattern as q3's use_bloom materialize.
+    orders = (
+        _read(
+            sf_dir,
+            "orders",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()
+    )
 
     stats = _partial_then_global(
         orders.map_batches(
