@@ -29,7 +29,9 @@ MINHASH_BANDS = 16  # x 4 rows/band
 # permutation sweep is pure vectorized integer numpy — no bignum objects.
 MINHASH_PRIME = (1 << 31) - 1
 MINHASH_JACCARD_PPM = 500_000  # signature-estimated threshold
-_PERM_CHUNK = 8  # perms per numpy sweep: bounds the [chunk, n_shingles] temp
+# perms per numpy sweep: bounds the [chunk, n_shingles] temp; 2 keeps the
+# temp inside L2 and measured ~40% faster than 8 on this box
+_PERM_CHUNK = 2
 
 _rng = np.random.default_rng(20240817)
 _A = _rng.integers(1, MINHASH_PRIME, size=MINHASH_PERMS, dtype=np.int64)
@@ -111,32 +113,41 @@ def minhash_sig(text: str) -> np.ndarray:
 
 
 def minhash_sigs(texts: list[str]) -> np.ndarray:
-    """[n_docs, PERMS] signatures, one vectorized sweep over ALL shingles of
-    the batch: (A*x + B) mod p then segment-min (np.minimum.reduceat) per
-    doc.  Perms are processed in chunks to bound the temporary.
+    return minhash_sigs_col(pa.array(texts, pa.string()))
 
-    Hashing is batched too: ONE ``pd.util.hash_array`` call over every
-    shingle in the batch, then per-doc sorted-distinct via a single
-    ``np.unique`` on a (doc_id << 31 | value) composite key — values are
-    bit-identical to hashing each doc separately (``_shingle_ints``),
-    without one C-call round trip per document."""
-    n = len(texts)
+
+def minhash_sigs_col(col) -> np.ndarray:
+    """[n_docs, PERMS] signatures from an Arrow string column, fully
+    vectorized: Arrow shingle build (``text.flat_shingles`` — no per-doc
+    tokenize loop, no per-shingle ``join``), ONE ``pd.util.hash_array``
+    call over every shingle of the batch, then per-doc segment-min
+    (``np.minimum.reduceat``) of (A*x + B) mod p.  Perms are processed in
+    chunks to bound the temporary.
+
+    Duplicate shingles are NOT removed before the sweep — min is
+    duplicate-insensitive, so values are bit-identical to hashing each
+    doc's distinct shingle set separately (``_shingle_ints``; equality
+    pinned by ``tests/test_dedup.py``)."""
+    from .text import flat_shingles
+
+    seg, sh, ntok = flat_shingles(col)
+    return minhash_sigs_from_shingles(seg, sh, len(ntok))
+
+
+def minhash_sigs_from_shingles(
+    seg: np.ndarray, sh: pa.Array, n: int
+) -> np.ndarray:
+    """The (A*x + B) mod p segment-min sweep over a pre-built shingle set
+    (``text.shingles_from_tokens`` output) — the entry point for fused
+    scans that already tokenized the batch."""
     out = np.full((n, MINHASH_PERMS), MINHASH_PRIME, dtype=np.int64)
-    all_sh: list[str] = []
-    seg_parts = []
-    for i, t in enumerate(texts):
-        sh = _shingles(t)
-        if sh:
-            all_sh.extend(sh)
-            seg_parts.append(np.full(len(sh), i, dtype=np.int64))
-    if not all_sh:
+    if not len(seg):
         return out
-    seg = np.concatenate(seg_parts)
-    h = pd.util.hash_array(np.asarray(all_sh, dtype=object))
-    vals = (h % (MINHASH_PRIME - 1)).astype(np.int64) + 1  # in [1, 2^31)
-    key = np.unique(seg * np.int64(1 << 31) + vals)
-    x = key % np.int64(1 << 31)
-    lens = np.bincount(key >> np.int64(31), minlength=n)
+    h = pd.util.hash_array(sh.to_numpy(zero_copy_only=False))
+    x = (h % (MINHASH_PRIME - 1)).astype(np.int64) + 1  # in [1, 2^31)
+    order = np.argsort(seg, kind="stable")
+    seg, x = seg[order], x[order]
+    lens = np.bincount(seg, minlength=n)
     nz = np.nonzero(lens)[0]
     starts = np.zeros(nz.size, dtype=np.int64)
     np.cumsum(lens[nz][:-1], out=starts[1:])
@@ -170,9 +181,8 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     (Unit-test surface; the pairs pipeline below uses the slimmer
     (band_key, doc_id) shape so signatures never enter the shuffle.)"""
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    texts = batch["text"].to_pylist()
-    n = len(texts)
-    sigs = minhash_sigs(texts)  # [n, perms]
+    n = batch.num_rows
+    sigs = minhash_sigs_col(batch["text"])  # [n, perms]
     bh = _band_hashes(sigs)
     sig_hex = [s.astype(np.uint64).tobytes().hex() for s in sigs]
     return pa.table(
@@ -252,23 +262,48 @@ def dedup_minhash_pairs(sf_dir: str):
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sigs = minhash_sigs(batch["text"].to_pylist())  # [n, perms]
-        bh = _band_hashes(sigs).reshape(-1)
-        sig_bytes = [s.astype(np.uint64).tobytes() for s in sigs]
-        return pa.table(
-            {
-                "part": pa.array((bh % PAIR_PARTITIONS).astype(np.int32), pa.int32()),
-                "band_key": pa.array(bh, pa.int64()),
-                "doc_id": pa.array(np.repeat(ids, MINHASH_BANDS)),
-                "sig": pa.array(
-                    [s for s in sig_bytes for _ in range(MINHASH_BANDS)], pa.binary()
-                ),
-            }
-        )
+        sigs = minhash_sigs_col(batch["text"])  # [n, perms]
+        return band_rows_from_sigs(ids, sigs)
 
     bands = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         band_rows, batch_format="pyarrow"
     )
+    return minhash_pairs_from_bands(bands)
+
+
+def _sig_binary_array(sigs: np.ndarray) -> pa.Array:
+    """[n, PERMS] int64 signature matrix -> binary() array of the raw
+    little-endian uint64 rows, built from ONE buffer (no per-row tobytes)."""
+    n = sigs.shape[0]
+    buf = pa.py_buffer(np.ascontiguousarray(sigs.astype("<u8")).tobytes())
+    offs = pa.py_buffer(
+        np.arange(0, (n + 1) * 8 * MINHASH_PERMS, 8 * MINHASH_PERMS, dtype=np.int32
+        ).tobytes()
+    )
+    return pa.Array.from_buffers(pa.binary(), n, [None, offs, buf])
+
+
+def band_rows_from_sigs(ids: np.ndarray, sigs: np.ndarray) -> pa.Table:
+    """doc -> one slim LSH band row per band: (part, band_key, doc_id, raw
+    signature bytes).  Shared by the standalone pairs pipeline and fused
+    scans that computed ``sigs`` alongside other per-doc columns."""
+    n = len(ids)
+    bh = _band_hashes(sigs).reshape(-1)
+    rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), MINHASH_BANDS))
+    return pa.table(
+        {
+            "part": pa.array((bh % PAIR_PARTITIONS).astype(np.int32), pa.int32()),
+            "band_key": pa.array(bh, pa.int64()),
+            "doc_id": pa.array(np.repeat(ids.astype(np.int64), MINHASH_BANDS)),
+            "sig": _sig_binary_array(sigs).take(rep),
+        }
+    )
+
+
+def minhash_pairs_from_bands(bands):
+    """Verified near-dup pairs from a band-row Dataset (the shape
+    ``band_rows_from_sigs`` emits): coarse band-key hash partitions, pair +
+    signature-agreement verify INSIDE each bucket, cross-band pair dedup."""
 
     def verified_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_e = [], [], []
@@ -478,20 +513,14 @@ def ngram_jaccard_consecutive(sf_dir: str):
     Nothing is ever materialized on the driver."""
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
+        from .text import flat_shingles
+
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = batch["text"].to_pylist()
-        all_sh: list[str] = []
-        seg_parts = []
-        for i, t in enumerate(texts):
-            sh = _shingles(t)
-            if sh:
-                all_sh.extend(sh)
-                seg_parts.append(np.full(len(sh), i, dtype=np.int64))
-        n = len(texts)
+        seg, sh, _ntok = flat_shingles(batch["text"])
+        n = batch.num_rows
         counts = np.zeros(n, dtype=np.int64)
-        if all_sh:
-            seg = np.concatenate(seg_parts)
-            h = pd.util.hash_array(np.asarray(all_sh, dtype=object))  # uint64
+        if len(seg):
+            h = pd.util.hash_array(sh.to_numpy(zero_copy_only=False))  # uint64
             order = np.lexsort((h, seg))
             s, v = seg[order], h[order]
             keep = np.ones(s.size, dtype=bool)

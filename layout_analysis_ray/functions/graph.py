@@ -272,19 +272,24 @@ def ngram_chain_groups(sf_dir: str, threshold_ppm: int = NGRAM_CHAIN_PPM):
     )
 
 
-def dedup_minhash_groups(sf_dir: str):
+def dedup_minhash_groups(sf_dir: str, pairs=None):
     """The full near-dedup story composed end to end: MinHash-LSH verified
     pairs (``dedup.dedup_minhash_pairs``) -> duplicate CLUSTERS via
     :func:`connected_components` -> (doc_id, comp, keep) where comp is the
     cluster's min doc id and keep marks the one document per cluster a
     dedup pass would retain.  Only pair-graph docs appear (docs with no
     near-duplicate are implicitly kept); deterministic, golden-pinned.
+
+    ``pairs`` (optional): a precomputed verified-pair Dataset — fused
+    scans (``corpus_prepare``) pass the pairs they derived from their own
+    single corpus read so this never re-reads the corpus.
     """
     import pyarrow.compute as pc
 
     from .dedup import dedup_minhash_pairs
 
-    pairs = dedup_minhash_pairs(sf_dir)
+    if pairs is None:
+        pairs = dedup_minhash_pairs(sf_dir)
     out = connected_components(pairs)
 
     def finish(batch: pa.Table) -> pa.Table:

@@ -53,12 +53,13 @@ def _tokens(text: str) -> list[str]:
     return _token.findall(text.lower())
 
 
-def _flat_tokens(col) -> tuple[np.ndarray, np.ndarray, int]:
-    """Vectorized tokenizer for a whole batch column.
+def _flat_tokens_arrow(col) -> tuple[np.ndarray, pa.Array, int]:
+    """Vectorized tokenizer for a whole batch column, tokens kept as an
+    Arrow array (no Python string materialization).
 
     One RE2 pass replaces every non-token run with a single space, then a
     plain split yields a ListArray of tokens; we flatten it and return
-    ``(parent_row_idx, token_strings, n_rows)``.  Token set is identical to
+    ``(parent_row_idx, token_array, n_rows)``.  Token set is identical to
     ``re.findall('[a-z0-9]+', text.lower())`` per row (empty/null texts
     contribute zero tokens).
     """
@@ -73,8 +74,78 @@ def _flat_tokens(col) -> tuple[np.ndarray, np.ndarray, int]:
     counts = np.diff(lists.offsets.to_numpy())
     parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
     keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
-    toks = flat.to_numpy(zero_copy_only=False)
-    return parent[keep], toks[keep], len(counts)
+    return parent[keep], flat.filter(pa.array(keep)), len(counts)
+
+
+def _flat_tokens(col) -> tuple[np.ndarray, np.ndarray, int]:
+    """``_flat_tokens_arrow`` with tokens materialized as numpy object
+    strings (for consumers that factorize / isin over them)."""
+    parent, flat, n = _flat_tokens_arrow(col)
+    return parent, flat.to_numpy(zero_copy_only=False), n
+
+
+def flat_shingles(col) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """``shingles_from_tokens`` over a fresh tokenize of ``col`` — see that
+    function for the contract."""
+    parent, flat, n = _flat_tokens_arrow(col)
+    return shingles_from_tokens(parent, flat, n)
+
+
+def shingles_from_tokens(
+    parent: np.ndarray, flat: pa.Array, n: int
+) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """Word-3-gram shingles for a whole batch, built entirely with Arrow
+    kernels from a pre-tokenized batch (``_flat_tokens_arrow`` output) — no
+    per-document Python loop, no per-shingle ``join``.
+
+    Returns ``(seg, shingles, n_tokens_per_row)``: ``seg[i]`` is the parent
+    row of ``shingles[i]``.  Per-row shingle MULTISET is identical to the
+    per-doc reference (``dedup._shingles``): rows with >= 3 tokens yield one
+    ``"t0 t1 t2"`` string per consecutive triple (3-grams built by joining
+    three zero-copy slices of the flat token array, kept only where all
+    three tokens share a parent row); rows with 1-2 tokens yield ONE
+    fallback shingle (the space-joined token list); rows with 0 tokens
+    yield none.  Order within a row is NOT the reference's scan order
+    (fallbacks are appended last) — every consumer reduces per-row
+    (min / distinct-set), so order never matters.
+    """
+    m = len(flat)
+    ntok = (
+        np.bincount(parent, minlength=n) if m else np.zeros(n, dtype=np.int64)
+    )
+    seg_parts: list[np.ndarray] = []
+    sh_parts: list[pa.Array] = []
+    if m >= 3:
+        t0, t1, t2 = flat.slice(0, m - 2), flat.slice(1, m - 2), flat.slice(2, m - 2)
+        tri = pc.binary_join_element_wise(t0, t1, t2, " ")
+        valid = parent[: m - 2] == parent[2:]
+        seg_parts.append(parent[: m - 2][valid])
+        sh_parts.append(tri.filter(pa.array(valid)))
+    small = np.nonzero((ntok >= 1) & (ntok <= 2))[0]
+    if small.size:
+        starts = (np.cumsum(ntok) - ntok)[small]
+        first = flat.take(pa.array(starts))
+        two = ntok[small] == 2
+        if two.any():
+            second = flat.take(pa.array(np.minimum(starts + 1, m - 1)))
+            fb = pc.if_else(
+                pa.array(two),
+                pc.binary_join_element_wise(first, second, " "),
+                first,
+            )
+        else:
+            fb = first
+        seg_parts.append(small)
+        sh_parts.append(fb)
+    if not seg_parts:
+        return np.empty(0, dtype=np.int64), pa.array([], pa.string()), ntok
+    shingles = pa.concat_arrays(
+        [
+            c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            for c in sh_parts
+        ]
+    )
+    return np.concatenate(seg_parts), shingles, ntok
 
 
 def token_stats_batch(batch: pa.Table) -> pa.Table:
@@ -112,21 +183,32 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     parent row — ``np.argmax`` along the language axis picks the first max,
     which is exactly the reference's strict-``>`` scan order.
     """
+    parent, toks, n = _flat_tokens(batch["text"])
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lang_pred": pa.array(
+                lang_from_tokens(parent, toks, n), pa.string()
+            ),
+        }
+    )
+
+
+def lang_from_tokens(parent: np.ndarray, toks: np.ndarray, n: int) -> np.ndarray:
+    """``lang_id_batch`` kernel over a pre-tokenized batch (so fused scans
+    tokenize once); returns an object array of lang codes."""
     import pandas as pd
 
-    parent, toks, n = _flat_tokens(batch["text"])
     codes, uniques = pd.factorize(toks)
-    uniq = np.asarray(uniques, dtype=object)
     counts = np.zeros((n, len(LANG_MARKERS)), dtype=np.int64)
+    uniq = np.asarray(uniques, dtype=object)
     for j, (_, markers) in enumerate(LANG_MARKERS):
         hit = np.isin(uniq, np.array(markers, dtype=object))[codes]
         if hit.any():
             counts[:, j] = np.bincount(parent[hit], minlength=n)
     langs = np.array([lang for lang, _ in LANG_MARKERS] + ["und"], dtype=object)
     best = np.where(counts.max(axis=1) > 0, counts.argmax(axis=1), len(LANG_MARKERS))
-    return pa.table(
-        {"doc_id": batch["doc_id"], "lang_pred": pa.array(langs[best], pa.string())}
-    )
+    return langs[best]
 
 
 def lang_id(sf_dir: str):
@@ -142,13 +224,31 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     - alpha_ppm = [a-z] chars (of lowercased text) / total chars
     - quality_ppm = (4*min(n_tokens/100,1) + 3*stop + 3*alpha) / 10
     """
-    import pandas as pd
-
     text_col = batch["text"]
     if isinstance(text_col, pa.ChunkedArray):
         text_col = text_col.combine_chunks()
     text_col = pc.fill_null(text_col, "")
     parent, toks, n = _flat_tokens(text_col)
+    q = quality_from_tokens(parent, toks, n, text_col)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(q["n_tokens"], pa.int64()),
+            "stop_ppm": pa.array(q["stop_ppm"], pa.int64()),
+            "alpha_ppm": pa.array(q["alpha_ppm"], pa.int64()),
+            "quality_ppm": pa.array(q["quality_ppm"], pa.int64()),
+        }
+    )
+
+
+def quality_from_tokens(
+    parent: np.ndarray, toks: np.ndarray, n: int, text_col: pa.Array
+) -> dict:
+    """``quality_batch`` kernel over a pre-tokenized batch (so fused scans
+    tokenize once); ``text_col`` must be the null-filled text array the
+    tokens came from (char-level ratios still need it)."""
+    import pandas as pd
+
     n_tok = np.bincount(parent, minlength=n)
     codes, uniques = pd.factorize(toks)
     stop_hit = np.isin(np.asarray(uniques, dtype=object), np.array(STOPWORDS, dtype=object))[codes]
@@ -161,15 +261,12 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     alpha_ppm = np.where(n_chars > 0, (n_alpha * 1_000_000) // np.maximum(n_chars, 1), 0)
     len_ppm = np.minimum(n_tok * 10_000, 1_000_000)
     qual_ppm = (4 * len_ppm + 3 * stop_ppm + 3 * alpha_ppm) // 10
-    return pa.table(
-        {
-            "doc_id": batch["doc_id"],
-            "n_tokens": pa.array(n_tok, pa.int64()),
-            "stop_ppm": pa.array(stop_ppm, pa.int64()),
-            "alpha_ppm": pa.array(alpha_ppm, pa.int64()),
-            "quality_ppm": pa.array(qual_ppm, pa.int64()),
-        }
-    )
+    return {
+        "n_tokens": n_tok,
+        "stop_ppm": stop_ppm,
+        "alpha_ppm": alpha_ppm,
+        "quality_ppm": qual_ppm,
+    }
 
 
 def quality(sf_dir: str):
@@ -180,28 +277,30 @@ def quality(sf_dir: str):
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Document fingerprint: min md5 over word 3-gram shingles (docs with
-    <3 tokens fall back to md5 of the space-joined token list).  The min-hash
-    of shingles is the SURVEY 'document fingerprinting (rolling hash)'
-    operator in a form DuckDB can mirror exactly."""
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    texts = batch["text"].to_pylist()
-    fps, n_shingles = [], np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = _tokens(t or "")
-        if len(toks) < 3:
-            n_shingles[i] = 0
-            fps.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
-            continue
-        hs = [
-            hashlib.md5(" ".join(toks[j : j + 3]).encode()).hexdigest()
-            for j in range(len(toks) - 2)
-        ]
-        n_shingles[i] = len(hs)
-        fps.append(min(hs))
+    <3 tokens fall back to md5 of the space-joined token list; 0 tokens
+    -> md5('')).  The min-hash of shingles is the SURVEY 'document
+    fingerprinting (rolling hash)' operator in a form DuckDB can mirror
+    exactly.
+
+    Vectorized: Arrow shingle build (``flat_shingles``) + one md5 pass per
+    batch (``hashing.md5_hex``) + per-doc min via a pandas groupby — no
+    per-document Python loop.  Values bit-identical to the per-doc path
+    (pinned by the SQL oracle)."""
+    import pandas as pd
+
+    from .hashing import md5_hex
+
+    seg, sh, ntok = flat_shingles(batch["text"])
+    n = len(ntok)
+    fps = np.full(n, hashlib.md5(b"").hexdigest(), dtype=object)
+    if len(seg):
+        hexes = md5_hex(sh).to_numpy(zero_copy_only=False)
+        mins = pd.Series(hexes).groupby(seg).min()
+        fps[mins.index.to_numpy()] = mins.to_numpy()
     return pa.table(
         {
-            "doc_id": pa.array(ids),
-            "n_shingles": pa.array(n_shingles),
+            "doc_id": batch["doc_id"],
+            "n_shingles": pa.array(np.maximum(ntok - 2, 0).astype(np.int64)),
             "fingerprint": pa.array(fps, pa.string()),
         }
     )

@@ -227,50 +227,106 @@ def corpus_prepare(sf_dir: str):
     Output: (doc_id, part, seq_id, seq_offset) for exactly the documents a
     pretraining run would tokenize, with their context-window coordinates.
 
-    Scale shape — ONE fused corpus scan and no corpus-sized broadcast:
-    lang, quality, content hash and token count come out of the same
-    batch pass (n_tokens is a function of the text, so every member of an
+    Scale shape — ONE fused corpus scan, tokenized ONCE, and no
+    corpus-sized broadcast: lang, quality, content hash, token count AND
+    the MinHash signature all come out of the same tokenize of the same
+    batch, emitted as one ~600-byte row per doc (id, hash, counts, clean
+    flag, 512-byte raw signature).  That narrow table is materialized
+    once (spillable; 1000x smaller than re-reading + re-tokenizing the
+    corpus for the near-dup pass, which is what the unfused composition
+    did) and feeds BOTH sides: the exact-dedup hash groupby consumes the
+    clean rows (n_tokens is a function of the text, so every member of an
     exact-dup group shares it and the native Min aggregate carries the
-    winner's count through the hash groupby; the winner's pack partition
-    is md5(doc_id) computed after the reduce).  The near-dup filter is a
-    per-doc_id groupby of tagged rows — one 24-byte row per CLEAN KEEPER
-    plus the pair-graph-sized cluster rows, map-side combined — followed
-    by a coarse comp-hash partition that re-picks representatives
-    vectorized (the ``top_event_per_user`` pattern).  Winners flow into
-    the shared pack kernel.  Not SQL-expressible (MinHash banding) —
-    golden-pinned and invariant-tested instead.
+    winner's count; the winner's pack partition is md5(doc_id) computed
+    after the reduce), and the LSH band explosion re-derives band rows
+    from the stored signatures.  The near-dup filter is a per-doc_id
+    groupby of tagged rows — one 24-byte row per CLEAN KEEPER plus the
+    pair-graph-sized cluster rows, map-side combined — followed by a
+    coarse comp-hash partition that re-picks representatives vectorized
+    (the ``top_event_per_user`` pattern).  Winners flow into the shared
+    pack kernel.  Not SQL-expressible (MinHash banding) — golden-pinned
+    and invariant-tested instead.
     """
     import pandas as pd
     import pyarrow.compute as pc
     from ray.data.aggregate import Max, Min, Sum
 
+    from ..functions.dedup import (
+        MINHASH_PERMS,
+        _sig_binary_array,
+        band_rows_from_sigs,
+        minhash_pairs_from_bands,
+        minhash_sigs_from_shingles,
+    )
     from ..functions.graph import dedup_minhash_groups
     from ..functions.schema import ensure_schema
-    from ..functions.text import lang_id_batch, quality_batch
+    from ..functions.text import (
+        _flat_tokens_arrow,
+        lang_from_tokens,
+        quality_from_tokens,
+        shingles_from_tokens,
+    )
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def prep(batch: pa.Table) -> pa.Table:
-        """Fused clean + hash + token-count pass (corpus read ONCE)."""
-        lang = lang_id_batch(batch)["lang_pred"]
-        qt = quality_batch(batch)
-        keep = pc.and_(
-            pc.equal(lang, CLEAN_LANG),
-            pc.greater_equal(
-                qt["quality_ppm"], pa.scalar(CLEAN_MIN_QUALITY_PPM, pa.int64())
-            ),
+        """Fused clean + hash + token-count + minhash pass: the corpus is
+        read ONCE and tokenized ONCE."""
+        text_col = batch["text"]
+        if isinstance(text_col, pa.ChunkedArray):
+            text_col = text_col.combine_chunks()
+        text_col = pc.fill_null(text_col, "")
+        parent, flat, n = _flat_tokens_arrow(text_col)
+        toks = flat.to_numpy(zero_copy_only=False)
+        lang = lang_from_tokens(parent, toks, n)
+        q = quality_from_tokens(parent, toks, n, text_col)
+        keep = (lang == np.asarray(CLEAN_LANG, dtype=object)) & (
+            q["quality_ppm"] >= CLEAN_MIN_QUALITY_PPM
         )
-        kept = batch.filter(keep)
+        seg, sh, _nt = shingles_from_tokens(parent, flat, n)
+        sigs = minhash_sigs_from_shingles(seg, sh, n)
         return pa.table(
             {
-                "content_hash": md5_hex(kept["text"]),
-                "doc_id": pc.cast(kept["doc_id"], pa.int64()),
-                "n_tokens": pc.cast(pc.filter(qt["n_tokens"], keep), pa.int64()),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "content_hash": md5_hex(text_col),
+                "n_tokens": pa.array(q["n_tokens"].astype(np.int64)),
+                "is_clean": pa.array(keep.astype(np.int64)),
+                "sig": _sig_binary_array(sigs),
             }
         )
 
+    narrow = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        """Explode stored signatures back into slim LSH band rows."""
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = batch["sig"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        sigs = (
+            data[offs[0] : offs[-1]]
+            .view("<u8")
+            .reshape(len(arr), MINHASH_PERMS)
+            .astype(np.int64)
+        )
+        return band_rows_from_sigs(ids, sigs)
+
+    pairs = minhash_pairs_from_bands(
+        narrow.map_batches(to_bands, batch_format="pyarrow")
+    )
+
+    def clean_pairs(batch: pa.Table) -> pa.Table:
+        out = batch.filter(
+            pc.equal(batch["is_clean"], pa.scalar(1, pa.int64()))
+        )
+        return out.select(["content_hash", "doc_id", "n_tokens"])
+
     winners = (
-        ds.map_batches(prep, batch_format="pyarrow")
+        narrow.map_batches(clean_pairs, batch_format="pyarrow")
         .groupby("content_hash")
         .aggregate(Min("doc_id"), Min("n_tokens"))
     )
@@ -288,7 +344,7 @@ def corpus_prepare(sf_dir: str):
         )
 
     keepers = winners.map_batches(to_keeper, batch_format="pyarrow")
-    clusters = dedup_minhash_groups(sf_dir).map_batches(
+    clusters = dedup_minhash_groups(sf_dir, pairs=pairs).map_batches(
         lambda b: pa.table(
             {
                 "part": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
