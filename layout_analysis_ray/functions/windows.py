@@ -721,43 +721,73 @@ def sessionize_salted(sf_dir: str, bucket_us: int = SALT_BUCKET_US):
     )
 
     def stitch_part(part: pd.DataFrame) -> pd.DataFrame:
-        """Per-user boundary fold over TINY chunk summaries.  The fold is
-        inherently sequential per user (carry state across buckets), so it
-        stays a Python loop — but over summary rows inside one coarse
-        partition, not one map_groups call per user."""
+        """Per-user boundary fold over TINY chunk summaries, fully
+        vectorized as a numpy segment fold (no per-user / per-row Python
+        loop):
+
+        - ``m[i]`` marks a boundary MERGE (same user, first_start within
+          gap of the previous chunk's last_end);
+        - total sessions per user = sum(n_sessions) - sum(m): every merge
+          joins exactly two sessions;
+        - the carried open-session size is a SEGMENTED CUMSUM of
+          first_count — segments restart where a chunk is multi-session
+          (open restarts from its last_count) or the boundary doesn't
+          merge (restarts from first_count);
+        - finalized session sizes feeding the per-user max: every chunk's
+          max_interior, merged_first where the chunk is multi-session,
+          and the open count wherever the chain CLOSES (next boundary
+          non-merging, or end of user).
+
+        Equality with the sequential fold is pinned by the salted-vs-
+        unsalted hot-key tests (tests/test_skew.py) and the boundary
+        property suite."""
         gap_us = SESSION_GAP_S * 1_000_000
-        out_u, out_n, out_m = [], [], []
-        for uid, g in part.groupby("user_id", sort=False):
-            g = g.sort_values("tbucket")
-            total = 0
-            maxc = 0
-            open_end: int | None = None
-            open_count = 0
-            for r in g.itertuples(index=False):
-                if open_end is not None and r.first_start - open_end <= gap_us:
-                    merged_first = open_count + r.first_count
-                else:
-                    if open_end is not None:
-                        total += 1
-                        maxc = max(maxc, open_count)
-                    merged_first = r.first_count
-                maxc = max(maxc, r.max_interior)
-                if r.n_sessions == 1:
-                    open_end, open_count = r.last_end, merged_first
-                else:
-                    total += r.n_sessions - 1
-                    maxc = max(maxc, merged_first)
-                    open_end, open_count = r.last_end, r.last_count
-            total += 1
-            maxc = max(maxc, open_count)
-            out_u.append(uid)
-            out_n.append(total)
-            out_m.append(maxc)
+        if not len(part):
+            return pd.DataFrame(
+                {
+                    "user_id": np.empty(0, np.int64),
+                    "n_sessions": np.empty(0, np.int64),
+                    "max_session_events": np.empty(0, np.int64),
+                }
+            )
+        part = part.sort_values(["user_id", "tbucket"])
+        u = part["user_id"].to_numpy().astype(np.int64)
+        k = part["n_sessions"].to_numpy().astype(np.int64)
+        fs = part["first_start"].to_numpy().astype(np.int64)
+        fc = part["first_count"].to_numpy().astype(np.int64)
+        le = part["last_end"].to_numpy().astype(np.int64)
+        lc = part["last_count"].to_numpy().astype(np.int64)
+        mi = part["max_interior"].to_numpy().astype(np.int64)
+        n = len(part)
+        same_prev = np.zeros(n, dtype=bool)
+        same_prev[1:] = u[1:] == u[:-1]
+        prev_le = np.concatenate(([np.int64(0)], le[:-1]))
+        m = same_prev & (fs - prev_le <= gap_us)
+        start = (k >= 2) | ~m
+        base = np.where(k >= 2, lc, fc)
+        seg = np.cumsum(start) - 1  # start[0] is always True
+        contrib = np.where(start, 0, fc)
+        cs = np.cumsum(contrib)
+        starts_idx = np.nonzero(start)[0]
+        open_count = base[starts_idx][seg] + cs - cs[starts_idx][seg]
+        prev_open = np.concatenate(([np.int64(0)], open_count[:-1]))
+        merged_first = fc + np.where(m, prev_open, 0)
+        close = np.ones(n, dtype=bool)
+        close[:-1] = ~m[1:]
+        codes, uids = pd.factorize(u)  # u sorted -> uids in user order
+        total = np.zeros(len(uids), dtype=np.int64)
+        np.add.at(total, codes, k - m.astype(np.int64))
+        maxc = np.zeros(len(uids), dtype=np.int64)
+        np.maximum.at(maxc, codes, mi)
+        multi = k >= 2
+        if multi.any():
+            np.maximum.at(maxc, codes[multi], merged_first[multi])
+        np.maximum.at(maxc, codes[close], open_count[close])
         return pd.DataFrame(
             {
-                "user_id": np.asarray(out_u, dtype=np.int64),
-                "n_sessions": np.asarray(out_n, dtype=np.int64),
-                "max_session_events": np.asarray(out_m, dtype=np.int64),
+                "user_id": np.asarray(uids, dtype=np.int64),
+                "n_sessions": total,
+                "max_session_events": maxc,
             }
         )
 

@@ -33,6 +33,11 @@ CLEAN_MIN_QUALITY_PPM = 500_000
 # packing constants — mirrored verbatim in the oracle SQL
 PACK_BUDGET_TOKENS = 2048
 PACK_PARTS = 16  # first hex digit of md5(doc_id), as split_hash_buckets
+# engine-internal parallelism knob (NOT part of the output semantics):
+# target docs per pack kernel call; subpartition count is derived as
+# ceil(n_docs / this), keeping each doc_id-sort + cumsum bounded while
+# coordinates stay invariant (see _pack_triples)
+PACK_DOCS_PER_TASK = 4_000_000
 
 
 def _read_docs(sf_dir: str, columns):
@@ -94,8 +99,60 @@ def corpus_clean_keep(sf_dir: str):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
-def _token_triples(sf_dir: str):
-    """(part, doc_id, n_tokens) triples — 24 bytes/doc regardless of
+def _doc_id_span(sf_dir: str):
+    """(min_id, max_id, n_docs) of the documents table from parquet
+    row-group statistics — NO scan.  None when stats are absent."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    md = pf.metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    try:
+        ci = names.index("doc_id")
+    except ValueError:
+        return None
+    lo, hi = None, None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return int(lo), int(hi), md.num_rows
+
+
+def _sub_assigner(sf_dir: str, n_subparts: int | None):
+    """(nsub, ids -> sub) for doc_id-RANGE subpartitions within a pack
+    part.  ``sub`` is monotone in doc_id, so the (part, sub) two-level
+    layout preserves the part-wide doc_id order exactly and the packed
+    coordinates are invariant to nsub (property-tested).  nsub defaults to
+    ceil(n_docs / PACK_DOCS_PER_TASK) via parquet metadata; missing stats
+    degrade to nsub=1 (always correct, single kernel call per part)."""
+    span = _doc_id_span(sf_dir)
+    if span is None:
+        return 1, (lambda ids: np.zeros(len(ids), dtype=np.int64))
+    lo, hi, n_docs = span
+    if n_subparts is not None:
+        nsub = max(1, int(n_subparts))
+    else:
+        nsub = max(1, -(-n_docs // PACK_DOCS_PER_TASK))
+    if nsub <= 1 or hi <= lo:
+        return 1, (lambda ids: np.zeros(len(ids), dtype=np.int64))
+    # chunk-width division (not rel*nsub//width) so arbitrary int64 id
+    # ranges can never overflow; still monotone in doc_id
+    chunk = -(-(hi - lo + 1) // nsub)
+
+    def assign(ids) -> np.ndarray:
+        rel = np.clip(np.asarray(ids, dtype=np.int64) - lo, 0, hi - lo)
+        return rel // chunk
+
+    return nsub, assign
+
+
+def _token_triples(sf_dir: str, assign):
+    """(part, sub, doc_id, n_tokens) rows — 32 bytes/doc regardless of
     document size.  Shared by both packing variants."""
     from ..functions.text import token_stats_batch
 
@@ -107,6 +164,7 @@ def _token_triples(sf_dir: str):
         return pa.table(
             {
                 "part": pa.array(id_bucket_digit(ids), pa.int64()),
+                "sub": pa.array(assign(ids), pa.int64()),
                 "doc_id": batch["doc_id"],
                 "n_tokens": n_tok,
             }
@@ -125,76 +183,62 @@ _PACK_SCHEMA = pa.schema(
 )
 
 
-def pack_sequences(sf_dir: str):
-    """Concat-and-chunk sequence packing: within each of ``PACK_PARTS``
-    deterministic partitions (first md5 hex digit of doc_id — the
-    ``split_hash_buckets`` convention), documents are concatenated in
-    doc_id order and chunked into ``PACK_BUDGET_TOKENS``-token context
-    windows.  Each doc's coordinate is (seq_id, seq_offset) of its FIRST
-    token; docs straddle window boundaries exactly as a pretraining
-    dataloader packs them.
+def _pack_triples(triples, nsub: int, global_offsets: bool):
+    """Two-level offset-stitched packing over a (part, sub, doc_id,
+    n_tokens) Dataset.
 
-    Scale shape: the exchange moves (part, doc_id, n_tokens) triples — 24
-    bytes/doc regardless of document size; the per-partition kernel is one
-    sort + cumsum.  Window ids are per-partition, so 100 TB packs with 16
-    (or 16k) independent partitions and no global barrier."""
-    from ..functions.schema import ensure_schema
+    Phase 1 reduces the triples to one (part, sub, total_tokens) row per
+    NONEMPTY subpartition; the driver prefix-sums that (tiny,
+    subpartition-count-sized) list into exclusive start offsets — within
+    each part for per-part window ids, across everything in (part, sub)
+    order for corpus-global ids — broadcast via ``ray.put``.  Phase 2 is
+    an independent per-(part, sub) doc_id-sort + cumsum shifted by the
+    subpartition's offset.  Because ``sub`` is monotone in doc_id, the
+    stitched coordinates equal the single-kernel part-wide cumsum for
+    EVERY nsub (property-tested at nsub 1/5/4096), so the kernel-call
+    size is a pure parallelism knob: 10^10 docs pack with ~2.5k
+    subpartition kernels of PACK_DOCS_PER_TASK docs each instead of 16
+    625M-doc sorts.
 
-    return ensure_schema(
-        _token_triples(sf_dir).groupby("part").map_groups(
-            _pack_per_part, batch_format="pandas"
-        ),
-        _PACK_SCHEMA,
-    )
-
-
-def _pack_per_part(g: pd.DataFrame) -> pd.DataFrame:
-    """Concat-and-chunk one partition: doc_id order, running token total,
-    (seq_id, seq_offset) of each doc's first token."""
-    g = g.sort_values("doc_id")
-    n_tok = g["n_tokens"].to_numpy().astype(np.int64)
-    before = np.cumsum(n_tok) - n_tok  # tokens laid out before this doc
-    return pd.DataFrame(
-        {
-            "doc_id": g["doc_id"].to_numpy(),
-            "part": g["part"].to_numpy(),
-            "seq_id": before // PACK_BUDGET_TOKENS,
-            "seq_offset": before % PACK_BUDGET_TOKENS,
-        }
-    )
-
-
-def pack_sequences_global(sf_dir: str):
-    """Sequence packing with GLOBAL window coordinates — documents laid out
-    in (part, doc_id) order across ALL partitions, windows numbered
-    corpus-wide.  The global order costs no global barrier: phase 1 reduces
-    the triples to one (part, total_tokens) row per partition, the driver
-    prefix-sums that partition-count-sized list into start offsets
-    (broadcast via ``ray.put``), and phase 2 is the same independent
-    per-partition cumsum shifted by its partition's offset — the offset
-    stitch pattern the salted windows already use.
-
-    Scale: two passes over the 24-byte triples (materialized once), driver
-    state = one row per partition."""
+    Single-subpartition per-part ids skip phase 1 entirely (offset 0)."""
     import ray
 
     from ..functions.core import partial_then_global
     from ..functions.schema import ensure_schema
 
-    triples = _token_triples(sf_dir).materialize()
+    two_level = global_offsets or nsub > 1
+    off_ref = None
+    if two_level:
+        triples = triples.materialize()
+        totals = (
+            partial_then_global(triples, ["part", "sub"], ["n_tokens"])
+            .to_pandas()
+            .sort_values(["part", "sub"])
+        )
+        tok = totals["n_tokens"].to_numpy().astype(np.int64)
+        gstart = np.cumsum(tok) - tok
+        if global_offsets:
+            base = gstart
+        else:
+            parts = totals["part"].to_numpy()
+            first = np.searchsorted(parts, parts, side="left")
+            base = gstart - gstart[first]
+        off_ref = ray.put(
+            {
+                (int(p), int(s)): int(b)
+                for p, s, b in zip(totals["part"], totals["sub"], base)
+            }
+        )
 
-    totals = partial_then_global(triples, ["part"], ["n_tokens"]).to_pandas()
-    totals = totals.sort_values("part")
-    starts = np.cumsum(totals["n_tokens"].to_numpy()) - totals["n_tokens"].to_numpy()
-    off_ref = ray.put(
-        dict(zip(totals["part"].astype(int), starts.astype(np.int64)))
-    )
-
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        part_off = ray.get(off_ref)[int(g["part"].iloc[0])]
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        off = (
+            ray.get(off_ref)[(int(g["part"].iloc[0]), int(g["sub"].iloc[0]))]
+            if off_ref is not None
+            else 0
+        )
         g = g.sort_values("doc_id")
         n_tok = g["n_tokens"].to_numpy().astype(np.int64)
-        before = part_off + np.cumsum(n_tok) - n_tok
+        before = off + np.cumsum(n_tok) - n_tok
         return pd.DataFrame(
             {
                 "doc_id": g["doc_id"].to_numpy(),
@@ -205,12 +249,47 @@ def pack_sequences_global(sf_dir: str):
         )
 
     return ensure_schema(
-        triples.groupby("part").map_groups(per_part, batch_format="pandas"),
+        triples.groupby(["part", "sub"]).map_groups(
+            kernel, batch_format="pandas"
+        ),
         _PACK_SCHEMA,
     )
 
 
-def corpus_prepare(sf_dir: str):
+def pack_sequences(sf_dir: str, n_subparts: int | None = None):
+    """Concat-and-chunk sequence packing: within each of ``PACK_PARTS``
+    deterministic partitions (first md5 hex digit of doc_id — the
+    ``split_hash_buckets`` convention), documents are concatenated in
+    doc_id order and chunked into ``PACK_BUDGET_TOKENS``-token context
+    windows.  Each doc's coordinate is (seq_id, seq_offset) of its FIRST
+    token; docs straddle window boundaries exactly as a pretraining
+    dataloader packs them.
+
+    Scale shape: the exchange moves (part, sub, doc_id, n_tokens) rows —
+    32 bytes/doc regardless of document size; parallelism inside a part
+    comes from doc_id-range subpartitions stitched by ``_pack_triples``
+    (coordinates invariant to ``n_subparts``, which defaults to
+    ceil(n_docs / PACK_DOCS_PER_TASK))."""
+    nsub, assign = _sub_assigner(sf_dir, n_subparts)
+    return _pack_triples(
+        _token_triples(sf_dir, assign), nsub, global_offsets=False
+    )
+
+
+def pack_sequences_global(sf_dir: str, n_subparts: int | None = None):
+    """Sequence packing with GLOBAL window coordinates — documents laid out
+    in (part, doc_id) order across ALL partitions, windows numbered
+    corpus-wide.  Same two-level offset stitch as :func:`pack_sequences`
+    with the driver prefix running across all (part, sub) rows instead of
+    resetting per part; driver state stays one row per nonempty
+    subpartition."""
+    nsub, assign = _sub_assigner(sf_dir, n_subparts)
+    return _pack_triples(
+        _token_triples(sf_dir, assign), nsub, global_offsets=True
+    )
+
+
+def corpus_prepare(sf_dir: str, n_subparts: int | None = None):
     """The END-TO-END pretraining corpus prep, all stages composed:
 
         clean (lang + quality) -> exact-dedup keep-one
@@ -406,10 +485,28 @@ def corpus_prepare(sf_dir: str):
             }
         )
 
-    return ensure_schema(
-        survivors.groupby("__cpart")
-        .map_groups(pick_reps, batch_format="pandas")
-        .groupby("part")
-        .map_groups(_pack_per_part, batch_format="pandas"),
-        _PACK_SCHEMA,
+    reps = survivors.groupby("__cpart").map_groups(
+        pick_reps, batch_format="pandas"
+    )
+
+    nsub, assign = _sub_assigner(sf_dir, n_subparts)
+
+    def add_sub(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pc.cast(batch["part"], pa.int64()),
+                "sub": pa.array(assign(ids), pa.int64()),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_tokens": pc.cast(batch["n_tokens"], pa.int64()),
+            }
+        )
+
+    # the survivor set is a subset of the corpus id range, so the corpus
+    # _sub_assigner stays monotone over it — coordinates remain
+    # nsub-invariant (property-tested)
+    return _pack_triples(
+        reps.map_batches(add_sub, batch_format="pyarrow"),
+        nsub,
+        global_offsets=False,
     )

@@ -365,7 +365,11 @@ def test_corpus_prepare_composition(ray_session):
     exp_ids = (keep_ids - in_graph) | reps
     assert set(got["doc_id"]) == exp_ids and len(got) == len(exp_ids)
 
-    triples = _token_triples(sf).to_pandas().set_index("doc_id")
+    triples = (
+        _token_triples(sf, lambda ids: np.zeros(len(ids), dtype=np.int64))
+        .to_pandas()
+        .set_index("doc_id")
+    )
     for part, g in got.groupby("part"):
         g = g.sort_values("doc_id")
         ntok = triples.loc[g["doc_id"], "n_tokens"].to_numpy(dtype=np.int64)

@@ -127,3 +127,42 @@ def test_outliers_null_type_and_overflow_guard(ray_session, tmp_path):
     )
     with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
         events_value_outliers(str(d2))
+
+
+def test_merged_moments_limb_split_exact(ray_session, tmp_path):
+    """The distributed limb-split merge must equal the exact Python-int
+    sum of the per-batch moments, including negative s1 and s2 values near
+    the int64 partial guard."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.stats import (
+        _merged_moments,
+        _moment_partials,
+    )
+
+    rng = np.random.default_rng(9)
+    vals = np.round(
+        rng.normal(0, 5e4, 4000), 2
+    )  # +/- cents sized inside the batch int64 guard; many batches
+    types = rng.choice(["a", "b", "c"], 4000)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(4000), pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+        row_group_size=257,  # force many partial rows per group
+    )
+    got = _merged_moments(str(tmp_path))
+    want: dict = {}
+    for row in _moment_partials(str(tmp_path)).take_all():
+        m = want.setdefault(row["event_type"], [0, 0, 0])
+        m[0] += int(row["n"])
+        m[1] += int(row["s1"])
+        m[2] += int(row["s2"])
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert set(got) == {"a", "b", "c"}
