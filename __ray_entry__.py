@@ -113,6 +113,32 @@ def _media_features(sf_dir: str):
     return media_features(sf_dir).map_batches(proj, batch_format="pyarrow")
 
 
+def _media_features_demo(sf_dir: str):
+    """media_features with the REAL-bytes demo decode path: payload fetch
+    into a binary column, RAW8 header parse + pixel resample in the actor
+    pool (decode_mode == 'real').  Same scalar projection as
+    media_features; golden-pinned so the byte-decode output is a frozen
+    gate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from layout_analysis_ray.stages.media import (
+        demo_bytes_decoder,
+        media_features,
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        e0 = pc.list_element(b.column("embedding"), 0)
+        return b.drop_columns(["embedding"]).append_column(
+            "e0_ppm",
+            pc.cast(pc.floor(pc.multiply(pc.cast(e0, pa.float64()), 1e6)), pa.int64()),
+        )
+
+    return media_features(sf_dir, decoder=demo_bytes_decoder).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+
 def _media_frame_sample(sf_dir: str):
     """Uniform-stride frame sampling rows (doc_id, media_ref, n_frames,
     frame_idx) — deterministic, golden-pinned."""
@@ -161,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans_cluster_order": _extract_spans_cluster_order,
         "extract_spans_flood_order": _extract_spans_flood_order,
         "media_features": _media_features,
+        "media_features_demo": _media_features_demo,
         "media_frame_sample": _media_frame_sample,
         # relational operators
         "q1_pricing_summary": rel.q1_pricing_summary,

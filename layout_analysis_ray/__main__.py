@@ -131,14 +131,16 @@ def cmd_compact(args) -> int:
 def cmd_media(args) -> int:
     """Media featurize / frame-sample pipeline -> parquet.
 
-    ``--decoder demo`` injects ``demo_real_decoder`` so the end-to-end
-    ``decode_mode == "real"`` path (actor pool with an injected decode
-    kernel) is reachable from the CLI, not just pytest; the default uses
-    the deterministic stub (no media libs in this sandbox)."""
+    ``--decoder demo`` injects ``demo_bytes_decoder`` so the end-to-end
+    ``decode_mode == "real"`` path — payload fetch into a ``media_bytes``
+    binary column, actual byte parse (RAW8 header + pixel resample) in
+    the actor pool — is reachable from the CLI, not just pytest; the
+    default uses the deterministic stub (no media libs in this
+    sandbox)."""
     _ensure_ray()
-    from .stages.media import demo_real_decoder, frame_sample, media_features
+    from .stages.media import demo_bytes_decoder, frame_sample, media_features
 
-    decoder = demo_real_decoder if args.decoder == "demo" else None
+    decoder = demo_bytes_decoder if args.decoder == "demo" else None
     if args.frames:
         ds = frame_sample(args.sf_dir, k=args.frames, decoder=decoder)
     else:

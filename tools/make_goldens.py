@@ -29,6 +29,7 @@ GOLDEN_QUERIES = [
     "ann_lsh_buckets",
     "ann_ivf_assign",
     "media_features",
+    "media_features_demo",
     "media_frame_sample",
     "page_xml_export",
     "extract_error_docs",
