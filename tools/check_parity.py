@@ -37,16 +37,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def run_parity(
+    sf_dir: str, only=None, oracle_only: bool = False
+) -> list[str]:
+    """Run queries() vs oracle_sql() for ``only`` (or all) queries at
+    ``sf_dir``; returns the failing query names.  Ray must already be
+    initialized (the CLI main below owns a session; the pytest suite
+    reuses its session fixture).  ``oracle_only`` skips queries with no
+    SQL oracle (the all-64 CI gate)."""
+    only = set(only) if only else set()
 
-    import ray
-
-    if not ray.is_initialized():
-        ray.init(
-            address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR"
-        )
     sys.path.insert(0, ".")
     import __ray_entry__ as entrymod
 
@@ -61,6 +61,8 @@ def main() -> int:
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if oracle_only and name not in oracles:
             continue
         try:
             got = canon(to_pandas(fn(sf_dir)))
@@ -112,7 +114,20 @@ def main() -> int:
         elif status == "FAIL":
             print("  got cols:", list(got.columns), "exp cols:", list(exp.columns))
     print("FAILURES:", failures or "none")
-    return 1 if failures else 0
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR"
+        )
+    return 1 if run_parity(sf_dir, only) else 0
 
 
 if __name__ == "__main__":
