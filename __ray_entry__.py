@@ -139,6 +139,17 @@ def _media_features_demo(sf_dir: str):
     )
 
 
+def _media_deskew(sf_dir: str):
+    """Raster skew normalization over decoded RAW8 planes: sidecar
+    PAGE-XML baselines -> reference A2 angle estimate -> G5 plane
+    rotation -> G8 baseline normalization (stages/raster.py).  Rows-only
+    for the driver; golden-pinned (plane checksums freeze the rotation
+    kernel)."""
+    from layout_analysis_ray.stages.raster import media_deskew
+
+    return media_deskew(sf_dir)
+
+
 def _media_frame_sample(sf_dir: str):
     """Uniform-stride frame sampling rows (doc_id, media_ref, n_frames,
     frame_idx) — deterministic, golden-pinned."""
@@ -188,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans_flood_order": _extract_spans_flood_order,
         "media_features": _media_features,
         "media_features_demo": _media_features_demo,
+        "media_deskew": _media_deskew,
         "media_frame_sample": _media_frame_sample,
         # relational operators
         "q1_pricing_summary": rel.q1_pricing_summary,

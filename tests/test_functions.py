@@ -231,6 +231,7 @@ def test_queries_oracle_keys_consistent():
         "extract_spans_flood_order",
         "media_features",
         "media_features_demo",
+        "media_deskew",
         "media_frame_sample",
         "dedup_minhash_pairs",
         "dedup_minhash_groups",

@@ -308,10 +308,15 @@ def test_cli_media_demo_decoder(tmp_path):
     assert info["decode_modes"] == ["real"] and info["rows"] > 0
     t = pq.read_table(out)
     assert set(t.column("decode_mode").to_pylist()) == {"real"}
-    # demo decoder contract: width = 10 * len(media_ref), 77-high, 2 frames
+    # bytes-decoder contract: dims are parsed from the RAW8 payload header,
+    # which encode_demo_payloads derives from sha256(media_ref)
+    import hashlib
+
     refs = t.column("media_ref").to_pylist()
-    assert t.column("width").to_pylist() == [len(x) * 10 for x in refs]
-    assert set(t.column("n_frames").to_pylist()) == {2}
+    digs = [hashlib.sha256(x.encode()).digest() for x in refs]
+    assert t.column("width").to_pylist() == [16 + d[0] % 48 for d in digs]
+    assert t.column("height").to_pylist() == [16 + d[1] % 48 for d in digs]
+    assert t.column("n_frames").to_pylist() == [1 + d[2] % 4 for d in digs]
 
 
 def test_new_event_ops_single_row_and_empty(ray_session, tmp_path):

@@ -30,6 +30,7 @@ GOLDEN_QUERIES = [
     "ann_ivf_assign",
     "media_features",
     "media_features_demo",
+    "media_deskew",
     "media_frame_sample",
     "page_xml_export",
     "extract_error_docs",
