@@ -306,29 +306,58 @@ def minhash_pairs_from_bands(bands):
     signature-agreement verify INSIDE each bucket, cross-band pair dedup."""
 
     def verified_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_e = [], [], []
-        for _, grp in g.groupby("band_key", sort=False):
-            grp = grp.drop_duplicates("doc_id")
-            if len(grp) < 2:
-                continue
-            ids = grp["doc_id"].to_numpy()
-            order = np.argsort(ids)
-            ids = ids[order]
-            raw = b"".join(grp["sig"].to_numpy()[order])
-            sig = np.frombuffer(raw, dtype=np.uint64).reshape(len(ids), -1)
-            iu = np.triu_indices(len(ids), k=1)
-            est = ((sig[iu[0]] == sig[iu[1]]).sum(axis=1) * 1_000_000) // MINHASH_PERMS
-            keep = est >= MINHASH_JACCARD_PPM
-            out_a.append(ids[iu[0][keep]].astype(np.int64))
-            out_b.append(ids[iu[1][keep]].astype(np.int64))
-            out_e.append(est[keep].astype(np.int64))
+        """All buckets of the partition paired + verified in ONE set of
+        numpy passes (the per-band-key Python groupby loop was this
+        pipeline's hottest stage — 24.9 of 25.9 s of UDF time at sf0.1).
+        Pair values are identical to the per-bucket triu path: buckets
+        sort by (band_key, doc_id), so within-bucket pair (left, right)
+        always has doc_a < doc_b."""
+        empty = pd.DataFrame(
+            {
+                "doc_a": np.empty(0, np.int64),
+                "doc_b": np.empty(0, np.int64),
+                "est_jaccard_ppm": np.empty(0, np.int64),
+            }
+        )
+        if not len(g):
+            return empty
+        key = g["band_key"].to_numpy().astype(np.int64)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, key))
+        key, ids = key[order], ids[order]
+        sigs_obj = g["sig"].to_numpy()[order]
+        # distinct (band_key, doc_id): a doc can hit one bucket via
+        # several bands of equal hash
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = (key[1:] != key[:-1]) | (ids[1:] != ids[:-1])
+        key, ids, sigs_obj = key[first], ids[first], sigs_obj[first]
+        n = len(key)
+        if n == 0:
+            return empty
+        # local index within bucket == number of earlier rows this row
+        # pairs with (as the RIGHT member)
+        bucket_start = np.ones(n, dtype=bool)
+        bucket_start[1:] = key[1:] != key[:-1]
+        starts = np.nonzero(bucket_start)[0]
+        local = np.arange(n) - np.repeat(starts, np.diff(np.append(starts, n)))
+        total = int(local.sum())
+        if total == 0:
+            return empty
+        right = np.repeat(np.arange(n), local)
+        excl = np.cumsum(local) - local
+        left = np.arange(total) - np.repeat(excl, local) + np.repeat(
+            np.arange(n) - local, local
+        )
+        sig = np.frombuffer(b"".join(sigs_obj), dtype=np.uint64).reshape(n, -1)
+        est = (
+            (sig[left] == sig[right]).sum(axis=1) * 1_000_000
+        ) // MINHASH_PERMS
+        keep = est >= MINHASH_JACCARD_PPM
         return pd.DataFrame(
             {
-                "doc_a": np.concatenate(out_a) if out_a else np.empty(0, np.int64),
-                "doc_b": np.concatenate(out_b) if out_b else np.empty(0, np.int64),
-                "est_jaccard_ppm": (
-                    np.concatenate(out_e) if out_e else np.empty(0, np.int64)
-                ),
+                "doc_a": ids[left[keep]],
+                "doc_b": ids[right[keep]],
+                "est_jaccard_ppm": est[keep].astype(np.int64),
             }
         ).drop_duplicates(["doc_a", "doc_b"])
 
