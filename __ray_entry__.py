@@ -158,6 +158,30 @@ def _media_frame_sample(sf_dir: str):
     return frame_sample(sf_dir)
 
 
+def _media_overlay(sf_dir: str):
+    """M9/G10/M10 composite over decoded RAW8 planes: span-region debug
+    overlay (closed width-4 rect outlines, the reference's
+    ``get_img_coords``), planted separator-column stamping
+    (``get_separator_img``), and the sidecar baseline-height median (the
+    working stat the reference's dead ``get_baseline_median`` intended).
+    Rows-only; golden-pinned (overlay plane checksums freeze the draw
+    kernels)."""
+    from layout_analysis_ray.functions.rastermaps import media_overlay
+
+    return media_overlay(sf_dir)
+
+
+def _eval_raster_dice(sf_dir: str):
+    """G11-over-G12: per-doc symmetric best dice between the happy-path
+    and flood-order extractions, computed over RASTERIZED
+    content-dependent region maps (the reference's ``get_maps`` +
+    ``symmetric_best_dice`` contract, exact integer ppm).  Rows-only;
+    golden-pinned."""
+    from layout_analysis_ray.functions.rastermaps import eval_raster_dice
+
+    return eval_raster_dice(sf_dir)
+
+
 def _extract_error_docs(sf_dir: str):
     """Quarantine visibility: doc_ids whose extraction emitted an 'error'
     span (poison docs survive as rows, never as task failures)."""
@@ -201,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_demo": _media_features_demo,
         "media_deskew": _media_deskew,
         "media_frame_sample": _media_frame_sample,
+        "media_overlay": _media_overlay,
+        "eval_raster_dice": _eval_raster_dice,
         # relational operators
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,

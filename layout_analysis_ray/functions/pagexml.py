@@ -43,7 +43,8 @@ def _unesc(s: str) -> str:
 
 def doc_to_page_xml(doc_id: str, spans: list[dict], width: int = 2000,
                     height: int = 3000,
-                    baselines: list[list[tuple[int, int]]] | None = None) -> str:
+                    baselines: list[list[tuple[int, int]]] | None = None,
+                    line_heights: list[int] | None = None) -> str:
     """Serialize one extracted document to a PcGts string.
 
     Spans have no raster geometry in the flow path, so each span's rectangle
@@ -77,8 +78,17 @@ def doc_to_page_xml(doc_id: str, spans: list[dict], width: int = 2000,
         )
     for j, line in enumerate(baselines or []):
         pts = " ".join(f"{x},{y}" for (y, x) in line)
+        # optional per-line height metadata, the reference's TextLine
+        # custom="heights:h,0" convention read by get_baseline_median
+        # (src/detect_paragraphs.py:44-55 — first digit group wins)
+        custom = (
+            f' custom="heights:{line_heights[j]},0"'
+            if line_heights is not None and j < len(line_heights)
+            else ""
+        )
         out.append(
-            f'<TextLine id="l{j + 1}"><Baseline points="{pts}"/></TextLine>'
+            f'<TextLine id="l{j + 1}"{custom}>'
+            f'<Baseline points="{pts}"/></TextLine>'
         )
     out.append("</Page></PcGts>")
     return "\n".join(out)

@@ -233,6 +233,8 @@ def test_queries_oracle_keys_consistent():
         "media_features_demo",
         "media_deskew",
         "media_frame_sample",
+        "media_overlay",
+        "eval_raster_dice",
         "dedup_minhash_pairs",
         "dedup_minhash_groups",
         "dedup_simhash",

@@ -32,6 +32,8 @@ GOLDEN_QUERIES = [
     "media_features_demo",
     "media_deskew",
     "media_frame_sample",
+    "media_overlay",
+    "eval_raster_dice",
     "page_xml_export",
     "extract_error_docs",
     "extract_spans_flood_order",
