@@ -275,12 +275,50 @@ def _sig_binary_array(sigs: np.ndarray) -> pa.Array:
     """[n, PERMS] int64 signature matrix -> binary() array of the raw
     little-endian uint64 rows, built from ONE buffer (no per-row tobytes)."""
     n = sigs.shape[0]
+    sig_bytes = 8 * MINHASH_PERMS
+    # binary() offsets are int32; a batch whose signature payload would
+    # exceed 2 GiB must fail LOUDLY (np.arange would silently wrap
+    # negative and corrupt every downstream pair) — at default Ray block
+    # sizes this is unreachable, but a hand-tuned huge block isn't.
+    if (n + 1) * sig_bytes > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"signature batch too large for binary() offsets "
+            f"({n} rows x {sig_bytes} B); lower the block/batch size"
+        )
     buf = pa.py_buffer(np.ascontiguousarray(sigs.astype("<u8")).tobytes())
     offs = pa.py_buffer(
-        np.arange(0, (n + 1) * 8 * MINHASH_PERMS, 8 * MINHASH_PERMS, dtype=np.int32
-        ).tobytes()
+        np.arange(0, (n + 1) * sig_bytes, sig_bytes, dtype=np.int32).tobytes()
     )
     return pa.Array.from_buffers(pa.binary(), n, [None, offs, buf])
+
+
+def bands_from_sig_column(batch: pa.Table) -> pa.Table:
+    """Inverse of ``_sig_binary_array``: explode a (doc_id, sig) table's
+    stored raw signatures back into slim LSH band rows.  Guards the
+    hand-parse: empty blocks (zero-length arrays carry no buffers) and
+    non-``binary()`` sig columns (a large_binary's int64 offsets would be
+    silently misread as int32) are handled explicitly."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    arr = batch["sig"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return band_rows_from_sigs(
+            np.empty(0, np.int64), np.empty((0, MINHASH_PERMS), np.int64)
+        )
+    if arr.type != pa.binary():
+        raise TypeError(f"sig column must be binary(), got {arr.type}")
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    sigs = (
+        data[offs[0] : offs[-1]]
+        .view("<u8")
+        .reshape(len(arr), MINHASH_PERMS)
+        .astype(np.int64)
+    )
+    return band_rows_from_sigs(ids, sigs)
 
 
 def band_rows_from_sigs(ids: np.ndarray, sigs: np.ndarray) -> pa.Table:

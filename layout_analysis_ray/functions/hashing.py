@@ -41,11 +41,15 @@ _CON = None
 
 
 def _con():
-    """Per-process lazy DuckDB connection (single-threaded: Ray map tasks
-    are separate processes and actor calls are serialized)."""
+    """Per-process lazy DuckDB connection, pinned to ONE thread: this
+    runs inside Ray tasks scheduled as num_cpus=1, and DuckDB's default
+    thread pool is sized to ALL host cores — large batches would
+    otherwise go parallel in several workers at once and oversubscribe
+    CPUs the Ray scheduler thinks are reserved."""
     global _CON
     if _CON is None:
         _CON = _duckdb.connect()
+        _CON.execute("SET threads TO 1")
     return _CON
 
 

@@ -316,7 +316,7 @@ class OverlayRenderer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
 
-        from ..stages.media import encode_demo_payloads
+        from ..stages.media import encode_demo_payloads, parse_raw8
         from .pagexml import doc_to_page_xml
 
         from ..stages.raster import _planted_baselines
@@ -332,11 +332,7 @@ class OverlayRenderer:
                 continue
             ref = media[0]
             payload = encode_demo_payloads([ref])[0]
-            w = int.from_bytes(payload[0:2], "little")
-            h = int.from_bytes(payload[2:4], "little")
-            plane = np.frombuffer(
-                payload, dtype=np.uint8, count=w * h, offset=6
-            ).reshape(h, w)
+            w, h, _f, plane = parse_raw8(payload)
             rects = spans_to_region_coords(spans, w, h)
             overlay = overlay_rects(plane, rects)
             dig = hashlib.sha256(ref.encode()).digest()

@@ -123,14 +123,43 @@ def _doc_id_span(sf_dir: str):
     return int(lo), int(hi), md.num_rows
 
 
+def _doc_id_span_scan(sf_dir: str):
+    """(min_id, max_id, n_docs) via a doc_id-only column scan — the
+    fallback when row-group statistics are absent but the caller
+    explicitly asked for subpartitioning (one narrow int64 column read,
+    never the text)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    if "doc_id" not in pf.schema_arrow.names:
+        return None
+    lo, hi, n = None, None, 0
+    for rb in pf.iter_batches(columns=["doc_id"]):
+        ids = rb.column(0).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            continue
+        b_lo, b_hi = int(ids.min()), int(ids.max())
+        lo = b_lo if lo is None else min(lo, b_lo)
+        hi = b_hi if hi is None else max(hi, b_hi)
+        n += len(ids)
+    if lo is None:
+        return None
+    return lo, hi, n
+
+
 def _sub_assigner(sf_dir: str, n_subparts: int | None):
     """(nsub, ids -> sub) for doc_id-RANGE subpartitions within a pack
     part.  ``sub`` is monotone in doc_id, so the (part, sub) two-level
     layout preserves the part-wide doc_id order exactly and the packed
     coordinates are invariant to nsub (property-tested).  nsub defaults to
     ceil(n_docs / PACK_DOCS_PER_TASK) via parquet metadata; missing stats
-    degrade to nsub=1 (always correct, single kernel call per part)."""
+    degrade to nsub=1 (always correct, single kernel call per part) —
+    unless the caller EXPLICITLY requested n_subparts > 1, in which case
+    the id span comes from a doc_id-only column scan rather than
+    silently discarding the knob."""
     span = _doc_id_span(sf_dir)
+    if span is None and n_subparts is not None and int(n_subparts) > 1:
+        span = _doc_id_span_scan(sf_dir)
     if span is None:
         return 1, (lambda ids: np.zeros(len(ids), dtype=np.int64))
     lo, hi, n_docs = span
@@ -331,9 +360,8 @@ def corpus_prepare(sf_dir: str, n_subparts: int | None = None):
     from ray.data.aggregate import Max, Min, Sum
 
     from ..functions.dedup import (
-        MINHASH_PERMS,
         _sig_binary_array,
-        band_rows_from_sigs,
+        bands_from_sig_column,
         minhash_pairs_from_bands,
         minhash_sigs_from_shingles,
     )
@@ -364,10 +392,19 @@ def corpus_prepare(sf_dir: str, n_subparts: int | None = None):
         )
         seg, sh, _nt = shingles_from_tokens(parent, flat, n)
         sigs = minhash_sigs_from_shingles(seg, sh, n)
+        # content_hash is only ever read for clean rows (clean_pairs
+        # below) — hash the kept slice and scatter via a null-masked
+        # take, skipping the md5 pass over unclean text entirely
+        keep_mask = pa.array(keep)
+        kept_hash = md5_hex(text_col.filter(keep_mask))
+        pos = np.cumsum(keep) - 1
+        scatter = pa.array(
+            np.where(keep, pos, 0), pa.int64(), mask=~keep
+        )
         return pa.table(
             {
                 "doc_id": pc.cast(batch["doc_id"], pa.int64()),
-                "content_hash": md5_hex(text_col),
+                "content_hash": kept_hash.take(scatter),
                 "n_tokens": pa.array(q["n_tokens"].astype(np.int64)),
                 "is_clean": pa.array(keep.astype(np.int64)),
                 "sig": _sig_binary_array(sigs),
@@ -376,26 +413,8 @@ def corpus_prepare(sf_dir: str, n_subparts: int | None = None):
 
     narrow = ds.map_batches(prep, batch_format="pyarrow").materialize()
 
-    def to_bands(batch: pa.Table) -> pa.Table:
-        """Explode stored signatures back into slim LSH band rows."""
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        arr = batch["sig"]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
-            arr.offset : arr.offset + len(arr) + 1
-        ]
-        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-        sigs = (
-            data[offs[0] : offs[-1]]
-            .view("<u8")
-            .reshape(len(arr), MINHASH_PERMS)
-            .astype(np.int64)
-        )
-        return band_rows_from_sigs(ids, sigs)
-
     pairs = minhash_pairs_from_bands(
-        narrow.map_batches(to_bands, batch_format="pyarrow")
+        narrow.map_batches(bands_from_sig_column, batch_format="pyarrow")
     )
 
     def clean_pairs(batch: pa.Table) -> pa.Table:

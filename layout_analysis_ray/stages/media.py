@@ -82,6 +82,29 @@ def encode_demo_payloads(refs: list[str]) -> list[bytes]:
     return out
 
 
+def parse_raw8(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Validated RAW8 parse: ``payload -> (width, height, n_frames,
+    first-frame plane uint8[h, w])``.  The single header/pixel-plane
+    reader shared by every RAW8 consumer (decode, deskew, overlay) so
+    truncated or mis-sized payloads always fail with the same clear
+    error instead of an opaque reshape ValueError; the plane is a
+    zero-copy view into the payload bytes."""
+    if len(payload) < _RAW8_HEADER:
+        raise ValueError(f"truncated RAW8 payload ({len(payload)} bytes)")
+    w = int.from_bytes(payload[0:2], "little")
+    h = int.from_bytes(payload[2:4], "little")
+    f = int.from_bytes(payload[4:6], "little")
+    if len(payload) != _RAW8_HEADER + w * h * f:
+        raise ValueError(
+            f"RAW8 length mismatch: header says {w}x{h}x{f}, "
+            f"payload {len(payload) - _RAW8_HEADER}"
+        )
+    plane = np.frombuffer(
+        payload, dtype=np.uint8, count=w * h, offset=_RAW8_HEADER
+    ).reshape(h, w)
+    return w, h, f, plane
+
+
 def demo_bytes_decoder(payloads: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     """REAL decode of RAW8 payload bytes: parse the header, slice the
     first frame's pixel plane, resample it to 32 uniform-stride samples
@@ -92,20 +115,11 @@ def demo_bytes_decoder(payloads: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     n = len(payloads)
     raw = np.empty((n, 32), dtype=np.uint8)
     meta = np.empty((n, 3), dtype=np.int32)
+    idx32 = np.arange(32, dtype=np.int64)
     for i, p in enumerate(payloads):
-        if len(p) < _RAW8_HEADER:
-            raise ValueError(f"truncated RAW8 payload ({len(p)} bytes)")
-        w = int.from_bytes(p[0:2], "little")
-        h = int.from_bytes(p[2:4], "little")
-        f = int.from_bytes(p[4:6], "little")
-        if len(p) != _RAW8_HEADER + w * h * f:
-            raise ValueError(
-                f"RAW8 length mismatch: header says {w}x{h}x{f}, "
-                f"payload {len(p) - _RAW8_HEADER}"
-            )
-        frame = np.frombuffer(p, dtype=np.uint8, count=w * h, offset=_RAW8_HEADER)
-        idx = (np.arange(32, dtype=np.int64) * (w * h)) // 32
-        raw[i] = frame[idx]
+        w, h, f, plane = parse_raw8(p)
+        frame = plane.reshape(-1)
+        raw[i] = frame[(idx32 * (w * h)) // 32]
         meta[i] = (w, h, f)
     return raw, meta
 
@@ -200,7 +214,12 @@ class MediaFeaturizer:
 
 
 def media_features(
-    sf_dir: str, *, concurrency=(1, 4), batch_size: int = 256, decoder=None
+    sf_dir: str,
+    *,
+    concurrency=(1, 4),
+    batch_size: int = 256,
+    decoder=None,
+    fetch=encode_demo_payloads,
 ):
     """Extract media spans from the interleaved corpus and featurize them.
 
@@ -208,9 +227,12 @@ def media_features(
     megabytes, so batches are bounded by bytes, not rows.  ``decoder``
     injects a real BYTES decode kernel (see ``MediaFeaturizer``); when
     one is injected, a fetch stage first materializes a ``media_bytes``
-    payload column (``encode_demo_payloads`` here — an object-storage GET
-    per ref on a real deployment) and the decoder parses those actual
-    bytes.
+    payload column and the decoder parses those actual bytes.  ``fetch``
+    is the ref->bytes kernel that stage runs (``refs -> list[bytes]``):
+    ``encode_demo_payloads`` by default (the sandbox stand-in; an
+    object-storage GET per ref on a real deployment), any callable to
+    substitute a real fetch, or ``None`` to skip the fetch stage and
+    hand the decoder the ``media_ref`` strings so it can fetch itself.
     """
     import pyarrow.compute as pc
 
@@ -224,19 +246,22 @@ def media_features(
     )
     kwargs = {}
     if decoder is not None:
-        def fetch(b: pa.Table) -> pa.Table:
-            return b.append_column(
-                "media_bytes",
-                pa.array(
-                    encode_demo_payloads(b.column("media_ref").to_pylist()),
-                    pa.binary(),
-                ),
-            )
+        if fetch is not None:
+            def fetch_stage(b: pa.Table) -> pa.Table:
+                return b.append_column(
+                    "media_bytes",
+                    pa.array(
+                        fetch(b.column("media_ref").to_pylist()), pa.binary()
+                    ),
+                )
 
-        media = media.map_batches(fetch, batch_format="pyarrow")
+            media = media.map_batches(fetch_stage, batch_format="pyarrow")
+            source_col = "media_bytes"
+        else:
+            source_col = "media_ref"
         kwargs["fn_constructor_kwargs"] = {
             "decoder": decoder,
-            "source_col": "media_bytes",
+            "source_col": source_col,
         }
     return media.map_batches(
         MediaFeaturizer,

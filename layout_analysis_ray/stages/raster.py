@@ -159,12 +159,10 @@ class MediaDeskewer:
         crc = np.empty(n, np.int64)
         l0y = np.empty(n, np.int64)
         l0x = np.empty(n, np.int64)
+        from .media import parse_raw8
+
         for i, (p, xml) in enumerate(zip(payloads, xmls)):
-            w = int.from_bytes(p[0:2], "little")
-            h = int.from_bytes(p[2:4], "little")
-            plane = np.frombuffer(
-                p, dtype=np.uint8, count=w * h, offset=6
-            ).reshape(h, w)
+            w, h, _f, plane = parse_raw8(p)
             lines = page_xml_baselines(xml)
             ang = estimate_skew(lines)
             rotated = rotate_plane(plane, ang)
@@ -218,9 +216,10 @@ def media_deskew(sf_dir: str, *, concurrency=(1, 4), batch_size: int = 256):
         ids = b.column("doc_id").to_pylist()
         payloads = encode_demo_payloads(refs)
         xmls = []
+        from .media import parse_raw8
+
         for i, (r, p) in enumerate(zip(refs, payloads)):
-            w = int.from_bytes(p[0:2], "little")
-            h = int.from_bytes(p[2:4], "little")
+            w, h, _f, _plane = parse_raw8(p)
             lines, _ = _planted_baselines(r, w, h)
             xmls.append(
                 doc_to_page_xml(ids[i], [], width=w, height=h, baselines=lines)

@@ -132,3 +132,60 @@ def test_demo_bytes_decoder_rejects_corrupt_payloads():
         demo_bytes_decoder([good[:4]])  # truncated header
     with pytest.raises(ValueError):
         demo_bytes_decoder([good + b"x"])  # length mismatch
+
+
+def test_media_features_custom_fetch(ray_session):
+    """`fetch` is injectable: a substitute ref->bytes kernel replaces the
+    demo payload synth, so the decoder parses the SUBSTITUTE bytes (all
+    16x16x1 here — widths prove which fetch ran)."""
+    import numpy as np
+
+    from layout_analysis_ray.stages.media import (
+        _RAW8_HEADER,
+        demo_bytes_decoder,
+        media_features,
+    )
+
+    def flat_fetch(refs):
+        px = bytes(16 * 16)
+        hdr = (16).to_bytes(2, "little") * 2 + (1).to_bytes(2, "little")
+        return [hdr + px for _ in refs]
+
+    rows = media_features(
+        "/root/testdata/sf0.001",
+        concurrency=(1, 2),
+        decoder=demo_bytes_decoder,
+        fetch=flat_fetch,
+    ).take(50)
+    assert rows
+    assert all(r["width"] == 16 and r["height"] == 16 for r in rows)
+
+
+def test_media_features_self_fetching_decoder(ray_session):
+    """`fetch=None` skips the payload stage entirely: the decoder receives
+    the media_ref STRINGS (the documented contract for decoders that do
+    their own object-store GET)."""
+    import numpy as np
+
+    from layout_analysis_ray.stages.media import media_features
+
+    def ref_decoder(refs):
+        assert all(isinstance(r, str) for r in refs)
+        n = len(refs)
+        raw = np.zeros((n, 32), dtype=np.uint8)
+        meta = np.empty((n, 3), dtype=np.int32)
+        meta[:] = (7, 9, 2)
+        return raw, meta
+
+    rows = media_features(
+        "/root/testdata/sf0.001",
+        concurrency=(1, 2),
+        decoder=ref_decoder,
+        fetch=None,
+    ).take(20)
+    assert rows
+    assert all(
+        r["width"] == 7 and r["height"] == 9 and r["n_frames"] == 2
+        and r["decode_mode"] == "real"
+        for r in rows
+    )
