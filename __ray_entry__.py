@@ -196,6 +196,15 @@ def _extract_error_docs(sf_dir: str):
     )
 
 
+def _dedup_incremental_ingest(sf_dir: str):
+    """Incremental exact dedup against the shared mutable shard-actor
+    index (raw-actor tier): day-1 docs (id-hash digit < 8) build the
+    index, the returned rows are day 2's previously-unseen content."""
+    from layout_analysis_ray.state.dedup_index import dedup_incremental_ingest
+
+    return dedup_incremental_ingest(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from layout_analysis_ray.functions import (
         dedup,
@@ -292,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_consecutive": dedup.ngram_jaccard_consecutive,
         "ngram_chain_groups": graph.ngram_chain_groups,
         "dedup_minhash_groups": graph.dedup_minhash_groups,
+        "dedup_incremental_ingest": _dedup_incremental_ingest,
         # similarity search
         "embedding_knn": similarity.knn_brute,
         "embedding_neardup_pairs": similarity.neardup_pairs,
@@ -756,6 +766,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
                    COUNT(*) AS n_dups
             FROM documents GROUP BY md5(text)
+        """,
+        "dedup_incremental_ingest": """
+            WITH day1 AS (
+              SELECT DISTINCT md5(text) AS h FROM documents
+              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                    AS BIGINT) < 8),
+            day2 AS (
+              SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
+                     COUNT(*) AS n_dups
+              FROM documents
+              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                    AS BIGINT) >= 8
+              GROUP BY 1)
+            SELECT content_hash, doc_id, n_dups FROM day2
+            WHERE content_hash NOT IN (SELECT h FROM day1)
         """,
         "doc_tfidf_top_terms": f"""
             WITH t AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),

@@ -146,6 +146,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "embedding_neardup_pairs_lsh": similarity.neardup_pairs_lsh,
         "ann_knn_ivf": similarity.knn_ivf,
         "events_hopping_1h_30m": windows.hopping_1h_30m,
+        "events_asof_last_purchase": windows.asof_last_purchase,
+        "events_range_join_purchase": windows.range_join_after_purchase,
         "q_join_bucketed": joins.q_join_bucketed,
         "sketch_heavy_tokens": sketches.heavy_hitter_tokens,
         "lineitem_price_quantiles": quantiles.lineitem_price_quantiles,

@@ -1,0 +1,87 @@
+"""The shared mutable dedup index (raw-actor tier): membership must
+survive across ingests, results must be invariant to shard count, and
+the keeper within an increment must be the min doc_id — all pinned
+against the SQL-oracled two-day query."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def _sorted(df):
+    return df.sort_values("content_hash").reset_index(drop=True)
+
+
+def test_index_remembers_across_ingests(ray_session):
+    from layout_analysis_ray.state.dedup_index import DedupIndex
+
+    idx = DedupIndex(num_shards=3)
+    first = idx.ingest(_ds([(1, "alpha"), (2, "beta"), (3, "alpha")])).to_pandas()
+    assert len(first) == 2
+    # same content again: everything already recorded
+    again = idx.ingest(_ds([(9, "alpha"), (10, "beta")])).to_pandas()
+    assert len(again) == 0
+    # new content still admitted, old still blocked
+    mixed = idx.ingest(_ds([(20, "gamma"), (21, "alpha")])).to_pandas()
+    assert mixed["doc_id"].tolist() == [20]
+    assert sum(idx.sizes()) == 3  # alpha, beta, gamma
+
+
+def test_within_increment_keeper_is_min_doc_id(ray_session):
+    from layout_analysis_ray.state.dedup_index import DedupIndex
+
+    out = (
+        DedupIndex(num_shards=2)
+        .ingest(_ds([(42, "dup"), (7, "dup"), (99, "dup"), (50, "solo")]))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [7, 50]
+    assert out.loc[0, "n_dups"] == 3
+
+
+@pytest.mark.parametrize("nsh", [1, 5])
+def test_shard_count_invariance(ray_session, nsh):
+    from layout_analysis_ray.state.dedup_index import (
+        DEFAULT_SHARDS,
+        dedup_incremental_ingest,
+    )
+
+    base = _sorted(dedup_incremental_ingest(SF, DEFAULT_SHARDS).to_pandas())
+    got = _sorted(dedup_incremental_ingest(SF, nsh).to_pandas())
+    pd.testing.assert_frame_equal(got, base)
+    assert len(base) > 0
+
+
+def test_cross_day_duplicates_are_dropped(ray_session):
+    """Every day-2 row the query returns must have content no day-1 doc
+    carries (direct recomputation from the raw table)."""
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.hashing import id_bucket_digit, md5_hex
+    from layout_analysis_ray.state.dedup_index import dedup_incremental_ingest
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    digit = id_bucket_digit(docs["doc_id"].to_numpy(zero_copy_only=False))
+    hashes = md5_hex(docs["text"]).to_pylist()
+    day1 = {h for h, d in zip(hashes, digit) if d < 8}
+
+    out = dedup_incremental_ingest(SF).to_pandas()
+    assert len(out) > 0
+    assert not any(h in day1 for h in out["content_hash"])
