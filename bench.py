@@ -84,6 +84,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     )
     from layout_analysis_ray.pipelines import corpus
     from layout_analysis_ray.pipelines import relational as rel
+    from layout_analysis_ray.state import dedup_index
     from layout_analysis_ray.pipelines.extract import (
         extract_pipeline,
         scorer_pool_size,
@@ -153,6 +154,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "lineitem_price_quantiles": quantiles.lineitem_price_quantiles,
         "events_distinct_users_hourly": windows.distinct_users_hourly,
         "dedup_minhash_groups": graph.dedup_minhash_groups,
+        "dedup_incremental_ingest": dedup_index.dedup_incremental_ingest,
         "corpus_clean_keep": corpus.corpus_clean_keep,
         "pack_sequences": corpus.pack_sequences,
         "corpus_prepare": corpus.corpus_prepare,

@@ -10,6 +10,11 @@
     # evaluate two extraction outputs (corpus dice / positional accuracy):
     python -m layout_analysis_ray evaluate --a /tmp/out_a --b /tmp/out_b
 
+    # resumable corpus prep (clean -> dedup -> near-dup filter -> pack);
+    # rerun after a kill: committed tokenize partitions are skipped:
+    python -m layout_analysis_ray corpus \
+        --sf-dir /root/testdata/sf0.01 --out /tmp/corpus_out --partitions 64
+
 Analogue of the reference's `detect_paragraphs.py` CLI
 (`/root/reference/src/detect_paragraphs.py:28-41`), re-shaped for a cluster:
 the unit of restart is an output partition, not a process.
@@ -167,6 +172,24 @@ def cmd_media(args) -> int:
     return 0
 
 
+def cmd_corpus(args) -> int:
+    """Checkpointed pretraining-prep run (clean -> dedup -> near-dup
+    filter -> pack): rerun after a kill and committed tokenize partitions
+    are SKIPPED, not recomputed (the global dedup/pack tail reruns from
+    the ~1000x-smaller narrow checkpoint)."""
+    _ensure_ray()
+    from .pipelines.corpus import corpus_prepare_resumable
+
+    job = corpus_prepare_resumable(
+        args.sf_dir,
+        args.out,
+        num_partitions=args.partitions,
+        n_subparts=args.n_subparts,
+    )
+    print(json.dumps(job))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="layout_analysis_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -219,6 +242,17 @@ def main(argv=None) -> int:
         help="if >0, emit uniform-stride frame samples (k per item)",
     )
     pm.set_defaults(fn=cmd_media)
+
+    pcp = sub.add_parser(
+        "corpus",
+        help="resumable corpus prep (clean/dedup/pack) with a checkpointed"
+        " tokenize stage",
+    )
+    pcp.add_argument("--sf-dir", required=True)
+    pcp.add_argument("--out", required=True)
+    pcp.add_argument("--partitions", type=int, default=64)
+    pcp.add_argument("--n-subparts", type=int, default=None)
+    pcp.set_defaults(fn=cmd_corpus)
 
     pc_ = sub.add_parser(
         "compact",

@@ -355,18 +355,23 @@ def corpus_prepare(sf_dir: str, n_subparts: int | None = None):
     pack kernel.  Not SQL-expressible (MinHash banding) — golden-pinned
     and invariant-tested instead.
     """
-    import pandas as pd
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    narrow = ds.map_batches(
+        corpus_prep_batch, batch_format="pyarrow"
+    ).materialize()
+    return _prepare_from_narrow(narrow, sf_dir, n_subparts)
+
+
+def corpus_prep_batch(batch: pa.Table) -> pa.Table:
+    """Fused clean + hash + token-count + minhash pass: the corpus is
+    read ONCE and tokenized ONCE.  Map-only and doc-independent, so it
+    is also the unit of CHECKPOINTING in ``corpus_prepare_resumable``."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Max, Min, Sum
 
     from ..functions.dedup import (
         _sig_binary_array,
-        bands_from_sig_column,
-        minhash_pairs_from_bands,
         minhash_sigs_from_shingles,
     )
-    from ..functions.graph import dedup_minhash_groups
-    from ..functions.schema import ensure_schema
     from ..functions.text import (
         _flat_tokens_arrow,
         lang_from_tokens,
@@ -374,44 +379,50 @@ def corpus_prepare(sf_dir: str, n_subparts: int | None = None):
         shingles_from_tokens,
     )
 
-    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    text_col = batch["text"]
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    text_col = pc.fill_null(text_col, "")
+    parent, flat, n = _flat_tokens_arrow(text_col)
+    toks = flat.to_numpy(zero_copy_only=False)
+    lang = lang_from_tokens(parent, toks, n)
+    q = quality_from_tokens(parent, toks, n, text_col)
+    keep = (lang == np.asarray(CLEAN_LANG, dtype=object)) & (
+        q["quality_ppm"] >= CLEAN_MIN_QUALITY_PPM
+    )
+    seg, sh, _nt = shingles_from_tokens(parent, flat, n)
+    sigs = minhash_sigs_from_shingles(seg, sh, n)
+    # content_hash is only ever read for clean rows (clean_pairs
+    # below) — hash the kept slice and scatter via a null-masked
+    # take, skipping the md5 pass over unclean text entirely
+    keep_mask = pa.array(keep)
+    kept_hash = md5_hex(text_col.filter(keep_mask))
+    pos = np.cumsum(keep) - 1
+    scatter = pa.array(np.where(keep, pos, 0), pa.int64(), mask=~keep)
+    return pa.table(
+        {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "content_hash": kept_hash.take(scatter),
+            "n_tokens": pa.array(q["n_tokens"].astype(np.int64)),
+            "is_clean": pa.array(keep.astype(np.int64)),
+            "sig": _sig_binary_array(sigs),
+        }
+    )
 
-    def prep(batch: pa.Table) -> pa.Table:
-        """Fused clean + hash + token-count + minhash pass: the corpus is
-        read ONCE and tokenized ONCE."""
-        text_col = batch["text"]
-        if isinstance(text_col, pa.ChunkedArray):
-            text_col = text_col.combine_chunks()
-        text_col = pc.fill_null(text_col, "")
-        parent, flat, n = _flat_tokens_arrow(text_col)
-        toks = flat.to_numpy(zero_copy_only=False)
-        lang = lang_from_tokens(parent, toks, n)
-        q = quality_from_tokens(parent, toks, n, text_col)
-        keep = (lang == np.asarray(CLEAN_LANG, dtype=object)) & (
-            q["quality_ppm"] >= CLEAN_MIN_QUALITY_PPM
-        )
-        seg, sh, _nt = shingles_from_tokens(parent, flat, n)
-        sigs = minhash_sigs_from_shingles(seg, sh, n)
-        # content_hash is only ever read for clean rows (clean_pairs
-        # below) — hash the kept slice and scatter via a null-masked
-        # take, skipping the md5 pass over unclean text entirely
-        keep_mask = pa.array(keep)
-        kept_hash = md5_hex(text_col.filter(keep_mask))
-        pos = np.cumsum(keep) - 1
-        scatter = pa.array(
-            np.where(keep, pos, 0), pa.int64(), mask=~keep
-        )
-        return pa.table(
-            {
-                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
-                "content_hash": kept_hash.take(scatter),
-                "n_tokens": pa.array(q["n_tokens"].astype(np.int64)),
-                "is_clean": pa.array(keep.astype(np.int64)),
-                "sig": _sig_binary_array(sigs),
-            }
-        )
 
-    narrow = ds.map_batches(prep, batch_format="pyarrow").materialize()
+def _prepare_from_narrow(narrow, sf_dir: str, n_subparts: int | None):
+    """The global tail of ``corpus_prepare``: exact dedup + near-dup
+    cluster filter + pack, over an already-computed narrow table
+    (in-memory materialized or re-read from checkpointed fragments)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..functions.dedup import (
+        bands_from_sig_column,
+        minhash_pairs_from_bands,
+    )
+    from ..functions.graph import dedup_minhash_groups
 
     pairs = minhash_pairs_from_bands(
         narrow.map_batches(bands_from_sig_column, batch_format="pyarrow")
@@ -529,3 +540,69 @@ def corpus_prepare(sf_dir: str, n_subparts: int | None = None):
         nsub,
         global_offsets=False,
     )
+
+
+def corpus_prepare_resumable(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    num_partitions: int = 64,
+    n_subparts: int | None = None,
+) -> dict:
+    """Checkpointed ``corpus_prepare``: a killed run resumes without
+    re-tokenizing finished partitions.
+
+    Stage 1 (the expensive part — the fused tokenize/clean/hash/minhash
+    scan, typically >90% of wall time) writes the narrow table through
+    ``resumable_write``: committed partitions are filtered out BEFORE the
+    scan on a rerun, so their COMPUTE is skipped, not just their write.
+    Stage 2 (global dedup + cluster filter + pack — exchanges over
+    ~600-byte rows, no text) re-runs from the committed narrow fragments;
+    its output lands via a second ``resumable_write`` so rewriting also
+    skips committed packed partitions.  The global stage cannot be
+    input-partitioned (dedup and packing are corpus-wide by definition) —
+    checkpointing the scan boundary is exactly the split a 100-TB run
+    needs, because stage 2's input is ~1000x smaller than the corpus.
+
+    Completeness is verified between stages: the committed narrow
+    manifests must account for every input row (parquet METADATA count,
+    no scan) before stage 2 may run — a partial stage-1 output can never
+    silently drop documents from the packed result.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..state.checkpoint import read_manifests, read_output, resumable_write
+
+    narrow_dir = os.path.join(out_dir, "narrow")
+    packed_dir = os.path.join(out_dir, "packed")
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    stage1 = resumable_write(
+        docs,
+        narrow_dir,
+        num_partitions=num_partitions,
+        pipeline=lambda ds: ds.map_batches(
+            corpus_prep_batch, batch_format="pyarrow"
+        ),
+    )
+
+    total = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    committed = sum(m["n_docs"] for m in read_manifests(narrow_dir))
+    if committed != total:
+        raise RuntimeError(
+            f"narrow checkpoint incomplete: {committed}/{total} docs "
+            f"committed under {narrow_dir}; rerun to resume"
+        )
+
+    packed = _prepare_from_narrow(read_output(narrow_dir), sf_dir, n_subparts)
+    stage2 = resumable_write(
+        packed, packed_dir, num_partitions=num_partitions
+    )
+    return {
+        "out_dir": out_dir,
+        "narrow": stage1,
+        "packed": stage2,
+        "n_docs_input": total,
+    }

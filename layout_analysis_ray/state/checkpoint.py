@@ -55,7 +55,18 @@ _SUMMARY_SCHEMA = pa.schema(
 
 
 def stable_bucket_ids(doc_ids: pa.Array | list, num_partitions: int) -> np.ndarray:
-    """Deterministic doc_id -> partition bucket (crc32; process-independent)."""
+    """Deterministic doc_id -> partition bucket, process-independent:
+    crc32 for string ids (the extract table), vectorized pandas C hash
+    for int64 ids (the documents table) — never Python ``hash()``."""
+    if isinstance(doc_ids, (pa.Array, pa.ChunkedArray)) and pa.types.is_integer(
+        doc_ids.type
+    ):
+        import pandas as pd
+
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        ids = doc_ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        return (pd.util.hash_array(ids) % num_partitions).astype(np.int32)
     if isinstance(doc_ids, (pa.Array, pa.ChunkedArray)):
         doc_ids = doc_ids.to_pylist()
     return np.fromiter(
