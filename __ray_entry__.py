@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_chain_groups": graph.ngram_chain_groups,
         "dedup_minhash_groups": graph.dedup_minhash_groups,
         "dedup_incremental_ingest": _dedup_incremental_ingest,
+        "decontaminate_ngrams": dedup.decontaminate_ngrams,
         # similarity search
         "embedding_knn": similarity.knn_brute,
         "embedding_neardup_pairs": similarity.neardup_pairs,
@@ -892,6 +893,33 @@ def oracle_sql() -> dict[str, str]:
                         // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                    ELSE 0 END AS jaccard_ppm
             FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        """,
+        "decontaminate_ngrams": f"""
+            -- eval split: id-hash digit >= 14; key = 60-bit md5 prefix of
+            -- the shingle STRING (the engine groups by the same function)
+            WITH t AS (
+              SELECT doc_id,
+                CAST(strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                  AS BIGINT) AS digit,
+                {_TOKS} AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, digit,
+                CASE WHEN len(toks) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                     WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                     ELSE CAST([] AS VARCHAR[]) END AS sh
+              FROM t),
+            r AS (
+              SELECT DISTINCT doc_id, digit,
+                CAST(('0x' || substr(md5(u.shingle), 1, 15)) AS BIGINT) AS key
+              FROM s, unnest(s.sh) AS u(shingle)),
+            ev AS (SELECT DISTINCT key FROM r WHERE digit >= 14)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM r WHERE digit < 14 AND key IN (SELECT key FROM ev)
+            GROUP BY doc_id
         """,
         "ngram_chain_groups": f"""
             -- components of the consecutive-doc jaccard chain graph:

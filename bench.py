@@ -155,6 +155,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_distinct_users_hourly": windows.distinct_users_hourly,
         "dedup_minhash_groups": graph.dedup_minhash_groups,
         "dedup_incremental_ingest": dedup_index.dedup_incremental_ingest,
+        "decontaminate_ngrams": dedup.decontaminate_ngrams,
         "corpus_clean_keep": corpus.corpus_clean_keep,
         "pack_sequences": corpus.pack_sequences,
         "corpus_prepare": corpus.corpus_prepare,

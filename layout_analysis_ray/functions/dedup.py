@@ -685,3 +685,107 @@ def ngram_jaccard_consecutive(sf_dir: str):
             [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_ppm", pa.int64())]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# eval split: docs whose id-hash bucket digit is >= 14 (2/16 of the corpus
+# plays the held-out benchmark) — the split_hash_buckets convention,
+# mirrored verbatim in the SQL oracle
+DECON_EVAL_MIN_DIGIT = 14
+DECON_PARTS = 64
+
+
+def decontaminate_ngrams(sf_dir: str):
+    """Benchmark contamination scan: for every TRAINING doc, how many
+    distinct word-3-gram shingles it shares with the held-out eval split
+    (docs with id-hash digit >= ``DECON_EVAL_MIN_DIGIT``).  The
+    decontamination pass every pretraining pipeline runs before training:
+    docs with n_shared > 0 would be dropped or flagged.
+
+    Scale shape: ONE corpus read emits distinct (shingle-key, doc_id,
+    is_eval) rows — the key is the 60-bit md5 prefix of the shingle
+    STRING (8 B/row instead of a ~20 B string; both engine and oracle
+    group by the SAME key function, so prefix collisions cannot diverge
+    them).  One coarse key-hash partition co-locates each shingle's rows;
+    the match kernel is one lexsort + segment-max per PARTITION (the
+    ``verified_pairs`` pattern — no per-shingle Python), emitting one row
+    per (training doc, shared key).  A native Count per doc_id finishes.
+    Nothing document-sized shuffles; eval-side volume is the small side
+    but never needs to fit anywhere whole.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .hashing import id_bucket_digit, str_hash_u60
+    from .text import flat_shingles
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        digit = id_bucket_digit(ids)
+        text_col = batch["text"]
+        if isinstance(text_col, pa.ChunkedArray):
+            text_col = text_col.combine_chunks()
+        seg, sh, _nt = flat_shingles(pc.fill_null(text_col, ""))
+        key = str_hash_u60(sh)
+        # distinct (doc, key): a doc lives in exactly one batch, so
+        # batch-level dedup IS global per-doc dedup
+        order = np.lexsort((key, seg))
+        seg, key = seg[order], key[order]
+        first = np.ones(len(seg), dtype=bool)
+        first[1:] = (seg[1:] != seg[:-1]) | (key[1:] != key[:-1])
+        seg, key = seg[first], key[first]
+        return pa.table(
+            {
+                "part": pa.array(key % DECON_PARTS, pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "doc_id": pa.array(ids[seg], pa.int64()),
+                "is_eval": pa.array(
+                    (digit[seg] >= DECON_EVAL_MIN_DIGIT).astype(np.int64)
+                ),
+            }
+        )
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        """All shingle keys of the partition matched in one numpy pass:
+        segment-max of is_eval per key, keep training rows of segments
+        containing any eval row."""
+        key = g["key"].to_numpy()
+        ev = g["is_eval"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        order = np.argsort(key, kind="stable")
+        key, ev, doc = key[order], ev[order], doc[order]
+        starts = np.ones(len(key), dtype=bool)
+        starts[1:] = key[1:] != key[:-1]
+        idx = np.nonzero(starts)[0]
+        has_eval = np.maximum.reduceat(ev, idx) if len(key) else ev
+        seg_of = np.cumsum(starts) - 1
+        keep = (ev == 0) & (has_eval[seg_of] == 1)
+        return pd.DataFrame({"doc_id": doc[keep]})
+
+    hits = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(match, batch_format="pandas")
+    )
+    agg = hits.groupby("doc_id").aggregate(Count())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_shared": pc.cast(batch["count()"], pa.int64()),
+            }
+        )
+
+    from .schema import ensure_schema
+
+    return ensure_schema(
+        agg.map_batches(rename, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("n_shared", pa.int64())]),
+    )

@@ -112,6 +112,33 @@ def md5_hex_of_ids(ids) -> pa.Array:
     return out["h"].combine_chunks()
 
 
+def str_hash_u60(col) -> np.ndarray:
+    """First 15 hex digits of md5(s) as int64 — uniform in [0, 16**15),
+    the string-keyed join convention (15 digits keep the value inside a
+    SIGNED 64-bit oracle `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`).
+    Collisions are harmless for oracle parity: both sides group by the
+    SAME key function, so their equality classes are identical."""
+    arr = _as_string_array(col)
+    if _duckdb is None:
+        md5 = hashlib.md5
+        # int of the first 15 hex chars == top 60 bits of the digest
+        return np.fromiter(
+            (
+                int.from_bytes(md5(s.encode()).digest()[:8], "big") >> 4
+                for s in arr.to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(arr),
+        )
+    out = (
+        _con()
+        .from_arrow(pa.table({"s": arr}))
+        .project("CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h")
+        .arrow()
+    )
+    return out["h"].combine_chunks().to_numpy(zero_copy_only=False)
+
+
 def id_bucket_digit(ids) -> np.ndarray:
     """First hex digit of md5(str(id)) as int64 in [0, 16) — the
     ``split_hash_buckets`` / ``PACK_PARTS`` partitioning convention."""

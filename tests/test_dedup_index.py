@@ -85,3 +85,61 @@ def test_cross_day_duplicates_are_dropped(ray_session):
     out = dedup_incremental_ingest(SF).to_pandas()
     assert len(out) > 0
     assert not any(h in day1 for h in out["content_hash"])
+
+
+def test_empty_increment(ray_session):
+    """An empty increment must flow through (groupby + actor check) as
+    zero rows, not a crash — and must not poison the index."""
+    from layout_analysis_ray.state.dedup_index import DedupIndex
+
+    idx = DedupIndex(num_shards=2)
+    out = idx.ingest(_ds([])).to_pandas()
+    assert len(out) == 0
+    assert sum(idx.sizes()) == 0
+    follow = idx.ingest(_ds([(1, "x")])).to_pandas()
+    assert follow["doc_id"].tolist() == [1]
+
+
+def test_decontaminate_ngrams_planted(ray_session, tmp_path):
+    """Planted contamination: shared 3-grams (and the short-doc fallback
+    shingle) between chosen eval-digit and training-digit docs must come
+    back with exact distinct-shingle counts."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.dedup import (
+        DECON_EVAL_MIN_DIGIT,
+        decontaminate_ngrams,
+    )
+    from layout_analysis_ray.functions.hashing import id_bucket_digit
+
+    ids = np.arange(600, dtype=np.int64)
+    digit = id_bucket_digit(ids)
+    ev = ids[digit >= DECON_EVAL_MIN_DIGIT][:2]
+    tr = ids[digit < DECON_EVAL_MIN_DIGIT][:4]
+    rows = {
+        int(ev[0]): "alpha beta gamma delta",   # shingles: abg, bgd
+        int(ev[1]): "alpha beta",               # fallback shingle "alpha beta"
+        int(tr[0]): "alpha beta gamma zzz",     # shares abg -> 1
+        int(tr[1]): "alpha beta gamma delta",   # shares abg + bgd -> 2
+        int(tr[2]): "nothing in common here",   # -> absent
+        int(tr[3]): "alpha beta",               # shares the fallback -> 1
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(rows), pa.int64()),
+                "text": pa.array(list(rows.values()), pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = (
+        decontaminate_ngrams(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = {int(tr[0]): 1, int(tr[1]): 2, int(tr[3]): 1}
+    assert dict(zip(out["doc_id"], out["n_shared"])) == want

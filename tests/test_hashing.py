@@ -75,3 +75,27 @@ def test_id_kernels_duckdb_vs_fallback():
     np.testing.assert_array_equal(H.id_bucket_digit(ids), slow_digit)
     np.testing.assert_array_equal(H.id_hash_u32(ids), slow_u32)
     assert H.md5_hex_of_ids(ids).to_pylist() == slow_hex
+
+
+def test_str_hash_u60_duckdb_vs_fallback_and_known():
+    import hashlib
+
+    strs = ["", "a", "the quick fox", "émoji ☃", "x" * 500] + [
+        f"tok{i} tok{i+1} tok{i+2}" for i in range(200)
+    ]
+    got = H.str_hash_u60(strs)
+    # definition: int of the first 15 hex chars of md5 == top 60 bits
+    want = np.array(
+        [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in strs],
+        dtype=np.int64,
+    )
+    np.testing.assert_array_equal(got, want)
+    if H._duckdb is None:
+        pytest.skip("duckdb unavailable")
+    try:
+        H._duckdb_saved = H._duckdb
+        H._duckdb = None
+        slow = H.str_hash_u60(strs)
+    finally:
+        H._duckdb = H._duckdb_saved
+    np.testing.assert_array_equal(got, slow)
