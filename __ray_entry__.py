@@ -208,6 +208,7 @@ def _dedup_incremental_ingest(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from layout_analysis_ray.functions import (
         dedup,
+        domains,
         evaluate,
         graph,
         joins,
@@ -303,6 +304,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_groups": graph.dedup_minhash_groups,
         "dedup_incremental_ingest": _dedup_incremental_ingest,
         "decontaminate_ngrams": dedup.decontaminate_ngrams,
+        # source-level corpus composition (domain scorecard + balancing)
+        "source_quality_report": domains.source_quality_report,
+        "cap_docs_per_source": domains.cap_docs_per_source,
         # similarity search
         "embedding_knn": similarity.knn_brute,
         "embedding_neardup_pairs": similarity.neardup_pairs,
@@ -893,6 +897,62 @@ def oracle_sql() -> dict[str, str]:
                         // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                    ELSE 0 END AS jaccard_ppm
             FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        """,
+        "source_quality_report": f"""
+            WITH lc AS (
+              SELECT doc_id,
+                len(list_filter({_TOKS}, w -> w IN ('the','and','of'))) AS en,
+                len(list_filter({_TOKS}, w -> w IN ('el','la','los'))) AS es,
+                len(list_filter({_TOKS}, w -> w IN ('der','und','das'))) AS de,
+                len(list_filter({_TOKS}, w -> w IN ('le','les','des'))) AS fr
+              FROM documents),
+            l AS (
+              SELECT doc_id, CASE
+                WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                WHEN en = greatest(en, es, de, fr) THEN 'en'
+                WHEN es = greatest(en, es, de, fr) THEN 'es'
+                WHEN de = greatest(en, es, de, fr) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+              FROM lc),
+            qc AS (
+              SELECT doc_id, len({_TOKS}) AS n_tokens,
+                len(list_filter({_TOKS}, w -> w IN {_STOPS})) AS n_stop,
+                length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+                length(text) AS n_chars
+              FROM documents),
+            q AS (
+              SELECT doc_id,
+                (4 * least(n_tokens * 10000, 1000000)
+                 + 3 * (CASE WHEN n_tokens > 0
+                        THEN (n_stop * 1000000) // n_tokens ELSE 0 END)
+                 + 3 * (CASE WHEN n_chars > 0
+                        THEN (n_alpha * 1000000) // n_chars ELSE 0 END)) // 10
+                  AS quality_ppm
+              FROM qc)
+            SELECT d.source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(COUNT(DISTINCT md5(d.text)) AS BIGINT) AS n_unique,
+              CAST(SUM(q.quality_ppm) // COUNT(*) AS BIGINT) AS avg_quality_ppm,
+              CAST(SUM(CASE WHEN l.lang_pred = 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_en
+            FROM documents d
+            JOIN l ON l.doc_id = d.doc_id
+            JOIN q ON q.doc_id = d.doc_id
+            GROUP BY d.source
+        """,
+        "cap_docs_per_source": """
+            WITH h AS (
+              SELECT source, doc_id,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hu
+              FROM documents),
+            r AS (
+              SELECT source, doc_id,
+                row_number() OVER (PARTITION BY source ORDER BY hu, doc_id)
+                  AS rank
+              FROM h)
+            SELECT source, doc_id, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 10
         """,
         "decontaminate_ngrams": f"""
             -- eval split: id-hash digit >= 14; key = 60-bit md5 prefix of

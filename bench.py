@@ -74,6 +74,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     from layout_analysis_ray.functions import (
         dedup,
+        domains,
         graph,
         joins,
         quantiles,
@@ -156,6 +157,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "dedup_minhash_groups": graph.dedup_minhash_groups,
         "dedup_incremental_ingest": dedup_index.dedup_incremental_ingest,
         "decontaminate_ngrams": dedup.decontaminate_ngrams,
+        "source_quality_report": domains.source_quality_report,
         "corpus_clean_keep": corpus.corpus_clean_keep,
         "pack_sequences": corpus.pack_sequences,
         "corpus_prepare": corpus.corpus_prepare,

@@ -1,0 +1,150 @@
+"""Source-level corpus composition operators (domain scorecard +
+domain balancing) over the ``documents`` table's ``source`` column.
+
+Both are standard pretraining-mix plumbing: the scorecard is what a
+corpus curator reads to decide per-domain inclusion, the cap is the
+deterministic downsampler that enforces it.  Reference analogue: the
+per-collection loops of ``/root/reference/src/DocumentAnalyzer.py``
+(process one source directory at a time), lifted to corpus grain.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .dedup import _read_docs
+
+CAP_PER_SOURCE = 10
+
+
+def source_quality_report(sf_dir: str):
+    """Per-source scorecard: (source, n_docs, n_unique, avg_quality_ppm,
+    n_en) — document count, exact distinct content hashes, integer mean
+    quality, predicted-English count.
+
+    Scale shape: ONE corpus read computes hash + quality + lang per
+    batch (the ``corpus_clean_keep`` kernels); the first exchange is at
+    distinct (source, content_hash) PAIR grain (required for an exact
+    distinct count — the only row-proportional shuffle, map-side
+    combined), the second collapses pairs to one row per source.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from .hashing import md5_hex
+    from .text import lang_id_batch, quality_batch
+
+    def prep(batch: pa.Table) -> pa.Table:
+        lang = lang_id_batch(batch)["lang_pred"]
+        qual = quality_batch(batch)["quality_ppm"]
+        return pa.table(
+            {
+                "source": batch["source"],
+                "content_hash": md5_hex(batch["text"]),
+                "quality_ppm": qual,
+                "is_en": pc.cast(pc.equal(lang, "en"), pa.int64()),
+            }
+        )
+
+    pairs = (
+        _read_docs(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["source", "content_hash"])
+        .aggregate(Sum("quality_ppm"), Count(), Sum("is_en"))
+    )
+
+    per_source = pairs.groupby("source").aggregate(
+        Sum("count()"), Count(), Sum("sum(quality_ppm)"), Sum("sum(is_en)")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_docs = batch["sum(count())"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sum_q = (
+            batch["sum(sum(quality_ppm))"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "source": batch["source"],
+                "n_docs": pa.array(n_docs, pa.int64()),
+                "n_unique": pc.cast(batch["count()"], pa.int64()),
+                # both operands non-negative: // == trunc == floor here
+                "avg_quality_ppm": pa.array(sum_q // n_docs, pa.int64()),
+                "n_en": pc.cast(batch["sum(sum(is_en))"], pa.int64()),
+            }
+        )
+
+    from .schema import ensure_schema
+
+    return ensure_schema(
+        per_source.map_batches(finish, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("source", pa.string()),
+                ("n_docs", pa.int64()),
+                ("n_unique", pa.int64()),
+                ("avg_quality_ppm", pa.int64()),
+                ("n_en", pa.int64()),
+            ]
+        ),
+    )
+
+
+def cap_docs_per_source(sf_dir: str, k: int = CAP_PER_SOURCE):
+    """Domain balancing: keep at most ``k`` docs per source, chosen by
+    the deterministic id-hash order (md5-u32, doc_id) — a uniform,
+    process-independent per-source sample that any rerun reproduces.
+    Output (source, doc_id, rank), rank 1..k within source.
+
+    Scale: per-block grouped partial bottom-k first (the global per-key
+    bottom-k is contained in the union of per-block ones), so the final
+    exchange moves <= k x sources x blocks rows, never the corpus —
+    the ``top_orders_per_segment`` pattern with an ascending hash key.
+    """
+    from .hashing import id_hash_u32
+    from .schema import ensure_schema
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": batch["source"],
+                "doc_id": pa.array(ids, pa.int64()),
+                "hu": pa.array(id_hash_u32(ids), pa.int64()),
+            }
+        )
+
+    def block_bottomk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["source", "hu", "doc_id"])
+        return pa.Table.from_pandas(
+            df.groupby("source", sort=False).head(k), preserve_index=False
+        )
+
+    def src_bottomk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hu", "doc_id"]).head(k).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "source": g["source"],
+                "doc_id": g["doc_id"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    ds = _read_docs(sf_dir, ["doc_id", "source"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return ensure_schema(
+        ds.map_batches(block_bottomk, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(src_bottomk, batch_format="pandas"),
+        pa.schema(
+            [
+                ("source", pa.string()),
+                ("doc_id", pa.int64()),
+                ("rank", pa.int64()),
+            ]
+        ),
+    )

@@ -1,0 +1,39 @@
+"""Source-composition operators: the per-source cap must be a
+deterministic prefix (k=3 results are exactly the rank<=3 slice of
+k=10), and the scorecard must reconcile with direct recomputation."""
+
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted(df):
+    return df.sort_values(["source", "rank"]).reset_index(drop=True)
+
+
+def test_cap_is_deterministic_prefix(ray_session):
+    from layout_analysis_ray.functions.domains import cap_docs_per_source
+
+    ten = _sorted(cap_docs_per_source(SF, k=10).to_pandas())
+    three = _sorted(cap_docs_per_source(SF, k=3).to_pandas())
+    pd.testing.assert_frame_equal(
+        three, _sorted(ten[ten["rank"] <= 3])
+    )
+    assert (ten.groupby("source")["rank"].max() <= 10).all()
+    # rerun identical (hash order is process-independent)
+    again = _sorted(cap_docs_per_source(SF, k=10).to_pandas())
+    pd.testing.assert_frame_equal(again, ten)
+
+
+def test_scorecard_totals_reconcile(ray_session):
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.domains import source_quality_report
+
+    rep = source_quality_report(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["source"])
+    n = docs.num_rows
+    assert rep["n_docs"].sum() == n
+    assert (rep["n_unique"] <= rep["n_docs"]).all()
+    assert (rep["n_en"] <= rep["n_docs"]).all()
+    assert rep["source"].is_unique
