@@ -289,6 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_visible_stats": text.html_visible_stats,
         "doc_top_tokens_by_lang": text.top_tokens_by_lang,
         "doc_tfidf_top_terms": text.tfidf_top_terms,
+        "doc_lang_confusion": text.lang_confusion,
+        "doc_length_histogram": text.doc_length_histogram,
         # corpus pipelines: cleaning chain + sequence packing
         "corpus_clean_keep": corpus.corpus_clean_keep,
         "pack_sequences": corpus.pack_sequences,
@@ -315,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_knn_lsh": similarity.knn_lsh,
         "ann_ivf_assign": similarity.ivf_assign,
         "ann_knn_ivf": similarity.knn_ivf,
+        "embedding_label_centroids": similarity.label_centroids,
+        "embedding_centroid_confusion": similarity.centroid_confusion,
         # evaluation / sampling / sidecar export
         "eval_skew_vs_happy": evaluate.eval_skew_vs_happy,
         "split_train_test": sampling.train_test_split_hash,
@@ -897,6 +901,65 @@ def oracle_sql() -> dict[str, str]:
                         // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                    ELSE 0 END AS jaccard_ppm
             FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        """,
+        "embedding_label_centroids": """
+            WITH e AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     CAST(i - 1 AS BIGINT) AS dim,
+                     CAST(round(embedding[i] * 1000000) AS BIGINT) AS fp
+              FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i))
+            SELECT label, dim,
+                   CAST(SUM(fp) // COUNT(*) AS BIGINT) AS centroid_fp
+            FROM e GROUP BY 1, 2
+        """,
+        "embedding_centroid_confusion": """
+            WITH e AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label_true,
+                     CAST(i - 1 AS BIGINT) AS dim,
+                     CAST(round(embedding[i] * 1000000) AS BIGINT) AS fp
+              FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)),
+            c AS (
+              SELECT label_true AS label, dim,
+                     CAST(SUM(fp) // COUNT(*) AS BIGINT) AS cfp
+              FROM e GROUP BY 1, 2),
+            d AS (
+              SELECT e.vec_id, ANY_VALUE(e.label_true) AS label_true,
+                     c.label AS cand, SUM(e.fp * c.cfp) AS dot
+              FROM e JOIN c ON c.dim = e.dim
+              GROUP BY e.vec_id, c.label),
+            p AS (
+              SELECT vec_id, label_true, cand,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dot DESC, cand ASC) AS rn
+              FROM d)
+            SELECT label_true, cand AS label_pred,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM p WHERE rn = 1 GROUP BY 1, 2
+        """,
+        "doc_lang_confusion": f"""
+            WITH lc AS (
+              SELECT doc_id,
+                len(list_filter({_TOKS}, w -> w IN ('the','and','of'))) AS en,
+                len(list_filter({_TOKS}, w -> w IN ('el','la','los'))) AS es,
+                len(list_filter({_TOKS}, w -> w IN ('der','und','das'))) AS de,
+                len(list_filter({_TOKS}, w -> w IN ('le','les','des'))) AS fr
+              FROM documents),
+            l AS (
+              SELECT doc_id, CASE
+                WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                WHEN en = greatest(en, es, de, fr) THEN 'en'
+                WHEN es = greatest(en, es, de, fr) THEN 'es'
+                WHEN de = greatest(en, es, de, fr) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+              FROM lc)
+            SELECT d.lang AS lang_true, l.lang_pred,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents d JOIN l ON l.doc_id = d.doc_id
+            GROUP BY 1, 2
+        """,
+        "doc_length_histogram": """
+            SELECT n_chars // 200 AS bin, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
         """,
         "source_quality_report": f"""
             WITH lc AS (

@@ -475,3 +475,160 @@ def knn_lsh(sf_dir: str):
         )
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid embedding eval (nearest-class-mean classification)
+# ---------------------------------------------------------------------------
+
+CENT_FP = 1_000_000  # fixed-point ppm scale (the engine-wide convention)
+
+
+def _fp_ppm(m: np.ndarray) -> np.ndarray:
+    """float matrix -> int64 fixed-point ppm, half away from zero — the
+    `numeric.cents_np` convention at 10^6 scale, mirrored by the oracle's
+    `CAST(round(e * 1000000) AS BIGINT)` (DuckDB round = half away)."""
+    x = np.asarray(m, dtype=np.float64) * CENT_FP
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
+def label_centroids(sf_dir: str):
+    """Per-label mean embedding in exact fixed-point integers:
+    (label, dim, centroid_fp) rows, centroid_fp = trunc(sum_fp / n).
+
+    Float sums are order-dependent; converting every element to int64 ppm
+    FIRST makes the sum associative — any partial order merges to the
+    same bits, so the result is hash-stable and SQL-oracle-matched.
+    Shape: per-batch (label, dim, sum, n) partials (labels x dims rows
+    per batch, input-size-independent) -> native Sum groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .numeric import trunc_div_np
+    from .schema import ensure_schema
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        _, m = _emb_matrix(batch)
+        fp = _fp_ppm(m)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        k, d = len(uniq), fp.shape[1] if len(fp) else 0
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, inv, fp)
+        cnt = np.bincount(inv, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                "s": pa.array(sums.reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(cnt, d), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s"), Sum("n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["sum(s)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "label": pc.cast(batch["label"], pa.int64()),
+                "dim": pc.cast(batch["dim"], pa.int64()),
+                # sums can be negative: trunc division (DuckDB //)
+                "centroid_fp": pa.array(trunc_div_np(s, n), pa.int64()),
+            }
+        )
+
+    return ensure_schema(
+        agg.map_batches(finish, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("label", pa.int64()),
+                ("dim", pa.int64()),
+                ("centroid_fp", pa.int64()),
+            ]
+        ),
+    )
+
+
+def centroid_confusion(sf_dir: str):
+    """Nearest-centroid classification confusion matrix: assign every
+    vector to the label whose centroid has the max integer dot product
+    (ties -> smaller label), report (label_true, label_pred, n).
+
+    Scale: centroids (labels x dims int64, KBs) broadcast via ``ray.put``;
+    the assign pass is one int64 matmul per batch (exact — |dot| <=
+    dims x ppm^2 ~ 6e13 << 2^63); counts partial-combine in the groupby."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .schema import ensure_schema
+
+    cent = (
+        label_centroids(sf_dir)
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    labels = np.sort(cent["label"].unique())
+    d = int(cent["dim"].max()) + 1
+    C = cent["centroid_fp"].to_numpy().reshape(len(labels), d)
+    handle = ray.put((labels, C))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lab, C = ray.get(handle)
+        _, m = _emb_matrix(batch)
+        fp = _fp_ppm(m)
+        dots = fp @ C.T  # int64 exact
+        pred = lab[np.argmax(dots, axis=1)]  # argmax: first (smallest) label wins ties
+        return pa.table(
+            {
+                "label_true": pa.array(
+                    batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "label_pred": pa.array(pred.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["label_true", "label_pred"])
+        .aggregate(Count())
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "label_true": pc.cast(batch["label_true"], pa.int64()),
+                "label_pred": pc.cast(batch["label_pred"], pa.int64()),
+                "n": pc.cast(batch["count()"], pa.int64()),
+            }
+        )
+
+    return ensure_schema(
+        agg.map_batches(rename, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("label_true", pa.int64()),
+                ("label_pred", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )

@@ -539,3 +539,81 @@ _TFIDF_SCHEMA = pa.schema(
         ("rank", pa.int64()),
     ]
 )
+
+
+LANG_CONF_BIN = 200
+
+
+def lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: (lang_true, lang_pred, n) — the
+    labeled ``lang`` column against the n-gram heuristic's prediction.
+    The eval every classifier stage ships with; cardinality is
+    langs x langs, so the exchange is partial-combined count rows."""
+    from ray.data.aggregate import Count
+
+    from .schema import ensure_schema
+
+    def prep(batch: pa.Table) -> pa.Table:
+        pred = lang_id_batch(batch)["lang_pred"]
+        return pa.table({"lang_true": batch["lang"], "lang_pred": pred})
+
+    agg = (
+        _read_docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["lang_true", "lang_pred"])
+        .aggregate(Count())
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang_true": batch["lang_true"],
+                "lang_pred": batch["lang_pred"],
+                "n": pc.cast(batch["count()"], pa.int64()),
+            }
+        )
+
+    return ensure_schema(
+        agg.map_batches(rename, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("lang_true", pa.string()),
+                ("lang_pred", pa.string()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+
+
+def doc_length_histogram(sf_dir: str):
+    """(bin, n) histogram of document character lengths in
+    ``LANG_CONF_BIN``-char bins — reads ONLY the pre-computed ``n_chars``
+    int column (column pruning: the text never leaves storage)."""
+    from ray.data.aggregate import Count
+
+    from .schema import ensure_schema
+
+    def prep(batch: pa.Table) -> pa.Table:
+        n_chars = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # n_chars >= 0, so // is floor == trunc — oracle-safe
+        return pa.table({"bin": pa.array(n_chars // LANG_CONF_BIN, pa.int64())})
+
+    agg = (
+        _read_docs(sf_dir, ["n_chars"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Count())
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bin": pc.cast(batch["bin"], pa.int64()),
+                "n": pc.cast(batch["count()"], pa.int64()),
+            }
+        )
+
+    return ensure_schema(
+        agg.map_batches(rename, batch_format="pyarrow"),
+        pa.schema([("bin", pa.int64()), ("n", pa.int64())]),
+    )
