@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_xml_export": pagexml.page_xml_export,
         # sketches (approximate; pytest gates vs exact answers)
         "sketch_distinct_users": sketches.approx_distinct_users,
+        "sketch_source_unique": sketches.source_unique_sketch,
         "sketch_heavy_tokens": sketches.heavy_hitter_tokens,
         "sketch_value_quantiles": sketches.approx_value_quantiles,
         # exact distributed order statistics (histogram narrowing, no sort)

@@ -358,3 +358,50 @@ def approx_value_quantiles(sf_dir: str, qs_ppm=SKETCH_QS_PPM):
             "approx_cents": pa.array([est[q] for q in sorted(est)], pa.int64()),
         }
     )
+
+
+def source_unique_sketch(sf_dir: str):
+    """(source, approx_unique) — the HLL scale path for
+    ``domains.source_quality_report``'s exact ``n_unique``: that exact
+    count needs a distinct (source, hash) PAIR-grain shuffle (row-
+    proportional); this moves one uint8[4096] register row per
+    (batch, source) instead, merged by elementwise max.  Accuracy-gated
+    against the exact scorecard in pytest (~1.6% std error at 2^12
+    registers)."""
+    import ray.data as rd
+
+    from .hashing import md5_hex
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sources = batch["source"].to_numpy(zero_copy_only=False)
+        hashes = md5_hex(batch["text"]).to_numpy(zero_copy_only=False)
+        out_s, out_r = [], []
+        for s in np.unique(sources):
+            h = _hash64(hashes[sources == s])
+            out_s.append(str(s))
+            out_r.append(_hll_partial(h).tobytes())
+        return pa.table(
+            {
+                "source": pa.array(out_s, pa.string()),
+                "reg": pa.array(out_r, pa.binary()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        reg = np.zeros(HLL_M, dtype=np.uint8)
+        for b in g["reg"]:
+            np.maximum(reg, np.frombuffer(b, dtype=np.uint8), out=reg)
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "approx_unique": [_hll_estimate(reg)],
+            }
+        )
+
+    return partials.groupby("source").map_groups(merge, batch_format="pandas")

@@ -37,3 +37,19 @@ def test_scorecard_totals_reconcile(ray_session):
     assert (rep["n_unique"] <= rep["n_docs"]).all()
     assert (rep["n_en"] <= rep["n_docs"]).all()
     assert rep["source"].is_unique
+
+
+def test_source_unique_sketch_accuracy(ray_session):
+    """The grouped-HLL scale path must track the exact scorecard's
+    n_unique within the sketch's error bound on every source."""
+    from layout_analysis_ray.functions.domains import source_quality_report
+    from layout_analysis_ray.functions.sketches import source_unique_sketch
+
+    exact = source_quality_report(SF).to_pandas().set_index("source")["n_unique"]
+    approx = (
+        source_unique_sketch(SF).to_pandas().set_index("source")["approx_unique"]
+    )
+    assert set(exact.index) == set(approx.index)
+    for s in exact.index:
+        lo, hi = exact[s] * 0.9 - 2, exact[s] * 1.1 + 2
+        assert lo <= approx[s] <= hi, (s, exact[s], approx[s])

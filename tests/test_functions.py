@@ -250,6 +250,7 @@ def test_queries_oracle_keys_consistent():
         "page_xml_export",
         "extract_error_docs",
         "sketch_distinct_users",
+        "sketch_source_unique",
         "sketch_heavy_tokens",
     }
 
