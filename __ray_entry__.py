@@ -907,7 +907,8 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (
               SELECT vec_id, CAST(label AS BIGINT) AS label,
                      CAST(i - 1 AS BIGINT) AS dim,
-                     CAST(round(embedding[i] * 1000000) AS BIGINT) AS fp
+                     CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                          AS BIGINT) AS fp
               FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i))
             SELECT label, dim,
                    CAST(SUM(fp) // COUNT(*) AS BIGINT) AS centroid_fp
@@ -917,7 +918,8 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (
               SELECT vec_id, CAST(label AS BIGINT) AS label_true,
                      CAST(i - 1 AS BIGINT) AS dim,
-                     CAST(round(embedding[i] * 1000000) AS BIGINT) AS fp
+                     CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                          AS BIGINT) AS fp
               FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)),
             c AS (
               SELECT label_true AS label, dim,

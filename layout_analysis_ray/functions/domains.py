@@ -34,17 +34,22 @@ def source_quality_report(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     from .hashing import md5_hex
-    from .text import lang_id_batch, quality_batch
+    from .text import _flat_tokens, lang_from_tokens, quality_from_tokens
 
     def prep(batch: pa.Table) -> pa.Table:
-        lang = lang_id_batch(batch)["lang_pred"]
-        qual = quality_batch(batch)["quality_ppm"]
+        text_col = batch["text"]
+        if isinstance(text_col, pa.ChunkedArray):
+            text_col = text_col.combine_chunks()
+        text_col = pc.fill_null(text_col, "")
+        parent, toks, n = _flat_tokens(text_col)
+        lang = lang_from_tokens(parent, toks, n)
+        qual = quality_from_tokens(parent, toks, n, text_col)["quality_ppm"]
         return pa.table(
             {
                 "source": batch["source"],
                 "content_hash": md5_hex(batch["text"]),
-                "quality_ppm": qual,
-                "is_en": pc.cast(pc.equal(lang, "en"), pa.int64()),
+                "quality_ppm": pa.array(qual, pa.int64()),
+                "is_en": pa.array((lang == "en").astype(np.int64), pa.int64()),
             }
         )
 

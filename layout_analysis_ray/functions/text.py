@@ -541,7 +541,7 @@ _TFIDF_SCHEMA = pa.schema(
 )
 
 
-LANG_CONF_BIN = 200
+LENGTH_HIST_BIN = 200
 
 
 def lang_confusion(sf_dir: str):
@@ -587,7 +587,7 @@ def lang_confusion(sf_dir: str):
 
 def doc_length_histogram(sf_dir: str):
     """(bin, n) histogram of document character lengths in
-    ``LANG_CONF_BIN``-char bins — reads ONLY the pre-computed ``n_chars``
+    ``LENGTH_HIST_BIN``-char bins — reads ONLY the pre-computed ``n_chars``
     int column (column pruning: the text never leaves storage)."""
     from ray.data.aggregate import Count
 
@@ -596,7 +596,7 @@ def doc_length_histogram(sf_dir: str):
     def prep(batch: pa.Table) -> pa.Table:
         n_chars = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
         # n_chars >= 0, so // is floor == trunc — oracle-safe
-        return pa.table({"bin": pa.array(n_chars // LANG_CONF_BIN, pa.int64())})
+        return pa.table({"bin": pa.array(n_chars // LENGTH_HIST_BIN, pa.int64())})
 
     agg = (
         _read_docs(sf_dir, ["n_chars"])

@@ -28,6 +28,15 @@ Design for 100 TB:
   ``check_and_add`` (atomic per actor call) cannot race with itself.
   Keeper choice is therefore MIN doc_id within the increment —
   deterministic, oracle-matched.
+- Idempotent under replay: the shards record the EPOCH (ingest number)
+  a hash was first admitted, and a probe answers "first admitted in the
+  caller's epoch?".  A Ray task retry after a lost worker, or a second
+  consumption of the lazy Dataset ``ingest`` returns, re-probes the same
+  (hash, epoch) pairs and gets the identical verdicts instead of
+  silently dropping every row (set semantics would answer False on
+  replay).  Costs a dict value per key (~8 bytes over a plain set).
+  Increments must still be drained sequentially — epoch N's verdicts
+  are only stable once no epoch<N work is in flight.
 """
 
 from __future__ import annotations
@@ -40,18 +49,18 @@ DEFAULT_SHARDS = 8
 
 
 class _IndexShard:
-    """One hash-space slice: a set of content-hash hex strings."""
+    """One hash-space slice: content-hash hex string -> first epoch."""
 
     def __init__(self) -> None:
-        self._seen: set[str] = set()
+        self._seen: dict[str, int] = {}
 
-    def check_and_add(self, hashes: list[str]) -> list[bool]:
-        """For each hash: True when unseen; the hash is recorded either
-        way.  Atomic per call (actor method calls serialize)."""
+    def check_and_add(self, hashes: list[str], epoch: int) -> list[bool]:
+        """For each hash: True when first admitted in ``epoch`` (now or
+        by an earlier replay of the same epoch).  Atomic per call (actor
+        method calls serialize); first epoch wins, so replaying a lost
+        task or re-consuming an ingest Dataset repeats the verdicts."""
         seen = self._seen
-        out = [h not in seen for h in hashes]
-        seen.update(hashes)
-        return out
+        return [seen.setdefault(h, epoch) == epoch for h in hashes]
 
     def size(self) -> int:
         return len(self._seen)
@@ -79,6 +88,7 @@ class DedupIndex:
         import ray
 
         self._num_shards = num_shards
+        self._epoch = 0
         shard_cls = ray.remote(_IndexShard)
         self._shards = [
             shard_cls.options(num_cpus=0).remote() for _ in range(num_shards)
@@ -98,6 +108,8 @@ class DedupIndex:
 
         handles = list(self._shards)
         nsh = self._num_shards
+        self._epoch += 1
+        epoch = self._epoch
 
         agg = (
             ds.map_batches(exact_hash_batch, batch_format="pyarrow")
@@ -130,7 +142,7 @@ class DedupIndex:
                     continue
                 idx = order[lo:hi]
                 refs.append(
-                    handles[s].check_and_add.remote(h[idx].tolist())
+                    handles[s].check_and_add.remote(h[idx].tolist(), epoch)
                 )
                 spans.append(idx)
             keep = np.zeros(n, dtype=bool)

@@ -87,6 +87,34 @@ def test_cross_day_duplicates_are_dropped(ray_session):
     assert not any(h in day1 for h in out["content_hash"])
 
 
+def test_ingest_replay_is_idempotent(ray_session):
+    """A Ray task retry or a second consumption of the lazy ingest
+    Dataset re-probes the same (hash, epoch) pairs; epoch-first-wins
+    semantics must return the identical verdicts, not drop the rows."""
+    import ray
+
+    from layout_analysis_ray.state.dedup_index import DedupIndex, _IndexShard
+
+    # actor-level contract: replaying an epoch repeats its verdicts
+    shard = ray.remote(_IndexShard).options(num_cpus=0).remote()
+    first = ray.get(shard.check_and_add.remote(["a", "b"], 1))
+    replay = ray.get(shard.check_and_add.remote(["a", "b"], 1))
+    assert first == replay == [True, True]
+    later = ray.get(shard.check_and_add.remote(["a", "c"], 2))
+    assert later == [False, True]
+
+    # dataset-level contract: consuming the same ingest twice agrees
+    idx = DedupIndex(num_shards=2)
+    idx.ingest(_ds([(1, "alpha")])).to_pandas()
+    day2 = idx.ingest(_ds([(5, "alpha"), (6, "beta")]))
+    once = day2.to_pandas()
+    twice = day2.to_pandas()
+    pd.testing.assert_frame_equal(
+        _sorted(once), _sorted(twice)
+    )
+    assert once["doc_id"].tolist() == [6]
+
+
 def test_empty_increment(ray_session):
     """An empty increment must flow through (groupby + actor check) as
     zero rows, not a crash — and must not poison the index."""
