@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_top_terms": text.tfidf_top_terms,
         "doc_lang_confusion": text.lang_confusion,
         "doc_length_histogram": text.doc_length_histogram,
+        "doc_repetition_stats": text.repetition_stats,
         # corpus pipelines: cleaning chain + sequence packing
         "corpus_clean_keep": corpus.corpus_clean_keep,
         "pack_sequences": corpus.pack_sequences,
@@ -309,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # source-level corpus composition (domain scorecard + balancing)
         "source_quality_report": domains.source_quality_report,
         "cap_docs_per_source": domains.cap_docs_per_source,
+        "domain_mix_sample": domains.domain_mix_sample,
         # similarity search
         "embedding_knn": similarity.knn_brute,
         "embedding_neardup_pairs": similarity.neardup_pairs,
@@ -1019,6 +1021,35 @@ def oracle_sql() -> dict[str, str]:
               FROM h)
             SELECT source, doc_id, CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "domain_mix_sample": """
+            -- keep iff hash_u32 * 10^6 < rate_ppm * 2^32 (exact integers;
+            -- rates mirror functions/domains.py MIX_KEEP_PPM/_DEFAULT)
+            SELECT doc_id, source FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) * 1000000
+                < (CASE source WHEN 'src0' THEN 1000000
+                               WHEN 'src1' THEN 500000
+                               WHEN 'src2' THEN 250000
+                               ELSE 125000 END) * CAST(4294967296 AS BIGINT)
+        """,
+        "doc_repetition_stats": f"""
+            -- thresholds mirror functions/text.py REP_*_MAX_PPM
+            WITH u AS (
+              SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+            c AS (
+              SELECT doc_id, w, COUNT(*) AS cnt FROM u GROUP BY 1, 2),
+            s AS (
+              SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS n_uniq,
+                     MAX(cnt) AS top
+              FROM c GROUP BY 1)
+            SELECT doc_id,
+              CAST((n - n_uniq) * 1000000 // n AS BIGINT) AS dup_token_ppm,
+              CAST(top * 1000000 // n AS BIGINT) AS top_token_ppm,
+              CAST(CASE WHEN top * 1000000 // n <= 200000
+                         AND (n - n_uniq) * 1000000 // n <= 600000
+                   THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM s
         """,
         "decontaminate_ngrams": f"""
             -- eval split: id-hash digit >= 14; key = 60-bit md5 prefix of

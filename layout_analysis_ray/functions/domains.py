@@ -18,6 +18,13 @@ from .dedup import _read_docs
 
 CAP_PER_SOURCE = 10
 
+# Domain-reweighting keep rates in ppm (the DoReMi/Pile-style target-mix
+# downsampler): sources not named keep MIX_DEFAULT_PPM.  Mirrored as
+# literals in the domain_mix_sample oracle SQL.
+MIX_KEEP_PPM = {"src0": 1_000_000, "src1": 500_000, "src2": 250_000}
+MIX_DEFAULT_PPM = 125_000
+_U32_SPACE = 16**8
+
 
 def source_quality_report(sf_dir: str):
     """Per-source scorecard: (source, n_docs, n_unique, avg_quality_ppm,
@@ -95,6 +102,49 @@ def source_quality_report(sf_dir: str):
                 ("n_en", pa.int64()),
             ]
         ),
+    )
+
+
+def domain_mix_sample(sf_dir: str, keep_ppm: dict | None = None):
+    """Domain reweighting: keep each doc with its source's target rate,
+    decided by the deterministic id-hash u32 (keep iff
+    ``hash_u32 * 10^6 < rate_ppm * 2^32``, exact integer compare) — so a
+    rerun, a different batch size, or a different node count keeps the
+    identical doc set, and each source converges to its target fraction.
+
+    Scale shape: map-only over a two-column pruned read; the rate table
+    is a tiny dict captured in the task closure (broadcast once per
+    worker, never per batch), zero shuffle at any scale.
+    """
+    import pandas as pd
+
+    from .hashing import id_hash_u32
+    from .schema import ensure_schema
+
+    rates = dict(MIX_KEEP_PPM if keep_ppm is None else keep_ppm)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ppm = (
+            pd.Series(batch["source"].to_pandas())
+            .map(rates)
+            .fillna(MIX_DEFAULT_PPM)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        keep = id_hash_u32(ids) * 1_000_000 < ppm * _U32_SPACE
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": batch["source"],
+            }
+        ).filter(pa.array(keep))
+
+    return ensure_schema(
+        _read_docs(sf_dir, ["doc_id", "source"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        pa.schema([("doc_id", pa.int64()), ("source", pa.string())]),
     )
 
 

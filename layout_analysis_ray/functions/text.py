@@ -174,6 +174,65 @@ def token_stats(sf_dir: str):
     )
 
 
+# Gopher-style repetition thresholds (Rae et al. 2021 drop docs whose most
+# frequent word exceeds ~20% of tokens); the dup bound is the engine's own.
+# Mirrored as literals in the doc_repetition_stats oracle SQL.
+REP_TOP_TOKEN_MAX_PPM = 200_000
+REP_DUP_TOKEN_MAX_PPM = 600_000
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Within-doc repetition stats in exact integer ppm:
+
+    - dup_token_ppm = (tokens - distinct tokens) / tokens
+    - top_token_ppm = occurrences of the most frequent token / tokens
+    - keep = 1 when both are at or under the Gopher-style bounds
+
+    Docs with zero tokens are dropped (the oracle's unnest GROUP BY has no
+    row for them; an empty doc is no-keep by definition).  Vectorized: one
+    factorize over the flat tokens, unique (row, code) pairs with counts
+    via one int64 sort, per-row max by ``np.maximum.at``.
+    """
+    import pandas as pd
+
+    parent, toks, n = _flat_tokens(batch["text"])
+    n_tok = np.bincount(parent, minlength=n).astype(np.int64)
+    codes, uniques = pd.factorize(toks)
+    stride = np.int64(len(uniques) + 1)
+    pair_ids = parent * stride + codes
+    upair, ucount = np.unique(pair_ids, return_counts=True)
+    uparent = (upair // stride).astype(np.int64)
+    n_uniq = np.bincount(uparent, minlength=n).astype(np.int64)
+    top = np.zeros(n, dtype=np.int64)
+    np.maximum.at(top, uparent, ucount)
+    nz = np.maximum(n_tok, 1)
+    # all operands non-negative: // is floor == trunc — oracle-safe
+    dup_ppm = (n_tok - n_uniq) * 1_000_000 // nz
+    top_ppm = top * 1_000_000 // nz
+    keep = (
+        (top_ppm <= REP_TOP_TOKEN_MAX_PPM) & (dup_ppm <= REP_DUP_TOKEN_MAX_PPM)
+    ).astype(np.int64)
+    has = n_tok > 0
+    return pa.table(
+        {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()).filter(
+                pa.array(has)
+            ),
+            "dup_token_ppm": pa.array(dup_ppm[has], pa.int64()),
+            "top_token_ppm": pa.array(top_ppm[has], pa.int64()),
+            "keep": pa.array(keep[has], pa.int64()),
+        }
+    )
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition filter stats per document — a map-only
+    scan (every statistic is within-doc), zero shuffle at any scale."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pyarrow"
+    )
+
+
 def lang_id_batch(batch: pa.Table) -> pa.Table:
     """Marker-token language ID: argmax of per-language marker counts with
     first-listed-language precedence on ties; 'und' when all counts are 0.

@@ -39,6 +39,77 @@ def test_scorecard_totals_reconcile(ray_session):
     assert rep["source"].is_unique
 
 
+def test_domain_mix_rates_and_determinism(ray_session):
+    """Every kept row must satisfy the exact integer hash predicate for
+    its source's rate; a full-rate source keeps everything; reruns and
+    custom rate maps behave."""
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.domains import (
+        MIX_DEFAULT_PPM,
+        MIX_KEEP_PPM,
+        _U32_SPACE,
+        domain_mix_sample,
+    )
+    from layout_analysis_ray.functions.hashing import id_hash_u32
+
+    out = domain_mix_sample(SF).to_pandas()
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source"]
+    ).to_pandas()
+    rate = docs["source"].map(MIX_KEEP_PPM).fillna(MIX_DEFAULT_PPM)
+    keep = id_hash_u32(docs["doc_id"].to_numpy()) * 1_000_000 < (
+        rate.to_numpy().astype("int64") * _U32_SPACE
+    )
+    want = docs[keep].sort_values("doc_id").reset_index(drop=True)
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # ppm=1e6 keeps all of src0
+    n_src0 = (docs["source"] == "src0").sum()
+    assert (got["source"] == "src0").sum() == n_src0
+    # custom map: zero rate for src0 drops it entirely, rerun-stable
+    none = domain_mix_sample(SF, keep_ppm={"src0": 0}).to_pandas()
+    assert (none["source"] == "src0").sum() == 0
+
+
+def test_repetition_stats_planted(ray_session, tmp_path):
+    """Planted docs pin the ppm arithmetic and the keep thresholds: an
+    all-one-token doc is top_ppm=1e6/no-keep, an all-distinct doc is
+    dup_ppm=0/keep, an empty doc vanishes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.text import repetition_stats
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "spam spam spam spam",       # top 1e6, dup 750k
+                        "one two three four five",   # top 200k, dup 0
+                        "",                           # dropped
+                        "aa aa bb",                   # top 666666, dup 333333
+                    ],
+                    pa.string(),
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = (
+        repetition_stats(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 4]
+    assert out["top_token_ppm"].tolist() == [1_000_000, 200_000, 666_666]
+    assert out["dup_token_ppm"].tolist() == [750_000, 0, 333_333]
+    assert out["keep"].tolist() == [0, 1, 0]
+
+
 def test_source_unique_sketch_accuracy(ray_session):
     """The grouped-HLL scale path must track the exact scorecard's
     n_unique within the sketch's error bound on every source."""
