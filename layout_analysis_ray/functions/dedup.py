@@ -696,47 +696,145 @@ def ngram_jaccard_consecutive(sf_dir: str):
 # mirrored verbatim in the SQL oracle
 DECON_EVAL_MIN_DIGIT = 14
 DECON_PARTS = 64
+# broadcast cutover: when the eval split yields at most this many
+# (doc, key) rows, its distinct key set rides the object store
+# (<= 128 MB as int64) and contamination is counted map-side with zero
+# shuffle; above it, the distributed partition path runs.
+DECON_BROADCAST_MAX_KEYS = 16_000_000
 
 
-def decontaminate_ngrams(sf_dir: str):
+def _decon_doc_keys(batch: pa.Table, keep: np.ndarray | None = None):
+    """Distinct (segment, 60-bit shingle key) pairs for (a subset of) a
+    batch.  Returns ``(ids, seg, key)`` with seg indexing into ``ids``.
+    A doc lives in exactly one batch, so batch-level dedup IS global
+    per-doc dedup."""
+    import pyarrow.compute as pc
+
+    from .hashing import str_hash_u60
+    from .text import flat_shingles
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    text_col = batch["text"]
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    if keep is not None:
+        ids = ids[keep]
+        text_col = text_col.filter(pa.array(keep))
+    seg, sh, _nt = flat_shingles(pc.fill_null(text_col, ""))
+    key = str_hash_u60(sh)
+    order = np.lexsort((key, seg))
+    seg, key = seg[order], key[order]
+    first = np.ones(len(seg), dtype=bool)
+    first[1:] = (seg[1:] != seg[:-1]) | (key[1:] != key[:-1])
+    return ids, seg[first], key[first]
+
+
+def decontaminate_ngrams(
+    sf_dir: str, broadcast_max_keys: int = DECON_BROADCAST_MAX_KEYS
+):
     """Benchmark contamination scan: for every TRAINING doc, how many
     distinct word-3-gram shingles it shares with the held-out eval split
     (docs with id-hash digit >= ``DECON_EVAL_MIN_DIGIT``).  The
     decontamination pass every pretraining pipeline runs before training:
     docs with n_shared > 0 would be dropped or flagged.
 
-    Scale shape: ONE corpus read emits distinct (shingle-key, doc_id,
-    is_eval) rows — the key is the 60-bit md5 prefix of the shingle
-    STRING (8 B/row instead of a ~20 B string; both engine and oracle
-    group by the SAME key function, so prefix collisions cannot diverge
-    them).  One coarse key-hash partition co-locates each shingle's rows;
-    the match kernel is one lexsort + segment-max per PARTITION (the
-    ``verified_pairs`` pattern — no per-shingle Python), emitting one row
-    per (training doc, shared key).  A native Count per doc_id finishes.
-    Nothing document-sized shuffles; eval-side volume is the small side
-    but never needs to fit anywhere whole.
+    Scale shape — two tiers, chosen by the MEASURED eval-side volume
+    (held-out benchmarks are tiny next to a training corpus, so the
+    fast tier is the normal one):
+
+    - broadcast tier (eval rows <= ``broadcast_max_keys``): one pass
+      shingles ONLY eval docs and materializes their per-doc-distinct
+      key rows (8 B each, bounded by the cutover); the driver uniques
+      them into one sorted int64 array, ``ray.put`` once; a second pass
+      shingles ONLY training docs and counts searchsorted hits per doc
+      map-side.  ZERO shuffle — total tokenize/hash work identical to
+      the distributed tier (each doc is shingled exactly once either
+      way).
+    - distributed tier (huge eval split): distinct (shingle-key, doc_id,
+      is_eval) rows — the key is the 60-bit md5 prefix of the shingle
+      STRING (8 B/row; both engine and oracle group by the SAME key
+      function, so prefix collisions cannot diverge them) — one coarse
+      key-hash partition, one lexsort + segment-max kernel per
+      PARTITION, a native Count per doc.  Nothing document-sized
+      shuffles and no side is ever held whole anywhere.
+
+    Both tiers are equality-tested against each other and the SQL
+    oracle (``tests/test_dedup_index.py``).
     """
-    import pyarrow.compute as pc
+    import ray
+
+    from .hashing import id_bucket_digit
+
+    def eval_keys(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = id_bucket_digit(ids) >= DECON_EVAL_MIN_DIGIT
+        if not mask.any():
+            return pa.table({"key": pa.array([], pa.int64())})
+        _ids, _seg, key = _decon_doc_keys(batch, mask)
+        return pa.table({"key": pa.array(key, pa.int64())})
+
+    keys_ds = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(eval_keys, batch_format="pyarrow")
+        .materialize()
+    )
+    if keys_ds.count() <= broadcast_max_keys:
+        parts = [
+            b["key"].to_numpy(zero_copy_only=False)
+            for b in keys_ds.iter_batches(batch_format="pyarrow")
+        ]
+        ek = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        ek_ref = ray.put(ek)
+
+        def score(batch: pa.Table) -> pa.Table:
+            ek = ray.get(ek_ref)  # zero-copy view of the shared array
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            mask = id_bucket_digit(ids) < DECON_EVAL_MIN_DIGIT
+            empty = pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                }
+            )
+            if not mask.any():
+                return empty
+            sub_ids, seg, key = _decon_doc_keys(batch, mask)
+            if len(key) == 0 or len(ek) == 0:
+                return empty
+            pos = np.searchsorted(ek, key)
+            hit = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == key)
+            n_shared = np.bincount(seg[hit], minlength=len(sub_ids))
+            nz = n_shared > 0
+            return pa.table(
+                {
+                    "doc_id": pa.array(sub_ids[nz], pa.int64()),
+                    "n_shared": pa.array(n_shared[nz], pa.int64()),
+                }
+            )
+
+        from .schema import ensure_schema
+
+        return ensure_schema(
+            _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+                score, batch_format="pyarrow"
+            ),
+            pa.schema([("doc_id", pa.int64()), ("n_shared", pa.int64())]),
+        )
+
+    return _decontaminate_distributed(sf_dir)
+
+
+def _decontaminate_distributed(sf_dir: str):
+    """Distributed tier of ``decontaminate_ngrams`` — see its docstring."""
     from ray.data.aggregate import Count
 
-    from .hashing import id_bucket_digit, str_hash_u60
-    from .text import flat_shingles
+    from .hashing import id_bucket_digit
 
     def rows(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids, seg, key = _decon_doc_keys(batch)
         digit = id_bucket_digit(ids)
-        text_col = batch["text"]
-        if isinstance(text_col, pa.ChunkedArray):
-            text_col = text_col.combine_chunks()
-        seg, sh, _nt = flat_shingles(pc.fill_null(text_col, ""))
-        key = str_hash_u60(sh)
-        # distinct (doc, key): a doc lives in exactly one batch, so
-        # batch-level dedup IS global per-doc dedup
-        order = np.lexsort((key, seg))
-        seg, key = seg[order], key[order]
-        first = np.ones(len(seg), dtype=bool)
-        first[1:] = (seg[1:] != seg[:-1]) | (key[1:] != key[:-1])
-        seg, key = seg[first], key[first]
         return pa.table(
             {
                 "part": pa.array(key % DECON_PARTS, pa.int64()),

@@ -128,6 +128,21 @@ def test_empty_increment(ray_session):
     assert follow["doc_id"].tolist() == [1]
 
 
+def test_decontaminate_tiers_agree(ray_session):
+    """The broadcast (eval keys via object store, zero shuffle) and
+    distributed (key-hash partition) tiers must return identical rows
+    on the full sf0.001 corpus."""
+    from layout_analysis_ray.functions.dedup import decontaminate_ngrams
+
+    def norm(df):
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    broad = norm(decontaminate_ngrams(SF).to_pandas())
+    dist = norm(decontaminate_ngrams(SF, broadcast_max_keys=-1).to_pandas())
+    pd.testing.assert_frame_equal(broad, dist)
+    assert len(broad) > 0
+
+
 def test_decontaminate_ngrams_planted(ray_session, tmp_path):
     """Planted contamination: shared 3-grams (and the short-doc fallback
     shingle) between chosen eval-digit and training-digit docs must come
@@ -163,11 +178,13 @@ def test_decontaminate_ngrams_planted(ray_session, tmp_path):
         ),
         str(tmp_path / "documents.parquet"),
     )
-    out = (
-        decontaminate_ngrams(str(tmp_path))
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
     want = {int(tr[0]): 1, int(tr[1]): 2, int(tr[3]): 1}
-    assert dict(zip(out["doc_id"], out["n_shared"])) == want
+    for max_keys in (None, -1):  # broadcast tier, then distributed tier
+        kw = {} if max_keys is None else {"broadcast_max_keys": max_keys}
+        out = (
+            decontaminate_ngrams(str(tmp_path), **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert dict(zip(out["doc_id"], out["n_shared"])) == want, max_keys
