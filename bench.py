@@ -331,7 +331,12 @@ def main() -> None:
         # This sandbox VM's effective CPU speed drifts ±30% over minutes
         # (virtualized host).  Interleave lo/hi rounds and take the best
         # time per level so both levels see comparable host conditions.
-        rep = int(os.environ.get("GRAFT_SCALE_REPLICATE", "100"))
+        # 400 -> ~2M docs: a ~15 s 16-CPU run is >35% fixed session
+        # overhead (actor spin-up, read planning, sink commit) which a
+        # multi-hour cluster job never sees; at 2M docs the overhead
+        # amortizes below 10% and the ratio measures streaming
+        # throughput.  Decomposition + evidence in BASELINE.md.
+        rep = int(os.environ.get("GRAFT_SCALE_REPLICATE", "400"))
         rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "2"))
         lo_runs, hi_runs = [], []
         for _ in range(rounds):
