@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": quantiles.events_value_quantiles,
         "events_value_median_by_type": quantiles.events_value_median_by_type,
         "events_value_quartile": quantiles.events_value_quartile,
+        "events_value_winsorized": quantiles.events_value_winsorized,
         "stratified_sample_by_lang": sampling.stratified_sample_by_lang,
     }
 
@@ -1186,6 +1187,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(qs.q_ppm AS BIGINT) AS q_ppm, r.c AS value_cents
             FROM qs, n, r
             WHERE r.rn = (CAST(qs.q_ppm AS BIGINT) * n.n + 999999) // 1000000
+        """,
+        "events_value_winsorized": """
+            -- cut ranks mirror quantiles.WINSOR_LO/HI_PPM (p05/p95,
+            -- rank = (q*n + 999999) // 1e6, 1-based kth smallest)
+            WITH v AS (SELECT event_id,
+                              CAST(round(value*100) AS BIGINT) AS c
+                       FROM events),
+            r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+            n AS (SELECT COUNT(*) AS n FROM v),
+            cuts AS (
+              SELECT
+                (SELECT c FROM r, n
+                 WHERE rn = (50000 * n.n + 999999) // 1000000) AS lo,
+                (SELECT c FROM r, n
+                 WHERE rn = (950000 * n.n + 999999) // 1000000) AS hi)
+            SELECT v.event_id, v.c AS value_cents,
+                   least(greatest(v.c, cuts.lo), cuts.hi) AS winsorized_cents
+            FROM v, cuts
         """,
         "events_value_median_interp_by_type": """
             WITH c AS (SELECT event_type,

@@ -194,6 +194,67 @@ def events_value_quantiles(sf_dir: str, qs_ppm=DEFAULT_QS_PPM) -> pa.Table:
 
     return _quantile_table(make_ds, qs_ppm)
 
+# winsorization cut ranks (p05 / p95), mirrored in the oracle SQL
+WINSOR_LO_PPM = 50_000
+WINSOR_HI_PPM = 950_000
+
+
+def events_value_winsorized(sf_dir: str) -> "object":
+    """Outlier clipping at exact p05/p95: every event row with its value
+    and the value clipped into [p05, p95] cents.
+
+    Scale shape: the two cut values come from the shared histogram-
+    narrowing machinery (<= ~3 streaming scans, no row sort, no row
+    shuffle); the clip itself is ONE map-only pass with the 16-byte cut
+    pair riding the task closure.  Total: zero shuffles at any scale.
+    """
+    import ray.data as rd
+
+    from .schema import ensure_schema
+
+    def make_ds():
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["value"]
+        ).map_batches(
+            lambda b: pa.table({"v": _cents(b["value"])}), batch_format="pyarrow"
+        )
+
+    stats = _min_max_count(make_ds)
+    n = stats[2]
+    ranks = {
+        q: (q * n + 999_999) // 1_000_000
+        for q in (WINSOR_LO_PPM, WINSOR_HI_PPM)
+    }
+    vals = kth_smallest(make_ds, sorted(set(ranks.values())), _stats=stats)
+    lo_cut = vals[ranks[WINSOR_LO_PPM]]
+    hi_cut = vals[ranks[WINSOR_HI_PPM]]
+
+    def clip(batch: pa.Table) -> pa.Table:
+        v = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "value_cents": pa.array(v, pa.int64()),
+                "winsorized_cents": pa.array(
+                    np.clip(v, lo_cut, hi_cut), pa.int64()
+                ),
+            }
+        )
+
+    return ensure_schema(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+        ).map_batches(clip, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("value_cents", pa.int64()),
+                ("winsorized_cents", pa.int64()),
+            ]
+        ),
+    )
+
+
 def _interp_quartiles(make_ds) -> pa.Table:
     """PERCENTILE_CONT / quantile_cont quartiles in EXACT integer
     arithmetic: position of quartile pq/4 over n rows is pos = (n-1) * pq

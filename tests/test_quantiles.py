@@ -238,3 +238,28 @@ def test_kth_smallest_property(ray_session, vals, data):
     sv = np.sort(arr)
     got = kth_smallest(_mk(arr), sorted(set(ranks)))
     assert got == {k: int(sv[k - 1]) for k in set(ranks)}
+
+
+def test_winsorize_reconciles_with_numpy(ray_session):
+    """The clip bounds must equal the rank-convention p05/p95 of the raw
+    cents, every row must be clipped into them, and in-range rows must
+    pass through untouched."""
+    from layout_analysis_ray.functions.numeric import cents_np
+    from layout_analysis_ray.functions.quantiles import events_value_winsorized
+
+    sf = "/root/testdata/sf0.001"
+    out = events_value_winsorized(sf).to_pandas()
+    import pyarrow.parquet as pq
+
+    raw = pq.read_table(f"{sf}/events.parquet", columns=["value"])
+    c = np.sort(cents_np(raw["value"].to_numpy(zero_copy_only=False)))
+    n = len(c)
+    lo = c[(50_000 * n + 999_999) // 1_000_000 - 1]
+    hi = c[(950_000 * n + 999_999) // 1_000_000 - 1]
+    w = out["winsorized_cents"].to_numpy()
+    v = out["value_cents"].to_numpy()
+    assert len(out) == n
+    assert w.min() == lo and w.max() == hi
+    inside = (v >= lo) & (v <= hi)
+    assert (w[inside] == v[inside]).all()
+    assert (w[v < lo] == lo).all() and (w[v > hi] == hi).all()
