@@ -742,14 +742,14 @@ def decontaminate_ngrams(
     (held-out benchmarks are tiny next to a training corpus, so the
     fast tier is the normal one):
 
-    - broadcast tier (eval rows <= ``broadcast_max_keys``): one pass
-      shingles ONLY eval docs and materializes their per-doc-distinct
-      key rows (8 B each, bounded by the cutover); the driver uniques
-      them into one sorted int64 array, ``ray.put`` once; a second pass
-      shingles ONLY training docs and counts searchsorted hits per doc
-      map-side.  ZERO shuffle — total tokenize/hash work identical to
-      the distributed tier (each doc is shingled exactly once either
-      way).
+    - broadcast tier (eval rows <= ``broadcast_max_keys``): the
+      cutover probe is a STREAMING count of per-doc-distinct eval key
+      rows (nothing pinned — a huge eval split costs one cheap scan to
+      detect, never an object-store flood); under the cutover the
+      eval-key scan re-executes and the driver uniques the rows
+      (bounded by the cutover) into one sorted int64 array, ``ray.put``
+      once; a pass over training docs counts searchsorted hits per doc
+      map-side.  ZERO shuffle.
     - distributed tier (huge eval split): distinct (shingle-key, doc_id,
       is_eval) rows — the key is the 60-bit md5 prefix of the shingle
       STRING (8 B/row; both engine and oracle group by the SAME key
@@ -773,11 +773,11 @@ def decontaminate_ngrams(
         _ids, _seg, key = _decon_doc_keys(batch, mask)
         return pa.table({"key": pa.array(key, pa.int64())})
 
-    keys_ds = (
-        _read_docs(sf_dir, ["doc_id", "text"])
-        .map_batches(eval_keys, batch_format="pyarrow")
-        .materialize()
+    keys_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        eval_keys, batch_format="pyarrow"
     )
+    # streaming probe: counts rows without pinning them; the collection
+    # below re-executes the (small by decision) eval-key scan
     if keys_ds.count() <= broadcast_max_keys:
         parts = [
             b["key"].to_numpy(zero_copy_only=False)

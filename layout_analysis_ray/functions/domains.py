@@ -23,7 +23,6 @@ CAP_PER_SOURCE = 10
 # literals in the domain_mix_sample oracle SQL.
 MIX_KEEP_PPM = {"src0": 1_000_000, "src1": 500_000, "src2": 250_000}
 MIX_DEFAULT_PPM = 125_000
-_U32_SPACE = 16**8
 
 
 def source_quality_report(sf_dir: str):
@@ -116,9 +115,8 @@ def domain_mix_sample(sf_dir: str, keep_ppm: dict | None = None):
     is a tiny dict captured in the task closure (broadcast once per
     worker, never per batch), zero shuffle at any scale.
     """
-    import pandas as pd
-
     from .hashing import id_hash_u32
+    from .sampling import HASH_DENOM
     from .schema import ensure_schema
 
     rates = dict(MIX_KEEP_PPM if keep_ppm is None else keep_ppm)
@@ -126,13 +124,14 @@ def domain_mix_sample(sf_dir: str, keep_ppm: dict | None = None):
     def prep(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ppm = (
-            pd.Series(batch["source"].to_pandas())
+            batch["source"]
+            .to_pandas()
             .map(rates)
             .fillna(MIX_DEFAULT_PPM)
             .to_numpy()
             .astype(np.int64)
         )
-        keep = id_hash_u32(ids) * 1_000_000 < ppm * _U32_SPACE
+        keep = id_hash_u32(ids) * 1_000_000 < ppm * HASH_DENOM
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),

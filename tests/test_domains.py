@@ -48,9 +48,9 @@ def test_domain_mix_rates_and_determinism(ray_session):
     from layout_analysis_ray.functions.domains import (
         MIX_DEFAULT_PPM,
         MIX_KEEP_PPM,
-        _U32_SPACE,
         domain_mix_sample,
     )
+    from layout_analysis_ray.functions.sampling import HASH_DENOM
     from layout_analysis_ray.functions.hashing import id_hash_u32
 
     out = domain_mix_sample(SF).to_pandas()
@@ -59,7 +59,7 @@ def test_domain_mix_rates_and_determinism(ray_session):
     ).to_pandas()
     rate = docs["source"].map(MIX_KEEP_PPM).fillna(MIX_DEFAULT_PPM)
     keep = id_hash_u32(docs["doc_id"].to_numpy()) * 1_000_000 < (
-        rate.to_numpy().astype("int64") * _U32_SPACE
+        rate.to_numpy().astype("int64") * HASH_DENOM
     )
     want = docs[keep].sort_values("doc_id").reset_index(drop=True)
     got = out.sort_values("doc_id").reset_index(drop=True)
