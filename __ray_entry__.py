@@ -292,6 +292,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_confusion": text.lang_confusion,
         "doc_length_histogram": text.doc_length_histogram,
         "doc_repetition_stats": text.repetition_stats,
+        "doc_bigram_top": text.bigram_top,
+        "source_token_jaccard": text.source_token_jaccard,
+        "doc_ntile_by_chars": text.ntile_by_chars,
         # corpus pipelines: cleaning chain + sequence packing
         "corpus_clean_keep": corpus.corpus_clean_keep,
         "pack_sequences": corpus.pack_sequences,
@@ -966,6 +969,46 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_histogram": """
             SELECT n_chars // 200 AS bin, CAST(COUNT(*) AS BIGINT) AS n
             FROM documents GROUP BY 1
+        """,
+        "doc_bigram_top": f"""
+            WITH t AS (
+              SELECT doc_id, unnest({_TOKS}) AS token,
+                     generate_subscripts({_TOKS}, 1) AS pos
+              FROM documents),
+            b AS (
+              SELECT a.token || ' ' || c.token AS bigram, COUNT(*) AS n
+              FROM t a JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1
+              GROUP BY 1),
+            r AS (
+              SELECT bigram, n,
+                     row_number() OVER (ORDER BY n DESC, bigram) AS rank
+              FROM b)
+            SELECT bigram, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 10
+        """,
+        "source_token_jaccard": f"""
+            WITH p AS (
+              SELECT DISTINCT source, unnest({_TOKS}) AS token FROM documents),
+            sz AS (SELECT source, COUNT(*) AS n FROM p GROUP BY 1),
+            i AS (
+              SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+              FROM p a JOIN p b ON a.token = b.token AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+                   CAST(sa.n + sb.n - inter AS BIGINT) AS uni,
+                   CAST((inter * 1000000) // (sa.n + sb.n - inter) AS BIGINT)
+                     AS jaccard_ppm
+            FROM i
+            JOIN sz sa ON sa.source = i.src_a
+            JOIN sz sb ON sb.source = i.src_b
+        """,
+        "doc_ntile_by_chars": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                     AS rank,
+                   CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                     AS tile
+            FROM documents
         """,
         "source_quality_report": f"""
             WITH lc AS (

@@ -167,6 +167,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_user_retention_hourly": windows.user_retention_hourly,
         "orders_above_cust_avg": rel.orders_above_cust_avg,
         "revenue_rollup": rel.revenue_rollup,
+        "doc_bigram_top": text.bigram_top,
+        "source_token_jaccard": text.source_token_jaccard,
+        "doc_ntile_by_chars": text.ntile_by_chars,
     }
     # One timed run per query, then a targeted second run for cold-start
     # outliers only: the first execution of a plan right after the 1M-doc

@@ -676,3 +676,255 @@ def doc_length_histogram(sf_dir: str):
         agg.map_batches(rename, batch_format="pyarrow"),
         pa.schema([("bin", pa.int64()), ("n", pa.int64())]),
     )
+
+
+BIGRAM_TOP_K = 10
+
+
+def bigram_top(sf_dir: str, k: int = BIGRAM_TOP_K):
+    """Global top-k adjacent-token bigrams by corpus frequency — the
+    collocation head a pretraining pipeline inspects (and the 2-gram
+    sibling of the 3-gram shingle kernel used by MinHash dedup).
+
+    Scale shape: one RE2 tokenizer pass per batch; bigrams are built from
+    two zero-copy slices of the flat token array (``binary_join_element_wise``
+    where both tokens share a parent row — the n=2 case of
+    ``shingles_from_tokens``); per-batch factorize/bincount partials, one
+    partial+global groupby over (bigram, n) rows, then per-block partial
+    top-k and a single tiny merge — the exchange never moves bigram
+    instances, only per-block distinct counts.
+    """
+    from .core import partial_then_global as _partial_then_global
+    from .schema import ensure_schema
+
+    _schema = pa.schema([("bigram", pa.string()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        parent, flat, _n = _flat_tokens_arrow(batch["text"])
+        m = len(flat)
+        if m < 2:
+            return _schema.empty_table()
+        t0, t1 = flat.slice(0, m - 1), flat.slice(1, m - 1)
+        pair = pc.binary_join_element_wise(t0, t1, " ")
+        valid = parent[: m - 1] == parent[1:]
+        pair = pair.filter(pa.array(valid))
+        if not len(pair):
+            return _schema.empty_table()
+        codes, uniq = pd.factorize(pair.to_numpy(zero_copy_only=False))
+        binc = np.bincount(codes)
+        return pa.table(
+            {
+                "bigram": pa.array(np.asarray(uniq, dtype=object), pa.string()),
+                "n": pa.array(binc.astype(np.int64)),
+            }
+        )
+
+    counts = _partial_then_global(
+        _read_docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow"),
+        ["bigram"],
+        ["n"],
+    )
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["n", "bigram"], ascending=[False, True]
+        )
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    def final_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["n", "bigram"], ascending=[False, True]
+        ).head(k).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ensure_schema(
+        counts.map_batches(block_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pyarrow"),
+        pa.schema(
+            [("bigram", pa.string()), ("n", pa.int64()), ("rank", pa.int64())]
+        ),
+    )
+
+
+def source_token_jaccard(sf_dir: str):
+    """Pairwise Jaccard similarity between the distinct-token vocabularies
+    of every two sources — the source-level set-similarity join a corpus
+    curator uses to spot mirrored / scraped-twice domains.
+
+    Scale shape: per-batch distinct (source, token) pairs, one multi-key
+    groupby to global-distinct them; intersections via a per-token
+    group-by that emits one (src_a, src_b) row per co-occurring source
+    pair (src_a < src_b) — the classic inverted-index similarity join, so
+    fan-out per token is |sources containing it| choose 2, never all-pairs
+    over the corpus.  Per-source vocabulary sizes ride a tiny side
+    aggregate joined on the driver (output is bounded by source-pair
+    count).  Partitioning assumption: the number of co-occurring sources
+    per token is modest (true for domain-level grouping; salt hot tokens
+    if a token spans millions of sources).
+
+    ``jaccard_ppm`` is exact integer: ``inter * 1_000_000 // union``
+    (non-negative, so floor == trunc — oracle-safe).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from .core import partial_then_global as _partial_then_global
+    from .schema import ensure_schema
+
+    _pair_schema = pa.schema([("source", pa.string()), ("token", pa.string())])
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        parent, toks, _n = _flat_tokens(batch["text"])
+        if not len(toks):
+            return _pair_schema.empty_table()
+        src = np.asarray(
+            batch["source"].to_numpy(zero_copy_only=False), dtype=object
+        )[parent]
+        df = pd.DataFrame({"source": src, "token": toks}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False).cast(_pair_schema)
+
+    pairs = (
+        _read_docs(sf_dir, ["source", "text"])
+        .map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Count())
+        .drop_columns(["count()"])
+    )
+    pairs = pairs.materialize()
+
+    sizes = {
+        r["source"]: r["count()"]
+        for r in pairs.groupby("source").aggregate(Count()).take_all()
+    }
+
+    def token_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.sort(g["source"].to_numpy())
+        if len(s) < 2:
+            return pd.DataFrame({"src_a": [], "src_b": [], "inter": []}).astype(
+                {"src_a": object, "src_b": object, "inter": np.int64}
+            )
+        ia, ib = np.triu_indices(len(s), 1)
+        return pd.DataFrame(
+            {"src_a": s[ia], "src_b": s[ib], "inter": np.ones(len(ia), np.int64)}
+        )
+
+    inter = _partial_then_global(
+        pairs.groupby("token").map_groups(token_pairs, batch_format="pandas"),
+        ["src_a", "src_b"],
+        ["inter"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        na = df["src_a"].map(sizes).to_numpy(dtype=np.int64)
+        nb = df["src_b"].map(sizes).to_numpy(dtype=np.int64)
+        it = df["inter"].to_numpy(dtype=np.int64)
+        uni = na + nb - it
+        df["uni"] = uni
+        df["jaccard_ppm"] = it * np.int64(1_000_000) // uni
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ensure_schema(
+        inter.map_batches(finish, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("src_a", pa.string()),
+                ("src_b", pa.string()),
+                ("inter", pa.int64()),
+                ("uni", pa.int64()),
+                ("jaccard_ppm", pa.int64()),
+            ]
+        ),
+    )
+
+
+NTILE_TILES = 4
+
+
+def ntile_by_chars(sf_dir: str, tiles: int = NTILE_TILES):
+    """Exact global rank and ntile bucket of every document ordered by
+    (n_chars, doc_id) — SQL's ``row_number()`` / ``ntile(k)`` window over
+    the whole corpus, WITHOUT a global row sort.
+
+    Scale shape: a per-value histogram (one partial+global groupby over
+    distinct n_chars values — bounded by value cardinality, not rows) is
+    pulled to the driver, turned into cumulative rank offsets, and
+    broadcast; each n_chars group then ranks its own docs locally
+    (groupby(n_chars).map_groups, sort by doc_id inside the group) and
+    adds its offset.  The only exchange is the value-keyed groupby; no
+    stage ever holds more than one value-group of rows.  Partitioning
+    assumption: distinct n_chars cardinality fits on the driver (it is a
+    histogram domain; bucket the key first if values are unbounded
+    floats) and no single value dominates the corpus (salt ties if one
+    does).
+
+    Tile assignment matches SQL NTILE exactly: with n rows and k tiles,
+    the first n % k tiles take ceil(n/k) rows.  Reads ONLY the
+    pre-computed ``n_chars`` column.
+    """
+    import pandas as pd
+
+    from .core import partial_then_global as _partial_then_global
+    from .schema import ensure_schema
+
+    def val_counts(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        import pandas as _pd
+
+        codes, uniq = _pd.factorize(v)
+        return pa.table(
+            {
+                "n_chars": pa.array(uniq.astype(np.int64)),
+                "cnt": pa.array(np.bincount(codes).astype(np.int64)),
+            }
+        )
+
+    docs = _read_docs(sf_dir, ["doc_id", "n_chars"])
+    hist = _partial_then_global(
+        docs.map_batches(val_counts, batch_format="pyarrow"), ["n_chars"], ["cnt"]
+    ).take_all()
+    hist.sort(key=lambda r: r["n_chars"])
+    vals = np.array([r["n_chars"] for r in hist], dtype=np.int64)
+    cnts = np.array([r["cnt"] for r in hist], dtype=np.int64)
+    offsets = dict(zip(vals.tolist(), (np.cumsum(cnts) - cnts).tolist()))
+    n_total = int(cnts.sum())
+    q, r = divmod(n_total, tiles) if n_total else (0, 0)
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        base = offsets[int(g["n_chars"].iloc[0])]
+        rank = base + np.arange(1, len(g) + 1, dtype=np.int64)
+        if q == 0:
+            tile = rank
+        else:
+            head = (q + 1) * r
+            tile = np.where(
+                rank <= head,
+                (rank - 1) // (q + 1) + 1,
+                r + (rank - 1 - head) // q + 1,
+            ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "n_chars": g["n_chars"].to_numpy(dtype=np.int64),
+                "rank": rank,
+                "tile": tile,
+            }
+        )
+
+    return ensure_schema(
+        docs.groupby("n_chars").map_groups(rank_group, batch_format="pandas"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_chars", pa.int64()),
+                ("rank", pa.int64()),
+                ("tile", pa.int64()),
+            ]
+        ),
+    )

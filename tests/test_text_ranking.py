@@ -1,0 +1,128 @@
+"""Unit gates for the round-4 ranking/collocation text operators that the
+sf0.001 parity gate can't fully exercise: the fixture has 500 docs (500 % 4
+== 0), so the SQL-NTILE remainder branch (first n % k tiles take one extra
+row) never runs there.  These tests use a 7-doc fixture (7 % 4 == 3) and
+compare bit-for-bit against DuckDB's own window functions."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def uneven_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("uneven")
+    texts = [
+        "the cat sat",
+        "the cat ran",
+        "a dog sat",
+        "",
+        "one",
+        "the cat sat on the mat",
+        "cat the cat",
+    ]
+    rows = [
+        {
+            "doc_id": i + 1,
+            "text": t,
+            "lang": "en",
+            "source": f"src{i % 3}",
+            "n_chars": len(t) if i != 5 else len(texts[0]),  # force a tie
+        }
+        for i, t in enumerate(texts)
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    return str(d)
+
+
+def _duck(sf_dir, sql):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con.sql(sql).df()
+
+
+def test_ntile_remainder_branch_matches_duckdb(ray_session, uneven_dir):
+    from layout_analysis_ray.functions.text import ntile_by_chars
+
+    got = (
+        ntile_by_chars(uneven_dir)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    exp = _duck(
+        uneven_dir,
+        """
+        SELECT doc_id, n_chars,
+               CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
+               CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+        FROM documents ORDER BY rank
+        """,
+    )
+    # 7 rows, 4 tiles -> tile sizes 2,2,2,1 (remainder branch live)
+    assert sorted(np.bincount(got["tile"])[1:].tolist(), reverse=True) == [2, 2, 2, 1]
+    for c in ("doc_id", "n_chars", "rank", "tile"):
+        assert got[c].tolist() == exp[c].tolist(), c
+
+
+def test_ntile_fewer_rows_than_tiles(ray_session, tmp_path):
+    """q == 0 degenerate: every row is its own tile (SQL NTILE semantics)."""
+    from layout_analysis_ray.functions.text import ntile_by_chars
+
+    rows = [
+        {"doc_id": i, "text": "x", "lang": "en", "source": "s", "n_chars": i}
+        for i in range(1, 3)
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet")
+    )
+    got = ntile_by_chars(str(tmp_path)).to_pandas().sort_values("rank")
+    assert got["tile"].tolist() == [1, 2]
+
+
+def test_bigram_top_counts_adjacent_pairs_only(ray_session, uneven_dir):
+    """The zero-copy slice kernel must not join tokens across document
+    boundaries, and empty / 1-token docs contribute nothing."""
+    from layout_analysis_ray.functions.text import bigram_top
+
+    got = bigram_top(uneven_dir).to_pandas()
+    exp = _duck(
+        uneven_dir,
+        """
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token,
+                 generate_subscripts(
+                   regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          FROM documents),
+        b AS (
+          SELECT a.token || ' ' || c.token AS bigram, COUNT(*) AS n
+          FROM t a JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1
+          GROUP BY 1),
+        r AS (SELECT bigram, n,
+                     row_number() OVER (ORDER BY n DESC, bigram) AS rank
+              FROM b)
+        SELECT bigram, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 10 ORDER BY rank
+        """,
+    )
+    got = got.sort_values("rank").reset_index(drop=True)
+    assert got["bigram"].tolist() == exp["bigram"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    # cross-doc pair "sat the" (doc1 end -> doc2 start) must be absent
+    assert "sat the" not in set(got["bigram"])
+
+
+def test_source_jaccard_symmetric_bounds(ray_session, uneven_dir):
+    from layout_analysis_ray.functions.text import source_token_jaccard
+
+    got = source_token_jaccard(uneven_dir).to_pandas()
+    # pairs are canonical (src_a < src_b), ppm in [0, 1e6]
+    assert (got["src_a"] < got["src_b"]).all()
+    assert ((got["jaccard_ppm"] >= 0) & (got["jaccard_ppm"] <= 1_000_000)).all()
+    assert (got["inter"] <= got["uni"]).all()
