@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_raster_dice": _eval_raster_dice,
         # relational operators
         "q1_pricing_summary": rel.q1_pricing_summary,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
         "q3_top_orders": rel.q3_top_orders,
         "q5_region_revenue": rel.q5_region_revenue,
         "part_type_stats": rel.part_type_stats,
@@ -295,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_top": text.bigram_top,
         "source_token_jaccard": text.source_token_jaccard,
         "doc_ntile_by_chars": text.ntile_by_chars,
+        "doc_oov_rate": text.oov_rate,
         # corpus pipelines: cleaning chain + sequence packing
         "corpus_clean_keep": corpus.corpus_clean_keep,
         "pack_sequences": corpus.pack_sequences,
@@ -366,6 +368,18 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(COALESCE(SUM(
+                     CAST(round(l_extendedprice*100) AS BIGINT)
+                     * CAST(round(l_discount*100) AS BIGINT)), 0) AS BIGINT)
+                     AS revenue_e4,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+              AND CAST(round(l_quantity*100) AS BIGINT) < 2400
         """,
         "q3_top_orders": """
             SELECT o_orderkey,
@@ -1009,6 +1023,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
                      AS tile
             FROM documents
+        """,
+        "doc_oov_rate": f"""
+            WITH t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+            c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY 1),
+            v AS (SELECT token FROM c ORDER BY n DESC, token LIMIT 16),
+            d AS (
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                     SUM(CASE WHEN token IN (SELECT token FROM v)
+                         THEN 0 ELSE 1 END) AS n_oov
+              FROM t GROUP BY 1)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_oov AS BIGINT) AS n_oov,
+                   CAST((n_oov * 1000000) // n_tokens AS BIGINT) AS oov_ppm
+            FROM d
         """,
         "source_quality_report": f"""
             WITH lc AS (

@@ -170,6 +170,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_bigram_top": text.bigram_top,
         "source_token_jaccard": text.source_token_jaccard,
         "doc_ntile_by_chars": text.ntile_by_chars,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "doc_oov_rate": text.oov_rate,
     }
     # One timed run per query, then a targeted second run for cold-start
     # outliers only: the first execution of a plan right after the 1M-doc

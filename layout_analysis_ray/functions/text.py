@@ -928,3 +928,101 @@ def ntile_by_chars(sf_dir: str, tiles: int = NTILE_TILES):
             ]
         ),
     )
+
+
+OOV_VOCAB_TOP_N = 16
+
+
+def oov_rate(sf_dir: str, vocab_top_n: int = OOV_VOCAB_TOP_N):
+    """Per-document out-of-vocabulary rate against the corpus's own top-N
+    token vocabulary — the tokenizer-coverage check a pretraining pipeline
+    runs before committing to a vocab (docs full of OOV tokens are noise
+    or wrong-language candidates).
+
+    Two passes.  Pass 1 builds the vocabulary: per-batch token-count
+    partials, one keyed groupby, then per-block partial top-N and a single
+    tiny merge (ties broken n DESC, token ASC) — the full distinct-token
+    table is never pulled to the driver.  Pass 2 is map-only: the N-row
+    vocabulary rides the task closure and each batch counts membership
+    with one Arrow ``is_in`` pass.  Docs with zero tokens emit no row
+    (matching SQL's unnest-then-group contract).
+
+    ``oov_ppm`` is exact integer: ``n_oov * 1_000_000 // n_tokens``.
+    """
+    from .core import partial_then_global as _partial_then_global
+    from .schema import ensure_schema
+
+    _cnt_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        _parent, toks, _n = _flat_tokens(batch["text"])
+        if not len(toks):
+            return _cnt_schema.empty_table()
+        codes, uniq = pd.factorize(toks)
+        return pa.table(
+            {
+                "token": pa.array(np.asarray(uniq, dtype=object), pa.string()),
+                "n": pa.array(np.bincount(codes).astype(np.int64)),
+            }
+        )
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    counts = _partial_then_global(
+        docs.map_batches(count_partial, batch_format="pyarrow"), ["token"], ["n"]
+    )
+
+    def block_topn(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["n", "token"], ascending=[False, True])
+        return pa.Table.from_pandas(df.head(vocab_top_n), preserve_index=False)
+
+    vocab_rows = (
+        counts.map_batches(block_topn, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(block_topn, batch_format="pyarrow")
+        .take_all()
+    )
+    vocab = pa.array(sorted(r["token"] for r in vocab_rows), pa.string())
+
+    def score(batch: pa.Table) -> pa.Table:
+        parent, toks_arr, _n = _flat_tokens_arrow(batch["text"])
+        if not len(toks_arr):
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_tokens", pa.int64()),
+                    ("n_oov", pa.int64()),
+                    ("oov_ppm", pa.int64()),
+                ]
+            ).empty_table()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oov = pc.invert(pc.is_in(toks_arr, value_set=vocab)).to_numpy(
+            zero_copy_only=False
+        )
+        n_rows = len(ids)
+        n_tok = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        n_oov = np.bincount(parent, weights=oov, minlength=n_rows).astype(np.int64)
+        has = n_tok > 0
+        ppm = np.zeros(n_rows, dtype=np.int64)
+        ppm[has] = n_oov[has] * np.int64(1_000_000) // n_tok[has]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[has]),
+                "n_tokens": pa.array(n_tok[has]),
+                "n_oov": pa.array(n_oov[has]),
+                "oov_ppm": pa.array(ppm[has]),
+            }
+        )
+
+    return ensure_schema(
+        docs.map_batches(score, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("n_oov", pa.int64()),
+                ("oov_ppm", pa.int64()),
+            ]
+        ),
+    )

@@ -128,6 +128,96 @@ def q1_pricing_summary(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q6-style: forecast revenue change (pure scan-side filter + scalar agg)
+# ---------------------------------------------------------------------------
+
+Q6_LO = "1996-01-01"
+Q6_HI = "1997-01-01"
+Q6_DISC_LO_C = 5  # discount cents, inclusive
+Q6_DISC_HI_C = 7
+Q6_QTY_MAX = 24  # strict upper bound
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: the all-filter scalar aggregate.  Every predicate
+    (ship year, discount band, quantity cap) is pushed into the parquet
+    scan, so row groups outside the year never leave storage; surviving
+    batches collapse to ONE (revenue, n) partial each and a single global
+    sum — zero shuffle, zero driver work beyond the final row.
+
+    ``revenue_e4`` is exact integer: price_cents x disc_cents (1e-4 dollar
+    units), matching the engine-wide cents convention."""
+    lo = np.datetime64(Q6_LO, "us")
+    hi = np.datetime64(Q6_HI, "us")
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        row_filter=(
+            (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)
+        ),
+    )
+
+    _schema = pa.schema([("revenue_e4", pa.int64()), ("n_rows", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_c = _cents(batch["l_discount"])
+        qty_c = _cents(batch["l_quantity"])
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+                pc.less(batch["l_shipdate"], pa.scalar(hi)),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(disc_c, pa.scalar(Q6_DISC_LO_C, pa.int64())),
+                    pc.less_equal(disc_c, pa.scalar(Q6_DISC_HI_C, pa.int64())),
+                ),
+                pc.less(qty_c, pa.scalar(Q6_QTY_MAX * 100, pa.int64())),
+            ),
+        )
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return _schema.empty_table()
+        rev = pc.sum(
+            pc.multiply(_cents(batch["l_extendedprice"]), _cents(batch["l_discount"]))
+        ).as_py()
+        return pa.table(
+            {
+                "revenue_e4": pa.array([rev], pa.int64()),
+                "n_rows": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    import ray.data as rd
+
+    # seed one (0, 0) row so the final aggregate emits exactly one row even
+    # when no lineitem survives the filters (SQL's SUM-over-empty contract)
+    seed = rd.from_arrow(
+        pa.table({"revenue_e4": pa.array([0], pa.int64()),
+                  "n_rows": pa.array([0], pa.int64())})
+    )
+    partials = ds.map_batches(partial, batch_format="pyarrow").union(seed)
+
+    def finish(b: pa.Table) -> pa.Table:
+        rev = pc.sum(b["revenue_e4"]).as_py() or 0
+        n = pc.sum(b["n_rows"]).as_py() or 0
+        return pa.table(
+            {
+                "revenue_e4": pa.array([rev], pa.int64()),
+                "n_rows": pa.array([n], pa.int64()),
+            }
+        )
+
+    from ..functions.schema import ensure_schema
+
+    return ensure_schema(
+        partials.repartition(1).map_batches(finish, batch_format="pyarrow"),
+        _schema,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q3-style: top unshipped orders (broadcast joins)
 # ---------------------------------------------------------------------------
 

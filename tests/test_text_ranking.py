@@ -126,3 +126,51 @@ def test_source_jaccard_symmetric_bounds(ray_session, uneven_dir):
     assert (got["src_a"] < got["src_b"]).all()
     assert ((got["jaccard_ppm"] >= 0) & (got["jaccard_ppm"] <= 1_000_000)).all()
     assert (got["inter"] <= got["uni"]).all()
+
+
+def test_q6_sum_over_empty_emits_one_zero_row(ray_session, tmp_path):
+    """SQL's SUM-over-empty contract: q6 must return exactly one (0, 0)
+    row when no lineitem survives the filters (the seed-row path)."""
+    import pandas as pd
+
+    from layout_analysis_ray.pipelines.relational import q6_forecast_revenue
+
+    t = pa.Table.from_pylist(
+        [
+            {
+                "l_shipdate": pd.Timestamp("1999-06-01"),  # outside the year
+                "l_discount": 0.06,
+                "l_quantity": 10.0,
+                "l_extendedprice": 1000.0,
+            }
+        ]
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    got = q6_forecast_revenue(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    assert got["revenue_e4"].iloc[0] == 0 and got["n_rows"].iloc[0] == 0
+
+
+def test_oov_rate_excludes_zero_token_docs(ray_session, tmp_path):
+    """Docs with no tokens emit no row (the oracle's unnest-then-group
+    contract), and OOV counting matches a hand computation."""
+    from layout_analysis_ray.functions.text import oov_rate
+
+    rows = [
+        {"doc_id": 1, "text": "aa aa bb", "lang": "en", "source": "s", "n_chars": 8},
+        {"doc_id": 2, "text": "", "lang": "en", "source": "s", "n_chars": 0},
+        {"doc_id": 3, "text": "aa zz", "lang": "en", "source": "s", "n_chars": 5},
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet")
+    )
+    got = (
+        oov_rate(str(tmp_path), vocab_top_n=1)  # vocab == {aa}
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [1, 3]  # doc 2 has no tokens
+    assert got["n_tokens"].tolist() == [3, 2]
+    assert got["n_oov"].tolist() == [1, 1]  # bb / zz are OOV
+    assert got["oov_ppm"].tolist() == [333333, 500000]
