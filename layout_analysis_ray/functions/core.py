@@ -40,3 +40,35 @@ def partial_then_global(ds, keys: list[str], sum_cols: list[str]):
     partials = ds.map_batches(partial, batch_format="pyarrow")
     aggs = [Sum(c, alias_name=c) for c in sum_cols]
     return partials.groupby(keys).aggregate(*aggs)
+
+
+def partial_topk(ds, sort_cols: list[str], ascending: list[bool], k: int,
+                 rank_col: str | None = None):
+    """Global top-k by (sort_cols, ascending) via per-block partial
+    selection: each block keeps its own top-k, a single tiny merge picks
+    the final k — the exchange moves at most k rows per block, never the
+    full table.  With ``rank_col``, the final rows get 1-based ranks in
+    sort order (SQL row_number tie-break = the sort itself)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    def block(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(sort_cols, ascending=ascending)
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    def final(b: pa.Table) -> pa.Table:
+        df = (
+            b.to_pandas()
+            .sort_values(sort_cols, ascending=ascending)
+            .head(k)
+            .reset_index(drop=True)
+        )
+        if rank_col is not None:
+            df[rank_col] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(block, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow")
+    )

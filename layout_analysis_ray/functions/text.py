@@ -91,6 +91,27 @@ def flat_shingles(col) -> tuple[np.ndarray, pa.Array, np.ndarray]:
     return shingles_from_tokens(parent, flat, n)
 
 
+def ngrams_from_tokens(
+    parent: np.ndarray, flat: pa.Array, n: int
+) -> tuple[np.ndarray, pa.Array]:
+    """Consecutive word n-grams for a whole batch from a pre-tokenized
+    ``_flat_tokens_arrow`` output — n zero-copy slices of the flat token
+    array joined element-wise, kept only where all n tokens share a parent
+    row (no cross-document joins).  Returns ``(seg, ngrams)``: ``seg[i]``
+    is the parent row of ``ngrams[i]``.  No short-row fallback — rows with
+    fewer than n tokens yield nothing (``shingles_from_tokens`` layers the
+    reference's 1-2-token fallback on top of this)."""
+    m = len(flat)
+    if m < n:
+        return np.empty(0, dtype=np.int64), pa.array([], pa.string())
+    w = m - n + 1
+    grams = pc.binary_join_element_wise(
+        *(flat.slice(i, w) for i in range(n)), " "
+    )
+    valid = parent[:w] == parent[n - 1 :]
+    return parent[:w][valid], grams.filter(pa.array(valid))
+
+
 def shingles_from_tokens(
     parent: np.ndarray, flat: pa.Array, n: int
 ) -> tuple[np.ndarray, pa.Array, np.ndarray]:
@@ -116,11 +137,9 @@ def shingles_from_tokens(
     seg_parts: list[np.ndarray] = []
     sh_parts: list[pa.Array] = []
     if m >= 3:
-        t0, t1, t2 = flat.slice(0, m - 2), flat.slice(1, m - 2), flat.slice(2, m - 2)
-        tri = pc.binary_join_element_wise(t0, t1, t2, " ")
-        valid = parent[: m - 2] == parent[2:]
-        seg_parts.append(parent[: m - 2][valid])
-        sh_parts.append(tri.filter(pa.array(valid)))
+        tri_seg, tri = ngrams_from_tokens(parent, flat, 3)
+        seg_parts.append(tri_seg)
+        sh_parts.append(tri)
     small = np.nonzero((ntok >= 1) & (ntok <= 2))[0]
     if small.size:
         starts = (np.cumsum(ntok) - ntok)[small]
@@ -686,16 +705,15 @@ def bigram_top(sf_dir: str, k: int = BIGRAM_TOP_K):
     collocation head a pretraining pipeline inspects (and the 2-gram
     sibling of the 3-gram shingle kernel used by MinHash dedup).
 
-    Scale shape: one RE2 tokenizer pass per batch; bigrams are built from
-    two zero-copy slices of the flat token array (``binary_join_element_wise``
-    where both tokens share a parent row — the n=2 case of
-    ``shingles_from_tokens``); per-batch factorize/bincount partials, one
-    partial+global groupby over (bigram, n) rows, then per-block partial
-    top-k and a single tiny merge — the exchange never moves bigram
-    instances, only per-block distinct counts.
+    Scale shape: one RE2 tokenizer pass per batch; bigrams come from
+    ``ngrams_from_tokens`` (n=2: two zero-copy slices of the flat token
+    array, same-parent mask — shared with the MinHash shingle kernel);
+    per-batch factorize/bincount partials, one partial+global groupby
+    over (bigram, n) rows, then ``partial_topk`` — the exchange never
+    moves bigram instances, only per-block distinct counts.
     """
     from .core import partial_then_global as _partial_then_global
-    from .schema import ensure_schema
+    from .core import partial_topk as _partial_topk
 
     _schema = pa.schema([("bigram", pa.string()), ("n", pa.int64())])
 
@@ -703,13 +721,7 @@ def bigram_top(sf_dir: str, k: int = BIGRAM_TOP_K):
         import pandas as pd
 
         parent, flat, _n = _flat_tokens_arrow(batch["text"])
-        m = len(flat)
-        if m < 2:
-            return _schema.empty_table()
-        t0, t1 = flat.slice(0, m - 1), flat.slice(1, m - 1)
-        pair = pc.binary_join_element_wise(t0, t1, " ")
-        valid = parent[: m - 1] == parent[1:]
-        pair = pair.filter(pa.array(valid))
+        _seg, pair = ngrams_from_tokens(parent, flat, 2)
         if not len(pair):
             return _schema.empty_table()
         codes, uniq = pd.factorize(pair.to_numpy(zero_copy_only=False))
@@ -727,27 +739,17 @@ def bigram_top(sf_dir: str, k: int = BIGRAM_TOP_K):
         ["n"],
     )
 
-    def block_topk(b: pa.Table) -> pa.Table:
-        df = b.to_pandas().sort_values(
-            ["n", "bigram"], ascending=[False, True]
-        )
-        return pa.Table.from_pandas(df.head(k), preserve_index=False)
-
-    def final_topk(b: pa.Table) -> pa.Table:
-        df = b.to_pandas().sort_values(
-            ["n", "bigram"], ascending=[False, True]
-        ).head(k).reset_index(drop=True)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return ensure_schema(
-        counts.map_batches(block_topk, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(final_topk, batch_format="pyarrow"),
-        pa.schema(
-            [("bigram", pa.string()), ("n", pa.int64()), ("rank", pa.int64())]
-        ),
+    # the top-k RESULT is k rows by definition: materialize it as a TYPED
+    # pyarrow.Table (a fully-empty Ray Dataset loses its schema in
+    # to_pandas/take_all, so a bigram-less corpus would otherwise yield a
+    # column-less frame; pa.Table keeps the schema even at 0 rows)
+    out_schema = pa.schema(
+        [("bigram", pa.string()), ("n", pa.int64()), ("rank", pa.int64())]
     )
+    rows = _partial_topk(
+        counts, ["n", "bigram"], [False, True], k, rank_col="rank"
+    ).take_all()
+    return pa.Table.from_pylist(rows, schema=out_schema)
 
 
 def source_token_jaccard(sf_dir: str):
@@ -756,15 +758,19 @@ def source_token_jaccard(sf_dir: str):
     curator uses to spot mirrored / scraped-twice domains.
 
     Scale shape: per-batch distinct (source, token) pairs, one multi-key
-    groupby to global-distinct them; intersections via a per-token
-    group-by that emits one (src_a, src_b) row per co-occurring source
-    pair (src_a < src_b) — the classic inverted-index similarity join, so
-    fan-out per token is |sources containing it| choose 2, never all-pairs
-    over the corpus.  Per-source vocabulary sizes ride a tiny side
-    aggregate joined on the driver (output is bounded by source-pair
-    count).  Partitioning assumption: the number of co-occurring sources
-    per token is modest (true for domain-level grouping; salt hot tokens
-    if a token spans millions of sources).
+    groupby to global-distinct them; intersections via a token-HASH-
+    bucketed group stage (crc32(token) % 64 — NOT one Python call per
+    token) whose kernel is vectorized across every token in the bucket:
+    lexsort by token, segment boundaries via np.unique, and one
+    triu-template broadcast per distinct SEGMENT SIZE (bounded by source
+    cardinality, not token count) emits one (src_a, src_b) row per
+    co-occurring source pair (src_a < src_b) — the classic inverted-index
+    similarity join, so fan-out per token is |sources containing it|
+    choose 2, never all-pairs over the corpus.  Per-source vocabulary
+    sizes ride a tiny side aggregate joined on the driver (output is
+    bounded by source-pair count).  Partitioning assumption: the number
+    of co-occurring sources per token is modest (true for domain-level
+    grouping; salt hot tokens if a token spans millions of sources).
 
     ``jaccard_ppm`` is exact integer: ``inter * 1_000_000 // union``
     (non-negative, so floor == trunc — oracle-safe).
@@ -774,7 +780,6 @@ def source_token_jaccard(sf_dir: str):
     from ray.data.aggregate import Count
 
     from .core import partial_then_global as _partial_then_global
-    from .schema import ensure_schema
 
     _pair_schema = pa.schema([("source", pa.string()), ("token", pa.string())])
 
@@ -802,19 +807,60 @@ def source_token_jaccard(sf_dir: str):
         for r in pairs.groupby("source").aggregate(Count()).take_all()
     }
 
-    def token_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        s = np.sort(g["source"].to_numpy())
-        if len(s) < 2:
-            return pd.DataFrame({"src_a": [], "src_b": [], "inter": []}).astype(
-                {"src_a": object, "src_b": object, "inter": np.int64}
-            )
-        ia, ib = np.triu_indices(len(s), 1)
-        return pd.DataFrame(
-            {"src_a": s[ia], "src_b": s[ib], "inter": np.ones(len(ia), np.int64)}
+    _EMPTY_PAIRS = pd.DataFrame(
+        {
+            "src_a": pd.array([], dtype="string"),
+            "src_b": pd.array([], dtype="string"),
+            "inter": pd.array([], dtype="int64"),
+        }
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        import zlib
+
+        toks = b["token"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket",
+            pa.array([zlib.crc32(t.encode()) % 64 for t in toks], pa.int64()),
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across ALL tokens in the bucket: one lexsort, segment
+        # offsets via np.unique, one triu template per distinct segment
+        # size (sizes are bounded by source cardinality, so this inner
+        # loop is over sizes, never tokens)
+        tok = g["token"].to_numpy()
+        src = g["source"].to_numpy()
+        order = np.lexsort((src, tok))
+        tok, src = tok[order], src[order]
+        _, starts, counts = np.unique(tok, return_index=True, return_counts=True)
+        out_a, out_b = [], []
+        for s in np.unique(counts):
+            if s < 2:
+                continue
+            ia, ib = np.triu_indices(int(s), 1)
+            st = starts[counts == s]
+            out_a.append(src[(st[:, None] + ia[None, :]).ravel()])
+            out_b.append(src[(st[:, None] + ib[None, :]).ravel()])
+        if not out_a:
+            # typed empty: an untyped empty frame degrades to a column-less
+            # Arrow block and poisons the downstream schema
+            return _EMPTY_PAIRS
+        a = np.concatenate(out_a)
+        bb = np.concatenate(out_b)
+        df = pd.DataFrame({"src_a": a, "src_b": bb})
+        # in-bucket partial combine: one row per distinct pair per bucket
+        return (
+            df.groupby(["src_a", "src_b"], sort=False)
+            .size()
+            .rename("inter")
+            .reset_index()
         )
 
     inter = _partial_then_global(
-        pairs.groupby("token").map_groups(token_pairs, batch_format="pandas"),
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas"),
         ["src_a", "src_b"],
         ["inter"],
     )
@@ -829,18 +875,22 @@ def source_token_jaccard(sf_dir: str):
         df["jaccard_ppm"] = it * np.int64(1_000_000) // uni
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    return ensure_schema(
-        inter.map_batches(finish, batch_format="pyarrow"),
-        pa.schema(
-            [
-                ("src_a", pa.string()),
-                ("src_b", pa.string()),
-                ("inter", pa.int64()),
-                ("uni", pa.int64()),
-                ("jaccard_ppm", pa.int64()),
-            ]
-        ),
+    # the result is bounded by source-pair count (documented above):
+    # materialize it as a TYPED pyarrow.Table so corpora where no two
+    # sources share a token (or with a single source) still yield the
+    # typed empty the oracle produces — a fully-empty Ray Dataset loses
+    # its schema in to_pandas/take_all.
+    out_schema = pa.schema(
+        [
+            ("src_a", pa.string()),
+            ("src_b", pa.string()),
+            ("inter", pa.int64()),
+            ("uni", pa.int64()),
+            ("jaccard_ppm", pa.int64()),
+        ]
     )
+    rows = inter.map_batches(finish, batch_format="pyarrow").take_all()
+    return pa.Table.from_pylist(rows, schema=out_schema)
 
 
 NTILE_TILES = 4
@@ -884,16 +934,34 @@ def ntile_by_chars(sf_dir: str, tiles: int = NTILE_TILES):
             }
         )
 
-    docs = _read_docs(sf_dir, ["doc_id", "n_chars"])
+    # histogram pass scans ONLY n_chars; the ranking pass re-reads with
+    # doc_id (two pruned scans beat dragging doc_id through the first)
     hist = _partial_then_global(
-        docs.map_batches(val_counts, batch_format="pyarrow"), ["n_chars"], ["cnt"]
+        _read_docs(sf_dir, ["n_chars"]).map_batches(
+            val_counts, batch_format="pyarrow"
+        ),
+        ["n_chars"],
+        ["cnt"],
     ).take_all()
+    docs = _read_docs(sf_dir, ["doc_id", "n_chars"])
     hist.sort(key=lambda r: r["n_chars"])
     vals = np.array([r["n_chars"] for r in hist], dtype=np.int64)
     cnts = np.array([r["cnt"] for r in hist], dtype=np.int64)
     offsets = dict(zip(vals.tolist(), (np.cumsum(cnts) - cnts).tolist()))
     n_total = int(cnts.sum())
-    q, r = divmod(n_total, tiles) if n_total else (0, 0)
+    _out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_chars", pa.int64()),
+            ("rank", pa.int64()),
+            ("tile", pa.int64()),
+        ]
+    )
+    if n_total == 0:
+        # typed empty short-circuit (a fully-empty Ray Dataset loses its
+        # schema in to_pandas/take_all; pa.Table keeps it)
+        return _out_schema.empty_table()
+    q, r = divmod(n_total, tiles)
 
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id").reset_index(drop=True)
@@ -919,14 +987,7 @@ def ntile_by_chars(sf_dir: str, tiles: int = NTILE_TILES):
 
     return ensure_schema(
         docs.groupby("n_chars").map_groups(rank_group, batch_format="pandas"),
-        pa.schema(
-            [
-                ("doc_id", pa.int64()),
-                ("n_chars", pa.int64()),
-                ("rank", pa.int64()),
-                ("tile", pa.int64()),
-            ]
-        ),
+        _out_schema,
     )
 
 
@@ -968,34 +1029,39 @@ def oov_rate(sf_dir: str, vocab_top_n: int = OOV_VOCAB_TOP_N):
             }
         )
 
-    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    from .core import partial_topk as _partial_topk
+
+    # vocab pass scans ONLY text; the scoring pass re-reads with doc_id
     counts = _partial_then_global(
-        docs.map_batches(count_partial, batch_format="pyarrow"), ["token"], ["n"]
+        _read_docs(sf_dir, ["text"]).map_batches(
+            count_partial, batch_format="pyarrow"
+        ),
+        ["token"],
+        ["n"],
     )
-
-    def block_topn(b: pa.Table) -> pa.Table:
-        df = b.to_pandas().sort_values(["n", "token"], ascending=[False, True])
-        return pa.Table.from_pandas(df.head(vocab_top_n), preserve_index=False)
-
-    vocab_rows = (
-        counts.map_batches(block_topn, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(block_topn, batch_format="pyarrow")
-        .take_all()
+    vocab_rows = _partial_topk(
+        counts, ["n", "token"], [False, True], vocab_top_n
+    ).take_all()
+    _out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("n_oov", pa.int64()),
+            ("oov_ppm", pa.int64()),
+        ]
     )
+    if not vocab_rows:
+        # empty vocab <=> zero tokens anywhere <=> zero output rows; short-
+        # circuit with a TYPED empty pa.Table (a fully-empty Ray Dataset
+        # loses its schema in to_pandas/take_all)
+        return _out_schema.empty_table()
     vocab = pa.array(sorted(r["token"] for r in vocab_rows), pa.string())
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
 
     def score(batch: pa.Table) -> pa.Table:
         parent, toks_arr, _n = _flat_tokens_arrow(batch["text"])
         if not len(toks_arr):
-            return pa.schema(
-                [
-                    ("doc_id", pa.int64()),
-                    ("n_tokens", pa.int64()),
-                    ("n_oov", pa.int64()),
-                    ("oov_ppm", pa.int64()),
-                ]
-            ).empty_table()
+            return _out_schema.empty_table()
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         oov = pc.invert(pc.is_in(toks_arr, value_set=vocab)).to_numpy(
             zero_copy_only=False
@@ -1016,13 +1082,5 @@ def oov_rate(sf_dir: str, vocab_top_n: int = OOV_VOCAB_TOP_N):
         )
 
     return ensure_schema(
-        docs.map_batches(score, batch_format="pyarrow"),
-        pa.schema(
-            [
-                ("doc_id", pa.int64()),
-                ("n_tokens", pa.int64()),
-                ("n_oov", pa.int64()),
-                ("oov_ppm", pa.int64()),
-            ]
-        ),
+        docs.map_batches(score, batch_format="pyarrow"), _out_schema
     )

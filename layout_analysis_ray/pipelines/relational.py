@@ -149,12 +149,19 @@ def q6_forecast_revenue(sf_dir: str):
     units), matching the engine-wide cents convention."""
     lo = np.datetime64(Q6_LO, "us")
     hi = np.datetime64(Q6_HI, "us")
+    # the discount/quantity cents cuts are EXACTLY pushable: under
+    # half-away-from-zero cents rounding, cents(x) in [5, 7] <=> x in
+    # [0.045, 0.075) and cents(q) < 2400 <=> q < 23.995 for every double
     ds = _read(
         sf_dir,
         "lineitem",
         columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
         row_filter=(
-            (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)
+            (pads.field("l_shipdate") >= lo)
+            & (pads.field("l_shipdate") < hi)
+            & (pads.field("l_discount") >= 0.045)
+            & (pads.field("l_discount") < 0.075)
+            & (pads.field("l_quantity") < 23.995)
         ),
     )
 

@@ -174,3 +174,58 @@ def test_oov_rate_excludes_zero_token_docs(ray_session, tmp_path):
     assert got["n_tokens"].tolist() == [3, 2]
     assert got["n_oov"].tolist() == [1, 1]  # bb / zz are OOV
     assert got["oov_ppm"].tolist() == [333333, 500000]
+
+
+def test_degenerate_corpora_keep_typed_schemas(ray_session, tmp_path):
+    """A fully-empty Ray Dataset loses its schema in to_pandas/take_all
+    (Ray skips map UDFs on empty blocks), so the operators whose results
+    are driver-bounded return typed pyarrow Tables — the driver's
+    column-name comparison must see the oracle's columns even when the
+    result is empty."""
+    from layout_analysis_ray.functions.text import (
+        bigram_top,
+        ntile_by_chars,
+        oov_rate,
+        source_token_jaccard,
+    )
+
+    single = tmp_path / "single"
+    single.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"doc_id": 1, "text": "aa", "lang": "en", "source": "s", "n_chars": 2}]
+        ),
+        str(single / "documents.parquet"),
+    )
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(
+            [],
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("text", pa.string()),
+                    ("lang", pa.string()),
+                    ("source", pa.string()),
+                    ("n_chars", pa.int64()),
+                ]
+            ),
+        ),
+        str(empty / "documents.parquet"),
+    )
+
+    def cols(res):
+        # pa.Table and ray Dataset both expose to_pandas
+        return res.to_pandas().columns.tolist()
+
+    assert cols(source_token_jaccard(str(single))) == [
+        "src_a", "src_b", "inter", "uni", "jaccard_ppm",
+    ]
+    assert cols(bigram_top(str(single))) == ["bigram", "n", "rank"]
+    assert cols(ntile_by_chars(str(empty))) == [
+        "doc_id", "n_chars", "rank", "tile",
+    ]
+    assert cols(oov_rate(str(empty))) == [
+        "doc_id", "n_tokens", "n_oov", "oov_ppm",
+    ]
