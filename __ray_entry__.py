@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_report": domains.source_quality_report,
         "cap_docs_per_source": domains.cap_docs_per_source,
         "domain_mix_sample": domains.domain_mix_sample,
+        "domain_mix_repeat": domains.domain_mix_repeat,
         # similarity search
         "embedding_knn": similarity.knn_brute,
         "embedding_neardup_pairs": similarity.neardup_pairs,
@@ -1104,6 +1105,29 @@ def oracle_sql() -> dict[str, str]:
                                WHEN 'src1' THEN 500000
                                WHEN 'src2' THEN 250000
                                ELSE 125000 END) * CAST(4294967296 AS BIGINT)
+        """,
+        "domain_mix_repeat": """
+            -- n_copies = rate//1e6 + (hash_u32 * 10^6 < (rate % 1e6) * 2^32)
+            -- (exact integers; rates mirror functions/domains.py
+            --  MIX_REPEAT_PPM/_DEFAULT)
+            WITH r AS (
+              SELECT doc_id, source,
+                     (CASE source WHEN 'src0' THEN 3000000
+                                  WHEN 'src1' THEN 1500000
+                                  ELSE 1000000 END) AS ppm
+              FROM documents),
+            c AS (
+              SELECT doc_id, source,
+                     ppm // 1000000
+                     + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) * 1000000
+                            < (ppm % 1000000) * CAST(4294967296 AS BIGINT)
+                       THEN 1 ELSE 0 END AS n_copies
+              FROM r)
+            SELECT doc_id, source,
+                   CAST(unnest(generate_series(1, CAST(n_copies AS BIGINT)))
+                        AS BIGINT) AS copy_idx
+            FROM c
         """,
         "doc_repetition_stats": f"""
             -- thresholds mirror functions/text.py REP_*_MAX_PPM

@@ -202,3 +202,72 @@ def cap_docs_per_source(sf_dir: str, k: int = CAP_PER_SOURCE):
             ]
         ),
     )
+
+
+# Upsampling rates in ppm-of-copies (the >1x counterpart of MIX_KEEP_PPM:
+# e.g. 3_000_000 = every doc 3x, 1_500_000 = 1x plus a deterministic half
+# of the docs get a 2nd copy).  Mirrored as literals in the
+# domain_mix_repeat oracle SQL.
+MIX_REPEAT_PPM = {"src0": 3_000_000, "src1": 1_500_000}
+MIX_REPEAT_DEFAULT_PPM = 1_000_000
+
+
+def domain_mix_repeat(sf_dir: str, repeat_ppm: dict | None = None):
+    """Domain upsampling: emit each doc ``floor(rate)`` times plus one
+    more copy iff the deterministic id-hash u32 falls under the
+    fractional part (``hash_u32 * 10^6 < (rate_ppm % 10^6) * 2^32``,
+    exact integers) — the epoch-mix expansion a pretraining run uses to
+    repeat high-value domains (e.g. Wikipedia 3x) while streaming.  A
+    rerun, a different batch size, or a different node count emits the
+    identical (doc_id, copy_idx) multiset.
+
+    Scale shape: map-only over a two-column pruned read; the rate table
+    rides the task closure; copies are materialized per batch with one
+    ``np.repeat`` + arange-offset kernel (no Python loop), zero shuffle.
+    Output (doc_id, source, copy_idx), copy_idx 1..n_copies.
+    """
+    import numpy as np
+
+    from .hashing import id_hash_u32
+    from .sampling import HASH_DENOM
+    from .schema import ensure_schema
+
+    rates = dict(MIX_REPEAT_PPM if repeat_ppm is None else repeat_ppm)
+
+    _schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()), ("copy_idx", pa.int64())]
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ppm = (
+            batch["source"]
+            .to_pandas()
+            .map(rates)
+            .fillna(MIX_REPEAT_DEFAULT_PPM)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        extra = id_hash_u32(ids) * 1_000_000 < (ppm % 1_000_000) * HASH_DENOM
+        n_copies = ppm // 1_000_000 + extra.astype(np.int64)
+        total = int(n_copies.sum())
+        if total == 0:
+            return _schema.empty_table()
+        row_idx = np.repeat(np.arange(len(ids), dtype=np.int64), n_copies)
+        offsets = np.cumsum(n_copies) - n_copies
+        copy_idx = np.arange(total, dtype=np.int64) - offsets[row_idx] + 1
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[row_idx], pa.int64()),
+                "source": pa.array(src[row_idx], pa.string()),
+                "copy_idx": pa.array(copy_idx, pa.int64()),
+            }
+        )
+
+    return ensure_schema(
+        _read_docs(sf_dir, ["doc_id", "source"]).map_batches(
+            expand, batch_format="pyarrow"
+        ),
+        _schema,
+    )

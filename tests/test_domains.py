@@ -124,3 +124,43 @@ def test_source_unique_sketch_accuracy(ray_session):
     for s in exact.index:
         lo, hi = exact[s] * 0.9 - 2, exact[s] * 1.1 + 2
         assert lo <= approx[s] <= hi, (s, exact[s], approx[s])
+
+
+def test_domain_mix_repeat_fractional_and_batch_invariant(ray_session, tmp_path):
+    """Upsampling: floor copies for everyone, the fractional extra copy
+    decided by the id-hash predicate — and the emitted multiset must not
+    depend on batch boundaries (row_group_size=1 forces many batches)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.domains import domain_mix_repeat
+    from layout_analysis_ray.functions.hashing import id_hash_u32
+    from layout_analysis_ray.functions.sampling import HASH_DENOM
+
+    rows = [
+        {"doc_id": i, "text": "x", "lang": "en", "source": "s", "n_chars": 1}
+        for i in range(1, 41)
+    ]
+    t = pa.Table.from_pylist(rows)
+    pq.write_table(t, str(tmp_path / "documents.parquet"), row_group_size=1)
+
+    rates = {"s": 2_500_000}  # 2.5x
+    got = (
+        domain_mix_repeat(str(tmp_path), repeat_ppm=rates)
+        .to_pandas()
+        .sort_values(["doc_id", "copy_idx"])
+        .reset_index(drop=True)
+    )
+    ids = np.arange(1, 41, dtype=np.int64)
+    extra = id_hash_u32(ids) * 1_000_000 < 500_000 * HASH_DENOM
+    exp_copies = 2 + extra.astype(int)
+    counts = got.groupby("doc_id").size()
+    assert counts.reindex(ids).to_numpy().tolist() == exp_copies.tolist()
+    # copy_idx is 1..n per doc
+    assert (
+        got.groupby("doc_id")["copy_idx"].max().to_numpy() == exp_copies
+    ).all()
+    assert (got.groupby("doc_id")["copy_idx"].min() == 1).all()
+    # some docs must actually differ (2 vs 3) for the test to bite
+    assert 0 < extra.sum() < 40
