@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": windows.moving_avg,
         "events_range_sum_1h": windows.range_sum_1h,
         "events_user_retention_hourly": windows.user_retention_hourly,
+        "events_percent_rank_by_type": windows.percent_rank_by_type,
         "events_asof_last_purchase": windows.asof_last_purchase,
         "events_range_join_purchase": windows.range_join_after_purchase,
         # time-range-salted variants (hot-key path): same results, bounded
@@ -297,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_jaccard": text.source_token_jaccard,
         "doc_ntile_by_chars": text.ntile_by_chars,
         "doc_oov_rate": text.oov_rate,
+        "vocab_freq_spectrum": text.vocab_freq_spectrum,
         # corpus pipelines: cleaning chain + sequence packing
         "corpus_clean_keep": corpus.corpus_clean_keep,
         "pack_sequences": corpus.pack_sequences,
@@ -1024,6 +1026,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
                      AS tile
             FROM documents
+        """,
+        "vocab_freq_spectrum": f"""
+            WITH t AS (SELECT unnest({_TOKS}) AS token FROM documents),
+            c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY 1)
+            SELECT CAST(n AS BIGINT) AS occurrences,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM c GROUP BY 1
+        """,
+        "events_percent_rank_by_type": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(round(value*100) AS BIGINT) AS value_cents
+              FROM events),
+            r AS (
+              SELECT event_id, event_type, value_cents,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value_cents, event_id) AS rank,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM c)
+            SELECT event_id, event_type, value_cents,
+                   CAST(rank AS BIGINT) AS rank,
+                   CAST(CASE WHEN n > 1
+                        THEN ((rank - 1) * 1000000) // (n - 1)
+                        ELSE 0 END AS BIGINT) AS prank_ppm
+            FROM r
         """,
         "doc_oov_rate": f"""
             WITH t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),

@@ -1084,3 +1084,65 @@ def oov_rate(sf_dir: str, vocab_top_n: int = OOV_VOCAB_TOP_N):
     return ensure_schema(
         docs.map_batches(score, batch_format="pyarrow"), _out_schema
     )
+
+
+def vocab_freq_spectrum(sf_dir: str):
+    """Frequency-of-frequencies of the corpus vocabulary: for each
+    occurrence count, how many distinct tokens occur exactly that often —
+    the Zipf spectrum a tokenizer-fit / Good-Turing smoothing step reads.
+
+    Scale shape: per-batch token-count partials → one keyed groupby to
+    exact global counts (one row per distinct token, never token
+    instances), then a second tiny groupby over the counts themselves
+    (output bounded by the number of DISTINCT frequencies, ~O(sqrt(corpus
+    tokens)) by Zipf's law).  Zero driver work beyond the final rows."""
+    from ray.data.aggregate import Count
+
+    from .core import partial_then_global as _partial_then_global
+    from .schema import ensure_schema
+
+    _cnt_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        _parent, toks, _n = _flat_tokens(batch["text"])
+        if not len(toks):
+            return _cnt_schema.empty_table()
+        codes, uniq = pd.factorize(toks)
+        return pa.table(
+            {
+                "token": pa.array(np.asarray(uniq, dtype=object), pa.string()),
+                "n": pa.array(np.bincount(codes).astype(np.int64)),
+            }
+        )
+
+    counts = _partial_then_global(
+        _read_docs(sf_dir, ["text"]).map_batches(
+            count_partial, batch_format="pyarrow"
+        ),
+        ["token"],
+        ["n"],
+    )
+
+    def to_occ(b: pa.Table) -> pa.Table:
+        return pa.table({"occurrences": pc.cast(b["n"], pa.int64())})
+
+    spectrum = (
+        counts.map_batches(to_occ, batch_format="pyarrow")
+        .groupby("occurrences")
+        .aggregate(Count())
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "occurrences": pc.cast(b["occurrences"], pa.int64()),
+                "n_tokens": pc.cast(b["count()"], pa.int64()),
+            }
+        )
+
+    return ensure_schema(
+        spectrum.map_batches(rename, batch_format="pyarrow"),
+        pa.schema([("occurrences", pa.int64()), ("n_tokens", pa.int64())]),
+    )

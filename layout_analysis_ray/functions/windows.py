@@ -1360,3 +1360,105 @@ def top_sessions_by_value(sf_dir: str, k: int = TOP_SESSIONS_K):
         partials.groupby("__g").map_groups(final, batch_format="pandas"),
         _TOP_SESSION_SCHEMA,
     )
+
+
+def percent_rank_by_type(sf_dir: str):
+    """Per-partition ``row_number()`` / ``percent_rank()`` over every
+    event, partitioned by event_type and ordered by (value_cents,
+    event_id) — the full grouped-window rank, emitted for EVERY row
+    without a global (or even per-partition) row sort.
+
+    Scale shape: same histogram-offset technique as doc_ntile_by_chars,
+    generalized per partition — a (type, cents) value-count histogram
+    (one partial+global groupby, bounded by type x cents-domain
+    cardinality, not rows) is pulled to the driver, turned into per-type
+    cumulative rank offsets, and rides the task closure; each
+    (type, cents) group then ranks its own rows locally by event_id and
+    adds its offset.  Partitioning assumption: distinct (type, cents)
+    cardinality fits the driver (it is a histogram domain) and no single
+    (type, cents) pair dominates.
+
+    ``prank_ppm`` is exact integer: ``(rank - 1) * 10^6 // (n_type - 1)``
+    (0 for single-row partitions, matching SQL PERCENT_RANK)."""
+    from .core import partial_then_global as _partial_then_global
+
+    def val_counts(batch: pa.Table) -> pa.Table:
+        t = batch["event_type"].to_numpy(zero_copy_only=False)
+        vc = cents_arrow(batch["value"]).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": t, "value_cents": vc})
+        g = df.groupby(["event_type", "value_cents"], sort=False).size()
+        out = g.rename("cnt").reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("value_cents", pa.int64()),
+                    ("cnt", pa.int64()),
+                ]
+            )
+        )
+
+    hist = _partial_then_global(
+        _read_events(sf_dir, ["event_type", "value"]).map_batches(
+            val_counts, batch_format="pyarrow"
+        ),
+        ["event_type", "value_cents"],
+        ["cnt"],
+    ).take_all()
+    hist.sort(key=lambda r: (r["event_type"], r["value_cents"]))
+    offsets: dict[tuple, int] = {}
+    totals: dict[str, int] = {}
+    for r in hist:
+        t = r["event_type"]
+        offsets[(t, r["value_cents"])] = totals.get(t, 0)
+        totals[t] = totals.get(t, 0) + r["cnt"]
+
+    _out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value_cents", pa.int64()),
+            ("rank", pa.int64()),
+            ("prank_ppm", pa.int64()),
+        ]
+    )
+    if not hist:
+        return _out_schema.empty_table()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "event_type": batch["event_type"],
+                "value_cents": cents_arrow(batch["value"]),
+            }
+        )
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id").reset_index(drop=True)
+        t = g["event_type"].iloc[0]
+        vc = int(g["value_cents"].iloc[0])
+        n_t = totals[t]
+        rank = offsets[(t, vc)] + np.arange(1, len(g) + 1, dtype=np.int64)
+        prank = (
+            (rank - 1) * np.int64(1_000_000) // (n_t - 1)
+            if n_t > 1
+            else np.zeros(len(g), dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "event_type": t,
+                "value_cents": np.full(len(g), vc, dtype=np.int64),
+                "rank": rank,
+                "prank_ppm": prank,
+            }
+        )
+
+    return _ensure_schema(
+        _read_events(sf_dir, ["event_id", "event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "value_cents"])
+        .map_groups(rank_group, batch_format="pandas"),
+        _out_schema,
+    )

@@ -229,3 +229,36 @@ def test_degenerate_corpora_keep_typed_schemas(ray_session, tmp_path):
     assert cols(oov_rate(str(empty))) == [
         "doc_id", "n_tokens", "n_oov", "oov_ppm",
     ]
+
+
+def test_percent_rank_single_row_partition_and_ties(ray_session, tmp_path):
+    """SQL PERCENT_RANK: single-row partitions score 0; equal values are
+    ordered by event_id (the unique (value_cents, event_id) sort key)."""
+    import pandas as pd
+
+    from layout_analysis_ray.functions.windows import percent_rank_by_type
+
+    rows = [
+        {"event_id": 1, "ts": pd.Timestamp("2024-01-01"), "user_id": 1,
+         "event_type": "solo", "value": 5.0, "props": "{}"},
+        {"event_id": 2, "ts": pd.Timestamp("2024-01-01"), "user_id": 1,
+         "event_type": "duo", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": pd.Timestamp("2024-01-01"), "user_id": 1,
+         "event_type": "duo", "value": 1.0, "props": "{}"},  # tie on value
+        {"event_id": 4, "ts": pd.Timestamp("2024-01-01"), "user_id": 1,
+         "event_type": "duo", "value": 9.0, "props": "{}"},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "events.parquet"))
+    got = (
+        percent_rank_by_type(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got.loc[got["event_type"] == "solo", "prank_ppm"].tolist() == [0]
+    duo = got[got["event_type"] == "duo"]
+    # tie broken by event_id: ranks 1,2 for the two 1.0 rows, 3 for 9.0
+    assert duo.set_index("event_id")["rank"].to_dict() == {2: 1, 3: 2, 4: 3}
+    assert duo.set_index("event_id")["prank_ppm"].to_dict() == {
+        2: 0, 3: 500000, 4: 1000000,
+    }
