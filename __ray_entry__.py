@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational operators
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "q4_priority_semijoin": rel.q4_priority_semijoin,
         "q3_top_orders": rel.q3_top_orders,
         "q5_region_revenue": rel.q5_region_revenue,
         "part_type_stats": rel.part_type_stats,
@@ -371,6 +372,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q4_priority_semijoin": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o.o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate >= TIMESTAMP '1996-10-01')
+            GROUP BY 1
         """,
         "q6_forecast_revenue": """
             SELECT CAST(COALESCE(SUM(

@@ -225,6 +225,88 @@ def q6_forecast_revenue(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q4-style: order priority counts gated by an EXISTS semi-join
+# ---------------------------------------------------------------------------
+
+Q4_LO = "1996-07-01"
+Q4_HI = "1996-10-01"  # quarter end; also the late-shipment cutoff
+
+
+def q4_priority_semijoin(sf_dir: str):
+    """TPC-H Q4 shape (adapted to this schema: "late" = a lineitem shipped
+    after quarter end, standing in for commitdate < receiptdate): count the
+    quarter's orders per priority where EXISTS such a lineitem.
+
+    Scale shape: both sides are fact tables, so the EXISTS runs as a
+    hash-partition DISTINCT + inner ``Dataset.join`` on the orderkey (the
+    broadcast key-set variant next door — semi_join_customers — assumes a
+    driver-sized key set; late-shipment keys are corpus-proportional, so
+    here the keys stay distributed).  Date predicates are pushed into both
+    scans; the count collapses map-side after the join."""
+    lo = np.datetime64(Q4_LO, "us")
+    hi = np.datetime64(Q4_HI, "us")
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+        row_filter=(
+            (pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi)
+        ),
+    )
+
+    def oprep(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                pc.less(b["o_orderdate"], pa.scalar(hi)),
+            )
+        )
+        return b.select(["o_orderkey", "o_orderpriority"])
+
+    late = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_shipdate"],
+        row_filter=(pads.field("l_shipdate") >= hi),
+    )
+
+    def lprep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["l_shipdate"], pa.scalar(hi)))
+        # per-batch distinct before the exchange: one row per late orderkey
+        return pa.table({"l_orderkey": pc.unique(b["l_orderkey"])})
+
+    keys = (
+        late.map_batches(lprep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .count()
+        .drop_columns(["count()"])
+    )
+
+    joined = orders.map_batches(oprep, batch_format="pyarrow").join(
+        keys,
+        "inner",
+        num_partitions=16,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def to_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n_orders": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return _partial_then_global(
+        joined.map_batches(to_partial, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        ["n_orders"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q3-style: top unshipped orders (broadcast joins)
 # ---------------------------------------------------------------------------
 
