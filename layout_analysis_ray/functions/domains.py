@@ -104,6 +104,26 @@ def source_quality_report(sf_dir: str):
     )
 
 
+
+def _source_rate_ppm(batch: pa.Table, rates: dict, default: int):
+    """(ids, ppm) for a batch: int64 doc ids plus each row's source rate in
+    ppm (dict lookup with a default).  The per-batch id/rate extraction
+    convention of BOTH mix operators lives here exactly once — it is
+    oracle-pinned on each side."""
+    import numpy as np
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ppm = (
+        batch["source"]
+        .to_pandas()
+        .map(rates)
+        .fillna(default)
+        .to_numpy()
+        .astype(np.int64)
+    )
+    return ids, ppm
+
+
 def domain_mix_sample(sf_dir: str, keep_ppm: dict | None = None):
     """Domain reweighting: keep each doc with its source's target rate,
     decided by the deterministic id-hash u32 (keep iff
@@ -122,15 +142,7 @@ def domain_mix_sample(sf_dir: str, keep_ppm: dict | None = None):
     rates = dict(MIX_KEEP_PPM if keep_ppm is None else keep_ppm)
 
     def prep(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ppm = (
-            batch["source"]
-            .to_pandas()
-            .map(rates)
-            .fillna(MIX_DEFAULT_PPM)
-            .to_numpy()
-            .astype(np.int64)
-        )
+        ids, ppm = _source_rate_ppm(batch, rates, MIX_DEFAULT_PPM)
         keep = id_hash_u32(ids) * 1_000_000 < ppm * HASH_DENOM
         return pa.table(
             {
@@ -239,15 +251,7 @@ def domain_mix_repeat(sf_dir: str, repeat_ppm: dict | None = None):
     )
 
     def expand(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ppm = (
-            batch["source"]
-            .to_pandas()
-            .map(rates)
-            .fillna(MIX_REPEAT_DEFAULT_PPM)
-            .to_numpy()
-            .astype(np.int64)
-        )
+        ids, ppm = _source_rate_ppm(batch, rates, MIX_REPEAT_DEFAULT_PPM)
         extra = id_hash_u32(ids) * 1_000_000 < (ppm % 1_000_000) * HASH_DENOM
         n_copies = ppm // 1_000_000 + extra.astype(np.int64)
         total = int(n_copies.sum())

@@ -991,6 +991,40 @@ def ntile_by_chars(sf_dir: str, tiles: int = NTILE_TILES):
     )
 
 
+def _token_counts(sf_dir: str):
+    """Exact global (token, n) corpus frequency table as a Dataset — one
+    row per DISTINCT token, never token instances: per-batch
+    factorize/bincount partials over a text-only pruned scan, then one
+    keyed groupby.  Shared pass 1 of ``oov_rate`` and
+    ``vocab_freq_spectrum`` (the token-count convention lives here
+    exactly once)."""
+    from .core import partial_then_global as _partial_then_global
+
+    _cnt_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        _parent, toks, _n = _flat_tokens(batch["text"])
+        if not len(toks):
+            return _cnt_schema.empty_table()
+        codes, uniq = pd.factorize(toks)
+        return pa.table(
+            {
+                "token": pa.array(np.asarray(uniq, dtype=object), pa.string()),
+                "n": pa.array(np.bincount(codes).astype(np.int64)),
+            }
+        )
+
+    return _partial_then_global(
+        _read_docs(sf_dir, ["text"]).map_batches(
+            count_partial, batch_format="pyarrow"
+        ),
+        ["token"],
+        ["n"],
+    )
+
+
 OOV_VOCAB_TOP_N = 16
 
 
@@ -1010,35 +1044,11 @@ def oov_rate(sf_dir: str, vocab_top_n: int = OOV_VOCAB_TOP_N):
 
     ``oov_ppm`` is exact integer: ``n_oov * 1_000_000 // n_tokens``.
     """
-    from .core import partial_then_global as _partial_then_global
+    from .core import partial_topk as _partial_topk
     from .schema import ensure_schema
 
-    _cnt_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
-
-    def count_partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        _parent, toks, _n = _flat_tokens(batch["text"])
-        if not len(toks):
-            return _cnt_schema.empty_table()
-        codes, uniq = pd.factorize(toks)
-        return pa.table(
-            {
-                "token": pa.array(np.asarray(uniq, dtype=object), pa.string()),
-                "n": pa.array(np.bincount(codes).astype(np.int64)),
-            }
-        )
-
-    from .core import partial_topk as _partial_topk
-
     # vocab pass scans ONLY text; the scoring pass re-reads with doc_id
-    counts = _partial_then_global(
-        _read_docs(sf_dir, ["text"]).map_batches(
-            count_partial, batch_format="pyarrow"
-        ),
-        ["token"],
-        ["n"],
-    )
+    counts = _token_counts(sf_dir)
     vocab_rows = _partial_topk(
         counts, ["n", "token"], [False, True], vocab_top_n
     ).take_all()
@@ -1091,58 +1101,30 @@ def vocab_freq_spectrum(sf_dir: str):
     occurrence count, how many distinct tokens occur exactly that often —
     the Zipf spectrum a tokenizer-fit / Good-Turing smoothing step reads.
 
-    Scale shape: per-batch token-count partials → one keyed groupby to
-    exact global counts (one row per distinct token, never token
-    instances), then a second tiny groupby over the counts themselves
-    (output bounded by the number of DISTINCT frequencies, ~O(sqrt(corpus
-    tokens)) by Zipf's law).  Zero driver work beyond the final rows."""
+    Scale shape: the shared ``_token_counts`` pass (one row per distinct
+    token, never token instances), then a second tiny groupby over the
+    counts themselves.  The spectrum is distinct-frequency-bounded
+    (~O(sqrt corpus tokens) by Zipf's law), so it is materialized as a
+    TYPED pyarrow.Table — a fully-empty Ray Dataset loses its schema in
+    to_pandas/take_all, same contract as its ranking siblings."""
     from ray.data.aggregate import Count
 
-    from .core import partial_then_global as _partial_then_global
-    from .schema import ensure_schema
-
-    _cnt_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
-
-    def count_partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        _parent, toks, _n = _flat_tokens(batch["text"])
-        if not len(toks):
-            return _cnt_schema.empty_table()
-        codes, uniq = pd.factorize(toks)
-        return pa.table(
-            {
-                "token": pa.array(np.asarray(uniq, dtype=object), pa.string()),
-                "n": pa.array(np.bincount(codes).astype(np.int64)),
-            }
-        )
-
-    counts = _partial_then_global(
-        _read_docs(sf_dir, ["text"]).map_batches(
-            count_partial, batch_format="pyarrow"
-        ),
-        ["token"],
-        ["n"],
-    )
-
-    def to_occ(b: pa.Table) -> pa.Table:
-        return pa.table({"occurrences": pc.cast(b["n"], pa.int64())})
-
     spectrum = (
-        counts.map_batches(to_occ, batch_format="pyarrow")
+        _token_counts(sf_dir)
+        .map_batches(
+            lambda b: pa.table({"occurrences": pc.cast(b["n"], pa.int64())}),
+            batch_format="pyarrow",
+        )
         .groupby("occurrences")
         .aggregate(Count())
     )
 
-    def rename(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "occurrences": pc.cast(b["occurrences"], pa.int64()),
-                "n_tokens": pc.cast(b["count()"], pa.int64()),
-            }
-        )
-
-    return ensure_schema(
-        spectrum.map_batches(rename, batch_format="pyarrow"),
-        pa.schema([("occurrences", pa.int64()), ("n_tokens", pa.int64())]),
+    out_schema = pa.schema(
+        [("occurrences", pa.int64()), ("n_tokens", pa.int64())]
     )
+    rows = [
+        {"occurrences": r["occurrences"], "n_tokens": r["count()"]}
+        for r in spectrum.take_all()
+    ]
+    return pa.Table.from_pylist(rows, schema=out_schema)
+

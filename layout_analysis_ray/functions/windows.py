@@ -1362,6 +1362,9 @@ def top_sessions_by_value(sf_dir: str, k: int = TOP_SESSIONS_K):
     )
 
 
+PRANK_CENTS_BUCKET = 4096  # coarse ranking-bucket width (cents)
+
+
 def percent_rank_by_type(sf_dir: str):
     """Per-partition ``row_number()`` / ``percent_rank()`` over every
     event, partitioned by event_type and ordered by (value_cents,
@@ -1372,11 +1375,14 @@ def percent_rank_by_type(sf_dir: str):
     generalized per partition — a (type, cents) value-count histogram
     (one partial+global groupby, bounded by type x cents-domain
     cardinality, not rows) is pulled to the driver, turned into per-type
-    cumulative rank offsets, and rides the task closure; each
-    (type, cents) group then ranks its own rows locally by event_id and
-    adds its offset.  Partitioning assumption: distinct (type, cents)
-    cardinality fits the driver (it is a histogram domain) and no single
-    (type, cents) pair dominates.
+    cumulative rank offsets, and rides the task closure.  The ranking
+    pass groups by (type, cents // PRANK_CENTS_BUCKET) — a COARSE bucket,
+    not the near-unique raw cents value, so the group-stage kernel runs
+    once per bucket and ranks every cents run inside it with one lexsort
+    + run-position fold (no per-value Python call).  Partitioning
+    assumption: distinct (type, cents) cardinality fits the driver (it
+    is a histogram domain) and no single cents bucket dominates (shrink
+    PRANK_CENTS_BUCKET if one does).
 
     ``prank_ppm`` is exact integer: ``(rank - 1) * 10^6 // (n_type - 1)``
     (0 for single-row partitions, matching SQL PERCENT_RANK)."""
@@ -1406,12 +1412,14 @@ def percent_rank_by_type(sf_dir: str):
         ["cnt"],
     ).take_all()
     hist.sort(key=lambda r: (r["event_type"], r["value_cents"]))
-    offsets: dict[tuple, int] = {}
+    off_vals: dict[str, dict[int, int]] = {}
     totals: dict[str, int] = {}
     for r in hist:
         t = r["event_type"]
-        offsets[(t, r["value_cents"])] = totals.get(t, 0)
+        off_vals.setdefault(t, {})[r["value_cents"]] = totals.get(t, 0)
         totals[t] = totals.get(t, 0) + r["cnt"]
+    # per-type offset Series: one vectorized reindex per group, no per-row dict hits
+    off_by_type = {t: pd.Series(d, dtype=np.int64) for t, d in off_vals.items()}
 
     _out_schema = pa.schema(
         [
@@ -1426,20 +1434,34 @@ def percent_rank_by_type(sf_dir: str):
         return _out_schema.empty_table()
 
     def prep(batch: pa.Table) -> pa.Table:
+        vc = cents_arrow(batch["value"])
+        bucket = trunc_div_np(
+            vc.to_numpy(zero_copy_only=False), PRANK_CENTS_BUCKET
+        )
         return pa.table(
             {
                 "event_id": pc.cast(batch["event_id"], pa.int64()),
                 "event_type": batch["event_type"],
-                "value_cents": cents_arrow(batch["value"]),
+                "value_cents": vc,
+                "bucket": pa.array(bucket, pa.int64()),
             }
         )
 
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("event_id").reset_index(drop=True)
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
         t = g["event_type"].iloc[0]
-        vc = int(g["value_cents"].iloc[0])
+        vc = g["value_cents"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((eid, vc))
+        vc_s, eid_s = vc[order], eid[order]
+        # position within each equal-cents run (one fold, no per-value call)
+        run_starts = np.flatnonzero(np.r_[True, vc_s[1:] != vc_s[:-1]])
+        run_lengths = np.diff(np.r_[run_starts, len(vc_s)])
+        pos = np.arange(len(vc_s), dtype=np.int64) - np.repeat(
+            run_starts, run_lengths
+        )
+        base = off_by_type[t].reindex(vc_s).to_numpy(dtype=np.int64)
+        rank = base + pos + 1
         n_t = totals[t]
-        rank = offsets[(t, vc)] + np.arange(1, len(g) + 1, dtype=np.int64)
         prank = (
             (rank - 1) * np.int64(1_000_000) // (n_t - 1)
             if n_t > 1
@@ -1447,9 +1469,9 @@ def percent_rank_by_type(sf_dir: str):
         )
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "event_id": eid_s,
                 "event_type": t,
-                "value_cents": np.full(len(g), vc, dtype=np.int64),
+                "value_cents": vc_s,
                 "rank": rank,
                 "prank_ppm": prank,
             }
@@ -1458,7 +1480,7 @@ def percent_rank_by_type(sf_dir: str):
     return _ensure_schema(
         _read_events(sf_dir, ["event_id", "event_type", "value"])
         .map_batches(prep, batch_format="pyarrow")
-        .groupby(["event_type", "value_cents"])
-        .map_groups(rank_group, batch_format="pandas"),
+        .groupby(["event_type", "bucket"])
+        .map_groups(rank_bucket, batch_format="pandas"),
         _out_schema,
     )

@@ -262,3 +262,26 @@ def test_percent_rank_single_row_partition_and_ties(ray_session, tmp_path):
     assert duo.set_index("event_id")["prank_ppm"].to_dict() == {
         2: 0, 3: 500000, 4: 1000000,
     }
+
+
+def test_vocab_freq_spectrum_empty_corpus_typed(ray_session, tmp_path):
+    from layout_analysis_ray.functions.text import vocab_freq_spectrum
+
+    pq.write_table(
+        pa.Table.from_pylist(
+            [],
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("text", pa.string()),
+                    ("lang", pa.string()),
+                    ("source", pa.string()),
+                    ("n_chars", pa.int64()),
+                ]
+            ),
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = vocab_freq_spectrum(str(tmp_path)).to_pandas()
+    assert got.columns.tolist() == ["occurrences", "n_tokens"]
+    assert len(got) == 0
