@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q6_forecast_revenue": rel.q6_forecast_revenue,
         "q4_priority_semijoin": rel.q4_priority_semijoin,
+        "cust_yoy_activity": rel.cust_yoy_activity,
         "q3_top_orders": rel.q3_top_orders,
         "q5_region_revenue": rel.q5_region_revenue,
         "part_type_stats": rel.part_type_stats,
@@ -372,6 +373,23 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "cust_yoy_activity": """
+            WITH a AS (
+              SELECT o_custkey, COUNT(*) AS n FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1),
+            b AS (
+              SELECT o_custkey, COUNT(*) AS n FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1)
+            SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+                   CAST(coalesce(a.n, 0) AS BIGINT) AS n_1996,
+                   CAST(coalesce(b.n, 0) AS BIGINT) AS n_1997,
+                   CASE WHEN a.o_custkey IS NULL THEN 'new'
+                        WHEN b.o_custkey IS NULL THEN 'churned'
+                        ELSE 'retained' END AS status
+            FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
         """,
         "q4_priority_semijoin": """
             SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders

@@ -1050,3 +1050,104 @@ def orders_above_cust_avg(sf_dir: str):
         return out.select(["o_orderkey", "o_custkey", "price_cents"])
 
     return joined.map_batches(filt, batch_format="pyarrow")
+
+
+YOY_Y1 = "1996-01-01"
+YOY_Y2 = "1997-01-01"
+YOY_Y3 = "1998-01-01"
+
+
+def cust_yoy_activity(sf_dir: str):
+    """Year-over-year customer activity: per-customer 1996 vs 1997 order
+    counts, FULL OUTER joined so one-sided customers survive with a zero
+    on the missing year, plus a churn status ('new' = 1997 only,
+    'churned' = 1996 only, 'retained' = both).  The full-outer member of
+    the J-family (left outer: cust_order_counts; semi/anti: the
+    _customers pair; distributed semi: q4).
+
+    Scale shape: each year collapses map-side to one (custkey, n) row per
+    key (partials, never orders), then ONE hash-partition full-outer
+    ``Dataset.join`` of the two aggregate tables; status/fill is a
+    map-only pass below the exchange."""
+    y1 = np.datetime64(YOY_Y1, "us")
+    y2 = np.datetime64(YOY_Y2, "us")
+    y3 = np.datetime64(YOY_Y3, "us")
+
+    def year_counts(lo, hi, key_name):
+        ds = _read(
+            sf_dir,
+            "orders",
+            columns=["o_custkey", "o_orderdate"],
+            row_filter=(
+                (pads.field("o_orderdate") >= lo)
+                & (pads.field("o_orderdate") < hi)
+            ),
+        )
+
+        def prep(b: pa.Table) -> pa.Table:
+            b = b.filter(
+                pc.and_(
+                    pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)),
+                )
+            )
+            return pa.table(
+                {
+                    key_name: pc.cast(b["o_custkey"], pa.int64()),
+                    f"n_{key_name}": pa.array(
+                        np.ones(b.num_rows, dtype=np.int64)
+                    ),
+                }
+            )
+
+        return _partial_then_global(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            [key_name],
+            [f"n_{key_name}"],
+        )
+
+    a = year_counts(y1, y2, "ck_a")
+    b = year_counts(y2, y3, "ck_b")
+
+    joined = a.join(
+        b,
+        "full_outer",
+        num_partitions=16,
+        on=("ck_a",),
+        right_on=("ck_b",),
+    )
+
+    _out_schema = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("n_1996", pa.int64()),
+            ("n_1997", pa.int64()),
+            ("status", pa.string()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # Ray's full_outer join coalesces the key pair into the LEFT key
+        # column; one-sidedness survives in the count columns' nulls
+        ck = t["ck_a"]
+        n1 = pc.fill_null(pc.cast(t["n_ck_a"], pa.int64()), 0)
+        n2 = pc.fill_null(pc.cast(t["n_ck_b"], pa.int64()), 0)
+        status = pc.if_else(
+            pc.equal(n1, 0),
+            pa.scalar("new"),
+            pc.if_else(pc.equal(n2, 0), pa.scalar("churned"), pa.scalar("retained")),
+        )
+        return pa.table(
+            {
+                "o_custkey": pc.cast(ck, pa.int64()),
+                "n_1996": n1,
+                "n_1997": n2,
+                "status": status,
+            }
+        )
+
+    from ..functions.schema import ensure_schema
+
+    return ensure_schema(
+        joined.map_batches(finish, batch_format="pyarrow"), _out_schema
+    )
