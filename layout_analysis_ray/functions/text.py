@@ -757,33 +757,42 @@ def source_token_jaccard(sf_dir: str):
     of every two sources — the source-level set-similarity join a corpus
     curator uses to spot mirrored / scraped-twice domains.
 
-    Scale shape: per-batch distinct (source, token) pairs, one multi-key
-    groupby to global-distinct them; intersections via a token-HASH-
-    bucketed group stage (crc32(token) % 64 — NOT one Python call per
-    token) whose kernel is vectorized across every token in the bucket:
-    lexsort by token, segment boundaries via np.unique, and one
-    triu-template broadcast per distinct SEGMENT SIZE (bounded by source
-    cardinality, not token count) emits one (src_a, src_b) row per
-    co-occurring source pair (src_a < src_b) — the classic inverted-index
-    similarity join, so fan-out per token is |sources containing it|
-    choose 2, never all-pairs over the corpus.  Per-source vocabulary
-    sizes ride a tiny side aggregate joined on the driver (output is
-    bounded by source-pair count).  Partitioning assumption: the number
-    of co-occurring sources per token is modest (true for domain-level
-    grouping; salt hot tokens if a token spans millions of sources).
+    Scale shape: ONE exchange total.  Per-batch distinct (source, token)
+    pairs are hash-bucketed by token (crc32(token) % 64) and shuffled
+    once; every copy of a (source, token) pair lands in the same bucket,
+    so the bucket kernel global-dedups for free, emits the bucket's slice
+    of per-source vocabulary sizes (tagged rows sharing the pair schema),
+    and generates one (src_a, src_b) row per co-occurring source pair
+    (src_a < src_b) — the classic inverted-index similarity join, so
+    fan-out per token is |sources containing it| choose 2, never
+    all-pairs over the corpus.  The kernel is vectorized across every
+    token in the bucket: one lexsort, segment boundaries via np.unique,
+    one triu-template broadcast per distinct SEGMENT SIZE (bounded by
+    source cardinality, never token count).  Output is bounded by
+    source-pair count, so it is materialized as a TYPED pyarrow.Table
+    (a fully-empty Ray Dataset loses its schema in to_pandas/take_all).
+    Partitioning assumption: the number of co-occurring sources per token
+    is modest (true for domain-level grouping; salt hot tokens if a token
+    spans millions of sources).
 
     ``jaccard_ppm`` is exact integer: ``inter * 1_000_000 // union``
     (non-negative, so floor == trunc — oracle-safe).
     """
     import pandas as pd
 
-    from ray.data.aggregate import Count
-
     from .core import partial_then_global as _partial_then_global
 
-    _pair_schema = pa.schema([("source", pa.string()), ("token", pa.string())])
+    _pair_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("source", pa.string()),
+            ("token", pa.string()),
+        ]
+    )
 
     def distinct_pairs(batch: pa.Table) -> pa.Table:
+        import zlib
+
         parent, toks, _n = _flat_tokens(batch["text"])
         if not len(toks):
             return _pair_schema.empty_table()
@@ -791,21 +800,18 @@ def source_token_jaccard(sf_dir: str):
             batch["source"].to_numpy(zero_copy_only=False), dtype=object
         )[parent]
         df = pd.DataFrame({"source": src, "token": toks}).drop_duplicates()
+        bucket = np.fromiter(
+            (zlib.crc32(t.encode()) % 64 for t in df["token"].to_numpy()),
+            dtype=np.int64,
+            count=len(df),
+        )
+        df.insert(0, "bucket", bucket)
         return pa.Table.from_pandas(df, preserve_index=False).cast(_pair_schema)
 
-    pairs = (
-        _read_docs(sf_dir, ["source", "text"])
-        .map_batches(distinct_pairs, batch_format="pyarrow")
-        .groupby(["source", "token"])
-        .aggregate(Count())
-        .drop_columns(["count()"])
-    )
-    pairs = pairs.materialize()
-
-    sizes = {
-        r["source"]: r["count()"]
-        for r in pairs.groupby("source").aggregate(Count()).take_all()
-    }
+    # sentinel tag for the per-source vocabulary-size rows that ride the
+    # same (src_a, src_b, inter) schema as the pair rows ("\x00" cannot
+    # collide with a real source name)
+    _SIZE_TAG = "\x00size"
 
     _EMPTY_PAIRS = pd.DataFrame(
         {
@@ -815,22 +821,21 @@ def source_token_jaccard(sf_dir: str):
         }
     )
 
-    def add_bucket(b: pa.Table) -> pa.Table:
-        import zlib
-
-        toks = b["token"].to_numpy(zero_copy_only=False)
-        return b.append_column(
-            "bucket",
-            pa.array([zlib.crc32(t.encode()) % 64 for t in toks], pa.int64()),
-        )
-
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized across ALL tokens in the bucket: one lexsort, segment
-        # offsets via np.unique, one triu template per distinct segment
-        # size (sizes are bounded by source cardinality, so this inner
-        # loop is over sizes, never tokens)
+        # every copy of a (source, token) pair is in THIS bucket: dedup
+        # here is global dedup
+        g = g.drop_duplicates(["source", "token"])
         tok = g["token"].to_numpy()
         src = g["source"].to_numpy()
+        # this bucket's slice of the per-source vocabulary sizes
+        size_counts = pd.Series(src).value_counts()
+        sizes_df = pd.DataFrame(
+            {
+                "src_a": np.full(len(size_counts), _SIZE_TAG, dtype=object),
+                "src_b": size_counts.index.to_numpy(dtype=object),
+                "inter": size_counts.to_numpy(dtype=np.int64),
+            }
+        )
         order = np.lexsort((src, tok))
         tok, src = tok[order], src[order]
         _, starts, counts = np.unique(tok, return_index=True, return_counts=True)
@@ -843,43 +848,32 @@ def source_token_jaccard(sf_dir: str):
             out_a.append(src[(st[:, None] + ia[None, :]).ravel()])
             out_b.append(src[(st[:, None] + ib[None, :]).ravel()])
         if not out_a:
-            # typed empty: an untyped empty frame degrades to a column-less
-            # Arrow block and poisons the downstream schema
-            return _EMPTY_PAIRS
+            return sizes_df if len(sizes_df) else _EMPTY_PAIRS
         a = np.concatenate(out_a)
         bb = np.concatenate(out_b)
         df = pd.DataFrame({"src_a": a, "src_b": bb})
         # in-bucket partial combine: one row per distinct pair per bucket
-        return (
+        pairs_df = (
             df.groupby(["src_a", "src_b"], sort=False)
             .size()
             .rename("inter")
             .reset_index()
         )
+        return pd.concat([sizes_df, pairs_df], ignore_index=True)
 
     inter = _partial_then_global(
-        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        _read_docs(sf_dir, ["source", "text"])
+        .map_batches(distinct_pairs, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas"),
         ["src_a", "src_b"],
         ["inter"],
     )
 
-    def finish(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        na = df["src_a"].map(sizes).to_numpy(dtype=np.int64)
-        nb = df["src_b"].map(sizes).to_numpy(dtype=np.int64)
-        it = df["inter"].to_numpy(dtype=np.int64)
-        uni = na + nb - it
-        df["uni"] = uni
-        df["jaccard_ppm"] = it * np.int64(1_000_000) // uni
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    # the result is bounded by source-pair count (documented above):
-    # materialize it as a TYPED pyarrow.Table so corpora where no two
-    # sources share a token (or with a single source) still yield the
-    # typed empty the oracle produces — a fully-empty Ray Dataset loses
-    # its schema in to_pandas/take_all.
+    rows = inter.take_all()
+    sizes = {
+        r["src_b"]: r["inter"] for r in rows if r["src_a"] == _SIZE_TAG
+    }
     out_schema = pa.schema(
         [
             ("src_a", pa.string()),
@@ -889,8 +883,22 @@ def source_token_jaccard(sf_dir: str):
             ("jaccard_ppm", pa.int64()),
         ]
     )
-    rows = inter.map_batches(finish, batch_format="pyarrow").take_all()
-    return pa.Table.from_pylist(rows, schema=out_schema)
+    out = []
+    for r in rows:
+        if r["src_a"] == _SIZE_TAG:
+            continue
+        it = r["inter"]
+        uni = sizes[r["src_a"]] + sizes[r["src_b"]] - it
+        out.append(
+            {
+                "src_a": r["src_a"],
+                "src_b": r["src_b"],
+                "inter": it,
+                "uni": uni,
+                "jaccard_ppm": it * 1_000_000 // uni,
+            }
+        )
+    return pa.Table.from_pylist(out, schema=out_schema)
 
 
 NTILE_TILES = 4
