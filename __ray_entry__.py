@@ -257,6 +257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": rel.revenue_rollup,
         "orders_pivot_by_year": rel.orders_pivot_by_year,
         "orders_above_cust_avg": rel.orders_above_cust_avg,
+        "q18_large_orders": rel.q18_large_orders,
+        "q14_promo_ratio": rel.q14_promo_ratio,
         # stream-shaped windows
         "events_tumbling_1h": windows.tumbling_hourly,
         "events_sessionize": windows.sessionize,
@@ -284,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize_salted": windows.sessionize_salted,
         "events_asof_salted": windows.asof_last_purchase_salted,
         "events_range_join_salted": windows.range_join_after_purchase_salted,
+        "events_funnel_counts": windows.funnel_counts,
         "extract_error_docs": _extract_error_docs,
         # text analysis
         "doc_token_stats": text.token_stats,
@@ -301,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ntile_by_chars": text.ntile_by_chars,
         "doc_oov_rate": text.oov_rate,
         "vocab_freq_spectrum": text.vocab_freq_spectrum,
+        "doc_sentence_stats": text.doc_sentence_stats,
         # corpus pipelines: cleaning chain + sequence packing
         "corpus_clean_keep": corpus.corpus_clean_keep,
         "pack_sequences": corpus.pack_sequences,
@@ -412,6 +416,73 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
               AND CAST(round(l_quantity*100) AS BIGINT) < 2400
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+                       AS sum_qty_cents
+              FROM lineitem GROUP BY 1
+              HAVING SUM(CAST(round(l_quantity*100) AS BIGINT)) > 25000)
+            SELECT c_name, o_custkey, o_orderkey,
+                   epoch_us(o_orderdate) // 86400000000 AS o_orderdate_day,
+                   CAST(round(o_totalprice*100) AS BIGINT) AS total_price_cents,
+                   sum_qty_cents
+            FROM big
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY sum_qty_cents DESC, o_orderkey
+            LIMIT 100
+        """,
+        "q14_promo_ratio": """
+            WITH j AS (
+              SELECT CAST(round(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_e4,
+                     p_type = 'PROMO' AS is_promo
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+                AND l_shipdate < TIMESTAMP '1996-10-01')
+            SELECT
+              CAST(COALESCE(SUM(CASE WHEN is_promo THEN rev_e4 END), 0) AS BIGINT)
+                AS promo_rev_e4,
+              CAST(COALESCE(SUM(rev_e4), 0) AS BIGINT) AS total_rev_e4,
+              CAST(CASE WHEN COALESCE(SUM(rev_e4), 0) = 0 THEN 0
+                   ELSE COALESCE(SUM(CASE WHEN is_promo THEN rev_e4 END), 0)
+                        * 1000000 // SUM(rev_e4) END AS BIGINT) AS promo_ppm,
+              COUNT(*) AS n_rows
+            FROM j
+        """,
+        "events_funnel_counts": """
+            WITH v AS (
+              SELECT user_id, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            c AS (
+              SELECT e.user_id, MIN(e.ts) AS t2
+              FROM events e JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY 1),
+            p AS (
+              SELECT e.user_id, MIN(e.ts) AS t3
+              FROM events e JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY 1)
+            SELECT * FROM (
+              SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+                     (SELECT COUNT(*) FROM v) AS n_users
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), 'click', (SELECT COUNT(*) FROM c)
+              UNION ALL
+              SELECT CAST(3 AS BIGINT), 'purchase', (SELECT COUNT(*) FROM p))
+        """,
+        "doc_sentence_stats": r"""
+            SELECT doc_id,
+              CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                       x -> trim(x, ' ' || chr(9) || chr(10) || chr(13)) <> ''))
+                AS BIGINT) AS n_sentences,
+              CAST(COALESCE(list_max(list_transform(
+                       list_filter(regexp_split_to_array(text, '[.!?]+'),
+                         x -> trim(x, ' ' || chr(9) || chr(10) || chr(13)) <> ''),
+                       x -> length(trim(x, ' ' || chr(9) || chr(10) || chr(13))))), 0)
+                AS BIGINT) AS max_sentence_chars
+            FROM documents
         """,
         "q3_top_orders": """
             SELECT o_orderkey,

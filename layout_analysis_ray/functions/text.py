@@ -1136,3 +1136,63 @@ def vocab_freq_spectrum(sf_dir: str):
     ]
     return pa.Table.from_pylist(rows, schema=out_schema)
 
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation statistics
+# ---------------------------------------------------------------------------
+
+SENTENCE_SPLIT_RE = r"[.!?]+"
+# explicit trim set shared with the DuckDB oracle: Arrow's
+# utf8_trim_whitespace and DuckDB's bare trim() disagree on the charset
+# (Unicode whitespace vs ' ' only), so both sides trim exactly these
+_SENT_TRIM_CHARS = " \t\n\r"
+
+
+def doc_sentence_stats(sf_dir: str):
+    """Per-document sentence statistics: number of non-blank sentences
+    (split on terminal-punctuation runs) and the character length of the
+    longest trimmed sentence — the sentence-level quality signals (run-on
+    detection, segment-length caps) a pretraining cleaning pass reads.
+
+    Map-only and fully vectorized: one RE2 ``split_pattern_regex`` pass
+    per batch produces a flattened segment array with parent-row offsets;
+    counts and maxima fall out of ``np.bincount`` / ``np.maximum.at`` over
+    the parent indices — no Python loop over rows or segments.  Docs with
+    zero sentences keep a row with zeros (SQL COALESCE contract)."""
+    from .schema import ensure_schema
+
+    _out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_sentences", pa.int64()),
+            ("max_sentence_chars", pa.int64()),
+        ]
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        segs = pc.split_pattern_regex(batch["text"], pattern=SENTENCE_SPLIT_RE)
+        segs = segs.combine_chunks() if isinstance(segs, pa.ChunkedArray) else segs
+        lens = segs.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        flat = pc.utf8_trim(segs.flatten(), characters=_SENT_TRIM_CHARS)
+        seg_chars = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonblank = seg_chars > 0
+        n_sent = np.bincount(parent[nonblank], minlength=n_rows).astype(np.int64)
+        max_chars = np.zeros(n_rows, dtype=np.int64)
+        np.maximum.at(max_chars, parent[nonblank], seg_chars[nonblank])
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_sentences": pa.array(n_sent),
+                "max_sentence_chars": pa.array(max_chars),
+            }
+        )
+
+    return ensure_schema(
+        _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            stats, batch_format="pyarrow"
+        ),
+        _out_schema,
+    )

@@ -1484,3 +1484,92 @@ def percent_rank_by_type(sf_dir: str):
         .map_groups(rank_bucket, batch_format="pandas"),
         _out_schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel conversion (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_counts(sf_dir: str):
+    """Ordered-funnel conversion: how many users performed step 1, step 2
+    at-or-after their step-1 conversion time, and step 3 at-or-after their
+    step-2 conversion time (first-touch semantics: each step's conversion
+    time is the EARLIEST qualifying event).  The product-analytics shape a
+    sequential-pattern engine must support; a click before any view does
+    NOT count.
+
+    Scale shape: the scan keeps only funnel-step rows projected to 17
+    bytes (user, ts, step), then ONE coarse user-hash exchange
+    (``_add_user_part``) — the sequential dependency between steps only
+    needs all events of a user co-located, never a global sort.  Inside a
+    partition the per-user conversion times fall out of three vectorized
+    grouped-min passes (``np.minimum.at`` over factorized user codes); each
+    partition emits a single 3-counter partial row and the driver folds
+    <= WINDOW_PARTITIONS of them into the final typed 3-row table (a
+    driver-bounded result, so it returns ``pa.Table`` — empty-Dataset
+    schema-loss contract)."""
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_type"])
+
+    _step_arr = pa.array(list(FUNNEL_STEPS), pa.string())
+
+    def prep(b: pa.Table) -> pa.Table:
+        step = pc.index_in(b["event_type"], value_set=_step_arr)
+        keep = pc.is_valid(step)
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts_us": b["ts"].cast(pa.int64()),
+                "step": pc.cast(step.filter(keep), pa.int64()),
+            }
+        )
+
+    _INF = np.int64(2**62)
+
+    def part_counts(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        st = g["step"].to_numpy()
+        _, inv = np.unique(u, return_inverse=True)
+        n_u = int(inv.max()) + 1 if len(inv) else 0
+        t_prev = None
+        counts = []
+        for k in range(len(FUNNEL_STEPS)):
+            tk = np.full(n_u, _INF)
+            m = st == k
+            if t_prev is None:
+                np.minimum.at(tk, inv[m], ts[m])
+            else:
+                # step k counts only at-or-after the user's step k-1 time;
+                # t_prev is final (all of a user's rows are in this group)
+                ok = ts[m] >= t_prev[inv[m]]
+                np.minimum.at(tk, inv[m][ok], ts[m][ok])
+            counts.append(int((tk < _INF).sum()))
+            t_prev = tk
+        return pd.DataFrame(
+            {f"n_step{k + 1}": [counts[k]] for k in range(len(FUNNEL_STEPS))}
+        )
+
+    partials = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("__upart")
+        .map_groups(part_counts, batch_format="pandas")
+        .take_all()
+    )
+    totals = [
+        sum(r[f"n_step{k + 1}"] for r in partials)
+        for k in range(len(FUNNEL_STEPS))
+    ]
+    return pa.table(
+        {
+            "step_idx": pa.array(
+                list(range(1, len(FUNNEL_STEPS) + 1)), pa.int64()
+            ),
+            "step": pa.array(list(FUNNEL_STEPS), pa.string()),
+            "n_users": pa.array(totals, pa.int64()),
+        }
+    )

@@ -1151,3 +1151,230 @@ def cust_yoy_activity(sf_dir: str):
     return ensure_schema(
         joined.map_batches(finish, batch_format="pyarrow"), _out_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# Q18-style: large-quantity orders (aggregate-HAVING reducer + join-back)
+# ---------------------------------------------------------------------------
+
+Q18_QTY_MIN_C = 25_000  # HAVING sum(l_quantity) > 250.00, in cents
+
+
+def q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, decorated with customer name and order facts.  The defining
+    scale property is that the HAVING filter runs ON THE AGGREGATE, so the
+    join-back ships one row per *qualifying order* (~top 1% of keys), never
+    lineitems: per-batch (orderkey, qty) partials -> tiny keyed groupby ->
+    HAVING cut -> hash join back to orders -> broadcast customer-name
+    lookup -> distributed partial top-k.
+
+    Every money/qty column is exact integer cents; the final order is
+    (sum_qty_cents DESC, o_orderkey ASC) LIMIT 100, so the result is
+    deterministic and bit-for-bit comparable to the DuckDB oracle."""
+    import ray
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def lprep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "sum_qty_cents": _cents(b["l_quantity"]),
+            }
+        )
+
+    big = _partial_then_global(
+        li.map_batches(lprep, batch_format="pyarrow"),
+        ["l_orderkey"],
+        ["sum_qty_cents"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater(b["sum_qty_cents"], pa.scalar(Q18_QTY_MIN_C, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def oprep(b: pa.Table) -> pa.Table:
+        days = (
+            b["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+            // 86_400_000_000
+        )
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"],
+                "o_orderdate_day": pa.array(days, pa.int64()),
+                "total_price_cents": _cents(b["o_totalprice"]),
+            }
+        )
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(oprep, batch_format="pyarrow")
+
+    joined = big.join(
+        orders,
+        "inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    # customer is dimension-sized: broadcast (sorted custkey, name) once,
+    # decorate below the exchange with a vectorized searchsorted lookup
+    cust = _read_dim(sf_dir, "customer", columns=["c_custkey", "c_name"]).sort_values(
+        "c_custkey"
+    )
+    cust_ref = ray.put(
+        (cust["c_custkey"].to_numpy(dtype=np.int64), cust["c_name"].to_numpy())
+    )
+
+    def decorate(b: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cust_ref)
+        probe = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(ck, probe)  # every order's customer exists
+        return pa.table(
+            {
+                "c_name": pa.array(cn[idx], pa.string()),
+                "o_custkey": b["o_custkey"],
+                "o_orderkey": b["l_orderkey"],
+                "o_orderdate_day": b["o_orderdate_day"],
+                "total_price_cents": b["total_price_cents"],
+                "sum_qty_cents": b["sum_qty_cents"],
+            }
+        )
+
+    from ..functions.core import partial_topk
+
+    return partial_topk(
+        joined.map_batches(decorate, batch_format="pyarrow"),
+        ["sum_qty_cents", "o_orderkey"],
+        [False, True],
+        100,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14-style: promo revenue share (dimension broadcast + conditional scalar)
+# ---------------------------------------------------------------------------
+
+Q14_LO = "1996-09-01"
+Q14_HI = "1996-10-01"
+
+
+def q14_promo_ratio(sf_dir: str):
+    """TPC-H Q14 shape: the month's revenue share of promo-type parts.
+    The part dimension is broadcast ONCE as (sorted partkey, is_promo)
+    numpy pairs; each lineitem batch resolves promo membership with one
+    searchsorted pass and collapses to a single (promo, total, n) partial
+    row — zero shuffle, one driver-bounded result row (typed, seeded so an
+    empty month still emits the SQL SUM-over-empty contract row).
+
+    ``promo_ppm`` is exact integer: promo_rev * 1e6 // total_rev (both
+    revenues are nonnegative e4-cent integers, so floor == trunc and the
+    DuckDB ``//`` matches bit-for-bit)."""
+    import ray
+
+    lo = np.datetime64(Q14_LO, "us")
+    hi = np.datetime64(Q14_HI, "us")
+
+    part = _read_dim(sf_dir, "part", columns=["p_partkey", "p_type"]).sort_values(
+        "p_partkey"
+    )
+    part_ref = ray.put(
+        (
+            part["p_partkey"].to_numpy(dtype=np.int64),
+            (part["p_type"] == "PROMO").to_numpy(dtype=bool),
+        )
+    )
+
+    _schema = pa.schema(
+        [
+            ("promo_rev_e4", pa.int64()),
+            ("total_rev_e4", pa.int64()),
+            ("promo_ppm", pa.int64()),
+            ("n_rows", pa.int64()),
+        ]
+    )
+    _partial_schema = pa.schema(
+        [
+            ("promo_rev_e4", pa.int64()),
+            ("total_rev_e4", pa.int64()),
+            ("n_rows", pa.int64()),
+        ]
+    )
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        row_filter=(
+            (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)
+        ),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                pc.less(b["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        if b.num_rows == 0:
+            return _partial_schema.empty_table()
+        pk, promo = ray.get(part_ref)
+        probe = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(pk, probe)
+        idx_c = np.clip(idx, 0, len(pk) - 1)
+        hit = pk[idx_c] == probe  # inner-join semantics: unknown parts drop
+        price_c = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        rev = (price_c * (100 - disc_c))[hit]
+        is_promo = promo[idx_c][hit]
+        return pa.table(
+            {
+                "promo_rev_e4": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                "total_rev_e4": pa.array([int(rev.sum())], pa.int64()),
+                "n_rows": pa.array([int(hit.sum())], pa.int64()),
+            }
+        )
+
+    import ray.data as rd
+
+    seed = rd.from_arrow(
+        pa.table(
+            {
+                "promo_rev_e4": pa.array([0], pa.int64()),
+                "total_rev_e4": pa.array([0], pa.int64()),
+                "n_rows": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    partials = ds.map_batches(partial, batch_format="pyarrow").union(seed)
+
+    def finish(b: pa.Table) -> pa.Table:
+        promo = pc.sum(b["promo_rev_e4"]).as_py() or 0
+        total = pc.sum(b["total_rev_e4"]).as_py() or 0
+        n = pc.sum(b["n_rows"]).as_py() or 0
+        ppm = promo * 1_000_000 // total if total else 0
+        return pa.table(
+            {
+                "promo_rev_e4": pa.array([promo], pa.int64()),
+                "total_rev_e4": pa.array([total], pa.int64()),
+                "promo_ppm": pa.array([ppm], pa.int64()),
+                "n_rows": pa.array([n], pa.int64()),
+            }
+        )
+
+    from ..functions.schema import ensure_schema
+
+    return ensure_schema(
+        partials.repartition(1).map_batches(finish, batch_format="pyarrow"),
+        _schema,
+    )
