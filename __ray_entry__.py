@@ -259,6 +259,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_cust_avg": rel.orders_above_cust_avg,
         "q18_large_orders": rel.q18_large_orders,
         "q14_promo_ratio": rel.q14_promo_ratio,
+        "cust_order_dist": rel.cust_order_dist,
+        "q15_top_supplier": rel.q15_top_supplier,
+        "cust_idle_above_avg": rel.cust_idle_above_avg,
         # stream-shaped windows
         "events_tumbling_1h": windows.tumbling_hourly,
         "events_sessionize": windows.sessionize,
@@ -312,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prepare": corpus.corpus_prepare,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
+        "dedup_rate_by_source": dedup.dedup_rate_by_source,
         "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_simhash_pairs": dedup.simhash_pairs,
@@ -483,6 +487,61 @@ def oracle_sql() -> dict[str, str]:
                        x -> length(trim(x, ' ' || chr(9) || chr(10) || chr(13))))), 0)
                 AS BIGINT) AS max_sentence_chars
             FROM documents
+        """,
+        "cust_order_dist": """
+            WITH co AS (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY 1)
+            SELECT c_count, COUNT(*) AS custdist
+            FROM co GROUP BY 1
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+                  AS total_rev_e4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT s_suppkey, s_name, total_rev_e4
+            FROM rev JOIN supplier ON s_suppkey = l_suppkey
+            WHERE total_rev_e4 = (SELECT MAX(total_rev_e4) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "cust_idle_above_avg": """
+            WITH c AS (
+              SELECT c_custkey, c_mktsegment,
+                     CAST(round(c_acctbal*100) AS BIGINT) AS bal_c
+              FROM customer),
+            pos AS (
+              SELECT COUNT(*) AS n, CAST(SUM(bal_c) AS BIGINT) AS s
+              FROM c WHERE bal_c > 0)
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_custs,
+                   CAST(SUM(bal_c) AS BIGINT) AS sum_bal_cents
+            FROM c, pos
+            WHERE bal_c * pos.n > pos.s
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-06-01')
+            GROUP BY 1 ORDER BY 1
+        """,
+        "dedup_rate_by_source": """
+            WITH pairs AS (
+              SELECT source, md5(text) AS content_hash, COUNT(*) AS n_docs
+              FROM documents GROUP BY 1, 2)
+            SELECT source,
+                   CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                   COUNT(*) AS n_unique,
+                   CAST((SUM(n_docs) - COUNT(*)) * 1000000 // SUM(n_docs)
+                     AS BIGINT) AS dup_ppm
+            FROM pairs GROUP BY 1 ORDER BY 1
         """,
         "q3_top_orders": """
             SELECT o_orderkey,

@@ -887,3 +887,81 @@ def _decontaminate_distributed(sf_dir: str):
         agg.map_batches(rename, batch_format="pyarrow"),
         pa.schema([("doc_id", pa.int64()), ("n_shared", pa.int64())]),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source duplication rate
+# ---------------------------------------------------------------------------
+
+def dedup_rate_by_source(sf_dir: str):
+    """Per-source exact-duplicate rate: n_docs, n_unique (distinct content
+    hashes) and the duplicate share in ppm — the per-provenance dedup
+    report a corpus-curation pass reads to decide which sources to
+    down-weight before training.
+
+    Scale shape: first exchange carries (source, content_hash) count
+    partials — one row per distinct (source, hash) per block, map-side
+    combined; the second aggregation runs over those already-deduped rows
+    (one per distinct pair globally), so its input is duplication-bounded,
+    not corpus-bounded.  Content hashing reuses the vectorized md5 kernel
+    (`hashing.md5_hex`); ppm is exact integer floor division on both the
+    Ray and DuckDB sides."""
+    from .core import partial_then_global
+    from .hashing import md5_hex
+    from .schema import ensure_schema
+
+    docs = _read_docs(sf_dir, ["source", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "content_hash": md5_hex(b["text"]),
+                "n_docs": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    pair_counts = partial_then_global(
+        docs.map_batches(prep, batch_format="pyarrow"),
+        ["source", "content_hash"],
+        ["n_docs"],
+    )
+
+    def per_source_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_docs": b["n_docs"],
+                "n_unique": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    agg = partial_then_global(
+        pair_counts.map_batches(per_source_partial, batch_format="pyarrow"),
+        ["source"],
+        ["n_docs", "n_unique"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n_docs"].to_numpy(zero_copy_only=False)
+        u = b["n_unique"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_docs": b["n_docs"],
+                "n_unique": b["n_unique"],
+                "dup_ppm": pa.array((n - u) * 1_000_000 // n, pa.int64()),
+            }
+        )
+
+    return ensure_schema(
+        agg.map_batches(finish, batch_format="pyarrow").sort("source"),
+        pa.schema(
+            [
+                ("source", pa.string()),
+                ("n_docs", pa.int64()),
+                ("n_unique", pa.int64()),
+                ("dup_ppm", pa.int64()),
+            ]
+        ),
+    )

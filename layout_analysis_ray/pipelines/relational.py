@@ -1378,3 +1378,289 @@ def q14_promo_ratio(sf_dir: str):
         partials.repartition(1).map_batches(finish, batch_format="pyarrow"),
         _schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q13-style: customer order-count distribution (left-join histogram)
+# ---------------------------------------------------------------------------
+
+Q13_EXCLUDE_PRIORITY = "1-URGENT"
+
+
+def cust_order_dist(sf_dir: str):
+    """TPC-H Q13 shape: the distribution of per-customer order counts
+    INCLUDING the zero bucket (customers with no qualifying orders), with
+    orders filtered by a join-level predicate (priority != 1-URGENT).
+
+    Scale shape: the classic formulation is a LEFT OUTER join of customer
+    against orders — but the join is unnecessary: per-custkey counts come
+    from map-side partials over the filtered orders scan, the histogram
+    over counts is a second (tiny: one row per distinct count value)
+    partial aggregation, and the zero bucket is pure arithmetic —
+    ``n_customers - n_custkeys_with_orders`` — where n_customers is read
+    from parquet METADATA (zero rows scanned) and the with-orders count is
+    the sum of the histogram itself.  Relies on referential integrity
+    (every o_custkey exists in customer), which the star schema guarantees.
+    The result is driver-bounded (distinct count values), so it returns a
+    typed ``pa.Table``."""
+    import pyarrow.parquet as pq
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_custkey", "o_orderpriority"],
+        row_filter=(pads.field("o_orderpriority") != Q13_EXCLUDE_PRIORITY),
+    )
+
+    def oprep(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.not_equal(b["o_orderpriority"], pa.scalar(Q13_EXCLUDE_PRIORITY))
+        )
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "c_count": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    counts = _partial_then_global(
+        orders.map_batches(oprep, batch_format="pyarrow"), ["o_custkey"], ["c_count"]
+    )
+
+    def to_hist_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_count": b["c_count"],
+                "custdist": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    hist = _partial_then_global(
+        counts.map_batches(to_hist_partial, batch_format="pyarrow"),
+        ["c_count"],
+        ["custdist"],
+    ).take_all()
+
+    n_customers = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    n_with_orders = sum(r["custdist"] for r in hist)
+    rows = [(int(r["c_count"]), int(r["custdist"])) for r in hist]
+    if n_customers - n_with_orders > 0:
+        rows.append((0, n_customers - n_with_orders))
+    rows.sort(key=lambda t: (-t[1], -t[0]))
+    return pa.table(
+        {
+            "c_count": pa.array([r[0] for r in rows], pa.int64()),
+            "custdist": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15-style: top supplier(s) by window revenue (argmax over an aggregate)
+# ---------------------------------------------------------------------------
+
+Q15_LO = "1996-01-01"
+Q15_HI = "1996-04-01"
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) whose quarter revenue equals the
+    MAXIMUM per-supplier revenue — an argmax over an aggregate, ties kept.
+
+    Scale shape: per-supplier revenue comes from map-side (suppkey, rev)
+    partials over the date-pruned lineitem scan; the reduced table (one
+    row per supplier) is MATERIALIZED once so the max and the equality
+    filter reuse one lineage instead of re-scanning lineitem twice (the
+    orders_above_cust_avg pattern); supplier names decorate below via a
+    broadcast sorted-array lookup.  Revenue is exact integer e4-cents."""
+    import ray
+
+    lo = np.datetime64(Q15_LO, "us")
+    hi = np.datetime64(Q15_HI, "us")
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        row_filter=(
+            (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)
+        ),
+    )
+
+    def lprep(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                pc.less(b["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        rev = pc.multiply(
+            _cents(b["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(b["l_discount"])),
+        )
+        return pa.table({"l_suppkey": b["l_suppkey"], "total_rev_e4": rev})
+
+    rev = _partial_then_global(
+        li.map_batches(lprep, batch_format="pyarrow"),
+        ["l_suppkey"],
+        ["total_rev_e4"],
+    ).materialize()
+
+    best = rev.max("total_rev_e4")
+
+    sup = _read_dim(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).sort_values(
+        "s_suppkey"
+    )
+    sup_ref = ray.put(
+        (sup["s_suppkey"].to_numpy(dtype=np.int64), sup["s_name"].to_numpy())
+    )
+
+    def decorate(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["total_rev_e4"], pa.scalar(best, pa.int64())))
+        sk, sn = ray.get(sup_ref)
+        probe = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(sk, probe)  # RI: every lineitem supplier exists
+        return pa.table(
+            {
+                "s_suppkey": b["l_suppkey"],
+                "s_name": pa.array(sn[idx], pa.string()),
+                "total_rev_e4": b["total_rev_e4"],
+            }
+        )
+
+    from ..functions.schema import ensure_schema
+
+    out = rev.map_batches(decorate, batch_format="pyarrow").sort("s_suppkey")
+    return ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("s_suppkey", pa.int64()),
+                ("s_name", pa.string()),
+                ("total_rev_e4", pa.int64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22-style: idle above-average-balance customers (scalar subquery + anti)
+# ---------------------------------------------------------------------------
+
+Q22_IDLE_SINCE = "2000-06-01"
+
+
+def cust_idle_above_avg(sf_dir: str):
+    """TPC-H Q22 shape: customers whose balance exceeds the positive-balance
+    average and who have placed NO order since a cutoff, counted per market
+    segment.  Combines a scalar aggregate subquery with a NOT EXISTS
+    anti-join.
+
+    Scale shape: the threshold test is cross-multiplied to exact integers
+    (bal * n_pos > sum_pos — no float average on either side); the customer
+    scan is materialized once and reused by both the scalar pass and the
+    filter pass; the NOT EXISTS side (custkeys active since the cutoff) is
+    corpus-proportional, so it stays DISTRIBUTED — per-batch distinct →
+    keyed dedup → LEFT OUTER ``Dataset.join`` with a match marker, keep the
+    null-marker rows (the anti complement of q4's EXISTS inner join).  The
+    broadcast key-set variant next door (anti_join_customers) covers the
+    driver-sized case."""
+
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "c_custkey": b["c_custkey"],
+                    "c_mktsegment": b["c_mktsegment"],
+                    "bal_c": _cents(b["c_acctbal"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        bal = b["bal_c"].to_numpy(zero_copy_only=False)
+        pos = bal[bal > 0]
+        return pa.table(
+            {
+                "n_pos": pa.array([len(pos)], pa.int64()),
+                "s_pos": pa.array([int(pos.sum())], pa.int64()),
+            }
+        )
+
+    tot = cust.map_batches(pos_partial, batch_format="pyarrow").sum(
+        ["n_pos", "s_pos"]
+    )
+    n_pos, s_pos = int(tot["sum(n_pos)"]), int(tot["sum(s_pos)"])
+
+    rich = cust.map_batches(
+        lambda b: b.filter(
+            pc.greater(
+                pc.multiply(b["bal_c"], pa.scalar(n_pos, pa.int64())),
+                pa.scalar(s_pos, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    cutoff = np.datetime64(Q22_IDLE_SINCE, "us")
+    active = _read(
+        sf_dir,
+        "orders",
+        columns=["o_custkey", "o_orderdate"],
+        row_filter=(pads.field("o_orderdate") >= cutoff),
+    )
+
+    def aprep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["o_orderdate"], pa.scalar(cutoff)))
+        keys = pc.unique(b["o_custkey"])
+        return pa.table(
+            {
+                "a_custkey": keys,
+                "hit": pa.array(np.ones(len(keys), dtype=np.int64)),
+            }
+        )
+
+    active_keys = _partial_then_global(
+        active.map_batches(aprep, batch_format="pyarrow"), ["a_custkey"], ["hit"]
+    )
+
+    joined = rich.join(
+        active_keys,
+        "left_outer",
+        num_partitions=16,
+        on=("c_custkey",),
+        right_on=("a_custkey",),
+    )
+
+    def idle_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_null(b["hit"]))
+        return pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "n_custs": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "sum_bal_cents": b["bal_c"],
+            }
+        )
+
+    out = _partial_then_global(
+        joined.map_batches(idle_partial, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        ["n_custs", "sum_bal_cents"],
+    ).sort("c_mktsegment")
+
+    from ..functions.schema import ensure_schema
+
+    return ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("c_mktsegment", pa.string()),
+                ("n_custs", pa.int64()),
+                ("sum_bal_cents", pa.int64()),
+            ]
+        ),
+    )
