@@ -262,6 +262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_order_dist": rel.cust_order_dist,
         "q15_top_supplier": rel.q15_top_supplier,
         "cust_idle_above_avg": rel.cust_idle_above_avg,
+        "q17_small_qty_revenue": rel.q17_small_qty_revenue,
+        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
+        "q21_waiting_suppliers": rel.q21_waiting_suppliers,
         # stream-shaped windows
         "events_tumbling_1h": windows.tumbling_hourly,
         "events_sessionize": windows.sessionize,
@@ -437,6 +440,61 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON c_custkey = o_custkey
             ORDER BY sum_qty_cents DESC, o_orderkey
             LIMIT 100
+        """,
+        "q17_small_qty_revenue": """
+            WITH bl AS (
+              SELECT l_partkey,
+                     CAST(round(l_quantity*100) AS BIGINT) AS qty_cents,
+                     CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#12'),
+            a AS (SELECT l_partkey, SUM(qty_cents) AS sq, COUNT(*) AS n
+                  FROM bl GROUP BY 1)
+            SELECT CAST(COALESCE(SUM(price_cents), 0) AS BIGINT)
+                     AS total_price_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COALESCE(SUM(price_cents), 0) // 7 AS BIGINT)
+                     AS avg_yearly_cents
+            FROM bl JOIN a USING (l_partkey)
+            WHERE 5 * qty_cents * n < sq
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT CAST(COALESCE(SUM(
+                     CAST(round(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l_discount*100) AS BIGINT))), 0)
+                     AS BIGINT) AS revenue_e4,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND CAST(round(l_quantity*100) AS BIGINT) BETWEEN 100 AND 1100)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND CAST(round(l_quantity*100) AS BIGINT) BETWEEN 1000 AND 2000)
+               OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+                   AND CAST(round(l_quantity*100) AS BIGINT) BETWEEN 2000 AND 3000)
+        """,
+        "q21_waiting_suppliers": """
+            WITH j AS (
+              SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderstatus = 'F'),
+            late AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM j
+              WHERE l_shipdate > o_orderdate + INTERVAL 365 DAY),
+            w AS (
+              SELECT l1.l_orderkey, l1.l_suppkey FROM late l1
+              WHERE EXISTS (SELECT 1 FROM j l2
+                            WHERE l2.l_orderkey = l1.l_orderkey
+                              AND l2.l_suppkey <> l1.l_suppkey)
+                AND NOT EXISTS (SELECT 1 FROM late l3
+                                WHERE l3.l_orderkey = l1.l_orderkey
+                                  AND l3.l_suppkey <> l1.l_suppkey)),
+            c AS (SELECT l_suppkey AS s_suppkey,
+                         CAST(COUNT(*) AS BIGINT) AS numwait
+                  FROM w GROUP BY 1)
+            SELECT s_suppkey, s_name, numwait
+            FROM c JOIN supplier USING (s_suppkey)
+            ORDER BY numwait DESC, s_name
+            LIMIT 25
         """,
         "q14_promo_ratio": """
             WITH j AS (

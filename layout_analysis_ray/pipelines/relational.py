@@ -1664,3 +1664,370 @@ def cust_idle_above_avg(sf_dir: str):
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q17-style: small-quantity revenue (correlated per-part average threshold)
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#12"
+# qualifying row: l_quantity < (1/5) * avg(l_quantity) over its part, i.e.
+# exactly 5 * qty_cents * n_part_rows < sum_qty_cents — pure int64 on both
+# the Ray side and the DuckDB oracle, so the cut cannot drift on floats.
+Q17_THRESH_MUL = 5
+Q17_YEARS = 7  # TPC-H reports avg yearly revenue = total / 7
+
+
+def q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one brand.
+
+    Scale shape: the correlated scalar subquery (per-part average quantity)
+    never becomes a self-join.  The brand's partkeys are dimension-sized, so
+    they broadcast once (``ray.put`` of a sorted int64 array) and the fact
+    scan keeps only that brand's rows map-side — the materialized subset is
+    brand-fraction-sized (~1/25 of lineitem), and the per-part (sum, n)
+    stats that come out of it are bounded by the brand's PART count, so they
+    ride back to every worker as a second broadcast.  Two passes over the
+    small subset, zero passes of the full fact table beyond the first
+    membership scan, zero shuffle of fact rows."""
+    import ray
+
+    part = _read_dim(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    brand_keys = np.sort(
+        part.loc[part["p_brand"] == Q17_BRAND, "p_partkey"].to_numpy(dtype=np.int64)
+    )
+    keys_ref = ray.put(brand_keys)
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def fprep(b: pa.Table) -> pa.Table:
+        pk = ray.get(keys_ref)
+        probe = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(pk):
+            idx = np.minimum(np.searchsorted(pk, probe), len(pk) - 1)
+            hit = pk[idx] == probe
+        else:
+            hit = np.zeros(len(probe), dtype=bool)
+        b = b.filter(pa.array(hit))
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "qty_cents": _cents(b["l_quantity"]),
+                "price_cents": _cents(b["l_extendedprice"]),
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    # one scan of the fact table; the brand subset is reused by both passes
+    sub = li.map_batches(fprep, batch_format="pyarrow").materialize()
+
+    stats = _partial_then_global(sub, ["l_partkey"], ["qty_cents", "n"]).to_pandas()
+    stats = stats.sort_values("l_partkey")
+    stats_ref = ray.put(
+        (
+            stats["l_partkey"].to_numpy(dtype=np.int64),
+            stats["qty_cents"].to_numpy(dtype=np.int64),
+            stats["n"].to_numpy(dtype=np.int64),
+        )
+    )
+
+    _schema = pa.schema(
+        [
+            ("total_price_cents", pa.int64()),
+            ("n_rows", pa.int64()),
+            ("avg_yearly_cents", pa.int64()),
+        ]
+    )
+
+    def small_partial(b: pa.Table) -> pa.Table:
+        pk, sq, n = ray.get(stats_ref)
+        probe = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(pk, probe)  # every subset row's part has stats
+        qc = b["qty_cents"].to_numpy(zero_copy_only=False)
+        keep = Q17_THRESH_MUL * qc * n[idx] < sq[idx]
+        price = b["price_cents"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "total_price_cents": pa.array([int(price.sum())], pa.int64()),
+                "n_rows": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    import ray.data as rd
+
+    seed = rd.from_arrow(
+        pa.table(
+            {
+                "total_price_cents": pa.array([0], pa.int64()),
+                "n_rows": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    partials = sub.map_batches(small_partial, batch_format="pyarrow").union(seed)
+
+    def finish(b: pa.Table) -> pa.Table:
+        total = pc.sum(b["total_price_cents"]).as_py() or 0
+        n = pc.sum(b["n_rows"]).as_py() or 0
+        return pa.table(
+            {
+                "total_price_cents": pa.array([total], pa.int64()),
+                "n_rows": pa.array([n], pa.int64()),
+                "avg_yearly_cents": pa.array([total // Q17_YEARS], pa.int64()),
+            }
+        )
+
+    from ..functions.schema import ensure_schema
+
+    return ensure_schema(
+        partials.repartition(1).map_batches(finish, batch_format="pyarrow"), _schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19-style: disjunctive brand/size/quantity revenue (OR-pushdown)
+# ---------------------------------------------------------------------------
+
+# (brand, max p_size, qty range cents lo/hi inclusive) per disjunct
+Q19_DISJUNCTS = (
+    ("Brand#12", 5, 100, 1100),
+    ("Brand#23", 10, 1000, 2000),
+    ("Brand#5", 15, 2000, 3000),
+)
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue under an OR of (brand AND size AND quantity)
+    conjuncts spanning both tables.
+
+    Scale shape: the disjunction collapses to map-side vector math.  The
+    part side ships once as three sorted parallel arrays (partkey, brand
+    code, size); each lineitem batch resolves its disjunct membership with
+    one searchsorted + boolean algebra — no join exchange at all.  Only the
+    weakest envelope of the quantity predicate (qty <= 30) is pushed into
+    the scan; the exact per-disjunct cut happens on int64 cents in memory,
+    so OR semantics stay bit-exact vs the oracle."""
+    import ray
+
+    part = _read_dim(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    part = part.sort_values("p_partkey")
+    brand_code = np.zeros(len(part), dtype=np.int8)
+    for code, (brand, _, _, _) in enumerate(Q19_DISJUNCTS, start=1):
+        brand_code[(part["p_brand"] == brand).to_numpy()] = code
+    part_ref = ray.put(
+        (
+            part["p_partkey"].to_numpy(dtype=np.int64),
+            brand_code,
+            part["p_size"].to_numpy(dtype=np.int32),
+        )
+    )
+
+    qty_hi = max(hi for (_, _, _, hi) in Q19_DISJUNCTS)  # cents
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        # envelope pushdown: cents(q) <= qty_hi <=> q < (qty_hi + 0.5)/100
+        row_filter=(pads.field("l_quantity") < (qty_hi + 0.5) / 100.0),
+    )
+
+    _schema = pa.schema([("revenue_e4", pa.int64()), ("n_rows", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk, bcode, psize = ray.get(part_ref)
+        probe = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(pk, probe)  # FK integrity: every part exists
+        code = bcode[idx]
+        size = psize[idx]
+        qc = _cents(b["l_quantity"]).to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(probe), dtype=bool)
+        for c, (_, size_max, q_lo, q_hi) in enumerate(Q19_DISJUNCTS, start=1):
+            keep |= (
+                (code == c)
+                & (size >= 1)
+                & (size <= size_max)
+                & (qc >= q_lo)
+                & (qc <= q_hi)
+            )
+        if not keep.any():
+            return _schema.empty_table()
+        price = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)[keep]
+        disc = _cents(b["l_discount"]).to_numpy(zero_copy_only=False)[keep]
+        rev = int((price * (100 - disc)).sum())
+        return pa.table(
+            {
+                "revenue_e4": pa.array([rev], pa.int64()),
+                "n_rows": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    import ray.data as rd
+
+    seed = rd.from_arrow(
+        pa.table({"revenue_e4": pa.array([0], pa.int64()),
+                  "n_rows": pa.array([0], pa.int64())})
+    )
+    partials = li.map_batches(partial, batch_format="pyarrow").union(seed)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "revenue_e4": pa.array([pc.sum(b["revenue_e4"]).as_py() or 0], pa.int64()),
+                "n_rows": pa.array([pc.sum(b["n_rows"]).as_py() or 0], pa.int64()),
+            }
+        )
+
+    from ..functions.schema import ensure_schema
+
+    return ensure_schema(
+        partials.repartition(1).map_batches(finish, batch_format="pyarrow"), _schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21-style: suppliers who kept finished orders waiting
+# ---------------------------------------------------------------------------
+
+Q21_LATE_DAYS = 365  # "late" = shipped more than a year after the order date
+Q21_TOPK = 25
+
+
+def q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier finished order.
+
+    Scale shape: the classic formulation is a fact self-join with an EXISTS
+    and a NOT EXISTS — three scans of lineitem and two self-exchanges.  Here
+    both quantifiers collapse into grouped aggregates: after one
+    lineitem x orders('F') hash join, per-(order, supplier) partials dedup
+    suppliers map-side, a per-order aggregate computes (n_suppliers,
+    n_late_suppliers, sum of late supplier keys), and the EXISTS / NOT
+    EXISTS pair becomes the filter ``n_suppliers >= 2 AND n_late == 1``
+    (the sole late supplier's key IS the conditional sum).  One fact-fact
+    exchange + two key-shrinking groupbys, never a self-join.  The DuckDB
+    oracle keeps the genuine EXISTS/NOT EXISTS form so parity checks the
+    semantics, not mirrored arithmetic."""
+    import ray
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate"],
+        row_filter=(pads.field("o_orderstatus") == "F"),
+    )
+
+    def oprep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["o_orderstatus"], pa.scalar("F")))
+        return b.select(["o_orderkey", "o_orderdate"])
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    joined = li.join(
+        orders.map_batches(oprep, batch_format="pyarrow"),
+        "inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    late_us = Q21_LATE_DAYS * 86_400_000_000
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        ship = (
+            b["l_shipdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        odate = (
+            b["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "n_late": pa.array((ship > odate + late_us).astype(np.int64)),
+            }
+        )
+
+    # one row per (order, supplier) with the count of its late lineitems
+    pairs = _partial_then_global(
+        joined.map_batches(pair_partial, batch_format="pyarrow"),
+        ["l_orderkey", "l_suppkey"],
+        ["n_late"],
+    )
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        late_any = pc.cast(pc.greater(b["n_late"], 0), pa.int64())
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "n_supp": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "n_late_supp": late_any,
+                "late_sk": pc.multiply(late_any, b["l_suppkey"]),
+            }
+        )
+
+    per_order = _partial_then_global(
+        pairs.map_batches(order_partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        ["n_supp", "n_late_supp", "late_sk"],
+    )
+
+    def waiting_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.greater_equal(b["n_supp"], 2), pc.equal(b["n_late_supp"], 1)
+            )
+        )
+        return pa.table(
+            {
+                "s_suppkey": b["late_sk"],
+                "numwait": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    per_supp = _partial_then_global(
+        per_order.map_batches(waiting_partial, batch_format="pyarrow"),
+        ["s_suppkey"],
+        ["numwait"],
+    )
+
+    supp = _read_dim(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).sort_values(
+        "s_suppkey"
+    )
+    supp_ref = ray.put(
+        (supp["s_suppkey"].to_numpy(dtype=np.int64), supp["s_name"].to_numpy())
+    )
+
+    def decorate(b: pa.Table) -> pa.Table:
+        sk, sn = ray.get(supp_ref)
+        probe = b["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(sk, probe)
+        return pa.table(
+            {
+                "s_suppkey": b["s_suppkey"],
+                "s_name": pa.array(sn[idx], pa.string()),
+                "numwait": b["numwait"],
+            }
+        )
+
+    from ..functions.core import partial_topk
+    from ..functions.schema import ensure_schema
+
+    out = partial_topk(
+        per_supp.map_batches(decorate, batch_format="pyarrow"),
+        ["numwait", "s_name"],
+        [False, True],
+        Q21_TOPK,
+    )
+    return ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("s_suppkey", pa.int64()),
+                ("s_name", pa.string()),
+                ("numwait", pa.int64()),
+            ]
+        ),
+    )
