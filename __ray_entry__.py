@@ -265,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty_revenue": rel.q17_small_qty_revenue,
         "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
         "q21_waiting_suppliers": rel.q21_waiting_suppliers,
+        "q7_volume_shipping": rel.q7_volume_shipping,
+        "q10_returned_top_customers": rel.q10_returned_top_customers,
         # stream-shaped windows
         "events_tumbling_1h": windows.tumbling_hourly,
         "events_sessionize": windows.sessionize,
@@ -440,6 +442,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON c_custkey = o_custkey
             ORDER BY sum_qty_cents DESC, o_orderkey
             LIMIT 100
+        """,
+        "q7_volume_shipping": """
+            WITH j AS (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     year(l_shipdate) AS l_year,
+                     CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_e4
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+                AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                  OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')))
+            SELECT supp_nation, cust_nation, CAST(l_year AS BIGINT) AS l_year,
+                   CAST(SUM(rev_e4) AS BIGINT) AS revenue_e4,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM j GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "q10_returned_top_customers": """
+            WITH per_cust AS (
+              SELECT o_custkey AS c_custkey,
+                     CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                          * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                          AS BIGINT) AS revenue_e4,
+                     CAST(COUNT(*) AS BIGINT) AS n_items
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-07-01'
+                AND o_orderdate < TIMESTAMP '1996-10-01'
+              GROUP BY 1)
+            SELECT c_custkey, c_name, revenue_e4, n_items,
+                   CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents,
+                   n_name
+            FROM per_cust
+            JOIN customer USING (c_custkey)
+            JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY revenue_e4 DESC, c_custkey
+            LIMIT 20
         """,
         "q17_small_qty_revenue": """
             WITH bl AS (

@@ -2031,3 +2031,307 @@ def q21_waiting_suppliers(sf_dir: str):
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q7-style: bidirectional nation-pair shipping volume
+# ---------------------------------------------------------------------------
+
+Q7_NATION_A = "NATION_3"
+Q7_NATION_B = "NATION_7"
+Q7_LO = "1996-01-01"
+Q7_HI = "1998-01-01"
+
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape: revenue between two nations, split by direction
+    (supplier nation -> customer nation) and ship year.
+
+    Scale shape: the five-table join collapses to ONE fact-fact exchange.
+    supplier->nation and customer->nation fold into two broadcast int8
+    nation-code lookups (A/B/other), and both fact sides are pre-filtered
+    map-side to the two nations BEFORE the orderkey shuffle — only ~2/25 of
+    each table's rows enter the exchange.  The ship-year window is pushed
+    into the parquet scan; the (supp_nation, cust_nation, year) rollup is
+    a partial-then-global over at most 2 x 2 x years keys."""
+    import ray
+
+    nation = _read_dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    code_by_nk = {}
+    for _, row in nation.iterrows():
+        if row["n_name"] == Q7_NATION_A:
+            code_by_nk[int(row["n_nationkey"])] = 1
+        elif row["n_name"] == Q7_NATION_B:
+            code_by_nk[int(row["n_nationkey"])] = 2
+
+    def _codes(df, key_col, nk_col):
+        df = df.sort_values(key_col)
+        keys = df[key_col].to_numpy(dtype=np.int64)
+        codes = (
+            df[nk_col].map(lambda nk: code_by_nk.get(int(nk), 0))
+            .to_numpy(dtype=np.int8)
+        )
+        return keys, codes
+
+    supp_ref = ray.put(
+        _codes(
+            _read_dim(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+            "s_suppkey",
+            "s_nationkey",
+        )
+    )
+    cust_ref = ray.put(
+        _codes(
+            _read_dim(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+            "c_custkey",
+            "c_nationkey",
+        )
+    )
+
+    lo = np.datetime64(Q7_LO, "us")
+    hi = np.datetime64(Q7_HI, "us")
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        row_filter=((pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)),
+    )
+
+    def lprep(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                pc.less(b["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        sk, scode = ray.get(supp_ref)
+        probe = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(sk, probe)
+        code = scode[idx]
+        keep = code != 0
+        b = b.filter(pa.array(keep))
+        year = (
+            b["l_shipdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        )
+        rev = pc.multiply(
+            _cents(b["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(b["l_discount"])),
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "supp_code": pa.array(code[keep].astype(np.int64)),
+                "l_year": pa.array(year, pa.int64()),
+                "rev_e4": rev,
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def oprep(b: pa.Table) -> pa.Table:
+        ck, ccode = ray.get(cust_ref)
+        probe = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(ck, probe)
+        code = ccode[idx]
+        keep = code != 0
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    b["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "cust_code": pa.array(code[keep].astype(np.int64)),
+            }
+        )
+
+    joined = li.map_batches(lprep, batch_format="pyarrow").join(
+        orders.map_batches(oprep, batch_format="pyarrow"),
+        "inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def vol_partial(b: pa.Table) -> pa.Table:
+        # cross-nation rows only: (A->B) or (B->A)
+        b = b.filter(pc.not_equal(b["supp_code"], b["cust_code"]))
+        return pa.table(
+            {
+                "supp_code": b["supp_code"],
+                "cust_code": b["cust_code"],
+                "l_year": b["l_year"],
+                "revenue_e4": b["rev_e4"],
+                "n_rows": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    out = _partial_then_global(
+        joined.map_batches(vol_partial, batch_format="pyarrow"),
+        ["supp_code", "cust_code", "l_year"],
+        ["revenue_e4", "n_rows"],
+    )
+
+    name_by_code = {1: Q7_NATION_A, 2: Q7_NATION_B}
+
+    def finish(b: pa.Table) -> pa.Table:
+        sc = b["supp_code"].to_numpy(zero_copy_only=False)
+        cc = b["cust_code"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "supp_nation": pa.array([name_by_code[int(c)] for c in sc], pa.string()),
+                "cust_nation": pa.array([name_by_code[int(c)] for c in cc], pa.string()),
+                "l_year": b["l_year"],
+                "revenue_e4": b["revenue_e4"],
+                "n_rows": b["n_rows"],
+            }
+        )
+
+    from ..functions.schema import ensure_schema
+
+    return ensure_schema(
+        out.map_batches(finish, batch_format="pyarrow").sort(
+            ["supp_nation", "cust_nation", "l_year"]
+        ),
+        pa.schema(
+            [
+                ("supp_nation", pa.string()),
+                ("cust_nation", pa.string()),
+                ("l_year", pa.int64()),
+                ("revenue_e4", pa.int64()),
+                ("n_rows", pa.int64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10-style: returned-item revenue, top customers
+# ---------------------------------------------------------------------------
+
+Q10_LO = "1996-07-01"
+Q10_HI = "1996-10-01"
+Q10_TOPK = 20
+
+
+def _cents_np(v: np.ndarray) -> np.ndarray:
+    from ..functions.numeric import cents_np
+
+    return cents_np(v)
+
+
+def q10_returned_top_customers(sf_dir: str):
+    """TPC-H Q10 shape: customers who returned the most revenue in a
+    quarter, decorated with account balance and nation.
+
+    Scale shape: both scans are pushed (quarter window on orders,
+    returnflag on lineitem's in-memory cut), the orderkey exchange carries
+    only qualifying rows, the custkey rollup shrinks map-side first, and
+    all customer/nation decoration happens AFTER the top-k cut — the
+    broadcast lookup decorates 20 rows, not 150k customers."""
+    import ray
+
+    lo = np.datetime64(Q10_LO, "us")
+    hi = np.datetime64(Q10_HI, "us")
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        row_filter=((pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi)),
+    )
+
+    def oprep(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                pc.less(b["o_orderdate"], pa.scalar(hi)),
+            )
+        )
+        return b.select(["o_orderkey", "o_custkey"])
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        row_filter=(pads.field("l_returnflag") == "R"),
+    )
+
+    def lprep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], pa.scalar("R")))
+        rev = pc.multiply(
+            _cents(b["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(b["l_discount"])),
+        )
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev_e4": rev})
+
+    joined = li.map_batches(lprep, batch_format="pyarrow").join(
+        orders.map_batches(oprep, batch_format="pyarrow"),
+        "inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b["o_custkey"],
+                "revenue_e4": b["rev_e4"],
+                "n_items": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    per_cust = _partial_then_global(
+        joined.map_batches(cust_partial, batch_format="pyarrow"),
+        ["c_custkey"],
+        ["revenue_e4", "n_items"],
+    )
+
+    from ..functions.core import partial_topk
+
+    top = partial_topk(per_cust, ["revenue_e4", "c_custkey"], [False, True], Q10_TOPK)
+
+    cust = _read_dim(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    ).sort_values("c_custkey")
+    nation = _read_dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nname = nation.set_index("n_nationkey")["n_name"]
+    cust_ref = ray.put(
+        (
+            cust["c_custkey"].to_numpy(dtype=np.int64),
+            cust["c_name"].to_numpy(),
+            _cents_np(cust["c_acctbal"].to_numpy()),
+            cust["c_nationkey"].map(nname).to_numpy(),
+        )
+    )
+
+    def decorate(b: pa.Table) -> pa.Table:
+        ck, cn, bal, nn = ray.get(cust_ref)
+        probe = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(ck, probe)
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_name": pa.array(cn[idx], pa.string()),
+                "revenue_e4": b["revenue_e4"],
+                "n_items": b["n_items"],
+                "acctbal_cents": pa.array(bal[idx], pa.int64()),
+                "n_name": pa.array(nn[idx], pa.string()),
+            }
+        )
+
+    from ..functions.schema import ensure_schema
+
+    return ensure_schema(
+        top.map_batches(decorate, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("c_name", pa.string()),
+                ("revenue_e4", pa.int64()),
+                ("n_items", pa.int64()),
+                ("acctbal_cents", pa.int64()),
+                ("n_name", pa.string()),
+            ]
+        ),
+    )
