@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers": rel.q21_waiting_suppliers,
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q10_returned_top_customers": rel.q10_returned_top_customers,
+        "q8_market_share": rel.q8_market_share,
         # stream-shaped windows
         "events_tumbling_1h": windows.tumbling_hourly,
         "events_sessionize": windows.sessionize,
@@ -442,6 +443,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON c_custkey = o_custkey
             ORDER BY sum_qty_cents DESC, o_orderkey
             LIMIT 100
+        """,
+        "q8_market_share": """
+            WITH j AS (
+              SELECT year(o_orderdate) AS o_year,
+                     CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_e4,
+                     CASE WHEN n1.n_name = 'NATION_5' THEN 1 ELSE 0 END AS is_target
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              JOIN region ON n2.n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01')
+            SELECT CAST(o_year AS BIGINT) AS o_year,
+                   CAST(SUM(is_target * rev_e4) AS BIGINT) AS target_rev_e4,
+                   CAST(SUM(rev_e4) AS BIGINT) AS total_rev_e4,
+                   CAST((SUM(is_target * rev_e4) * 1000000) // SUM(rev_e4)
+                        AS BIGINT) AS share_ppm,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM j GROUP BY 1 ORDER BY 1
         """,
         "q7_volume_shipping": """
             WITH j AS (

@@ -172,6 +172,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_ntile_by_chars": text.ntile_by_chars,
         "q6_forecast_revenue": rel.q6_forecast_revenue,
         "doc_oov_rate": text.oov_rate,
+        "q21_waiting_suppliers": rel.q21_waiting_suppliers,
+        "q7_volume_shipping": rel.q7_volume_shipping,
+        "q8_market_share": rel.q8_market_share,
     }
     # One timed run per query, then a targeted second run for cold-start
     # outliers only: the first execution of a plan right after the 1M-doc

@@ -2335,3 +2335,171 @@ def q10_returned_top_customers(sf_dir: str):
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8-style: national market share within a region's part-type trade
+# ---------------------------------------------------------------------------
+
+Q8_REGION = "EUROPE"
+Q8_PART_TYPE = "ECONOMY"
+Q8_NATION = "NATION_5"
+Q8_LO = "1996-01-01"
+Q8_HI = "1998-01-01"
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape: one nation's share of a region's yearly revenue for
+    one part type — the conditional-ratio-per-group pattern over an
+    eight-table join.
+
+    Scale shape: all six dimension edges (part type, supplier nation,
+    customer -> nation -> region) fold into three broadcast lookups
+    (sorted-key membership / flag arrays), leaving ONE fact-fact orderkey
+    exchange, with both fact sides pre-filtered map-side before the
+    shuffle.  The share is exact integer: numerator and denominator ride
+    the same (year) partial rows, ppm by floor division in both engines."""
+    import ray
+
+    part = _read_dim(sf_dir, "part", columns=["p_partkey", "p_type"])
+    part_keys = np.sort(
+        part.loc[part["p_type"] == Q8_PART_TYPE, "p_partkey"].to_numpy(dtype=np.int64)
+    )
+
+    nation = _read_dim(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = _read_dim(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    region_keys = set(
+        region.loc[region["r_name"] == Q8_REGION, "r_regionkey"].astype(int)
+    )
+    target_nk = set(nation.loc[nation["n_name"] == Q8_NATION, "n_nationkey"].astype(int))
+    region_nk = set(
+        nation.loc[nation["n_regionkey"].astype(int).isin(region_keys), "n_nationkey"].astype(int)
+    )
+
+    supp = _read_dim(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).sort_values(
+        "s_suppkey"
+    )
+    cust = _read_dim(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).sort_values(
+        "c_custkey"
+    )
+    lookup_ref = ray.put(
+        (
+            part_keys,
+            supp["s_suppkey"].to_numpy(dtype=np.int64),
+            supp["s_nationkey"].astype(int).isin(target_nk).to_numpy(),
+            cust["c_custkey"].to_numpy(dtype=np.int64),
+            cust["c_nationkey"].astype(int).isin(region_nk).to_numpy(),
+        )
+    )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def lprep(b: pa.Table) -> pa.Table:
+        pk, sk, s_target, _, _ = ray.get(lookup_ref)
+        probe = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(pk):
+            idx = np.minimum(np.searchsorted(pk, probe), len(pk) - 1)
+            hit = pk[idx] == probe
+        else:
+            hit = np.zeros(len(probe), dtype=bool)
+        b = b.filter(pa.array(hit))
+        sp = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_target = s_target[np.searchsorted(sk, sp)].astype(np.int64)
+        rev = pc.multiply(
+            _cents(b["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(b["l_discount"])),
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev_e4": rev,
+                "is_target": pa.array(is_target),
+            }
+        )
+
+    lo = np.datetime64(Q8_LO, "us")
+    hi = np.datetime64(Q8_HI, "us")
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        row_filter=((pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi)),
+    )
+
+    def oprep(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                pc.less(b["o_orderdate"], pa.scalar(hi)),
+            )
+        )
+        _, _, _, ck, c_in_region = ray.get(lookup_ref)
+        probe = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = c_in_region[np.searchsorted(ck, probe)]
+        b = b.filter(pa.array(keep))
+        year = (
+            b["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        )
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_year": pa.array(year, pa.int64()),
+            }
+        )
+
+    joined = li.map_batches(lprep, batch_format="pyarrow").join(
+        orders.map_batches(oprep, batch_format="pyarrow"),
+        "inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def year_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_year": b["o_year"],
+                "target_rev_e4": pc.multiply(b["is_target"], b["rev_e4"]),
+                "total_rev_e4": b["rev_e4"],
+                "n_rows": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    out = _partial_then_global(
+        joined.map_batches(year_partial, batch_format="pyarrow"),
+        ["o_year"],
+        ["target_rev_e4", "total_rev_e4", "n_rows"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        tgt = b["target_rev_e4"].to_numpy(zero_copy_only=False)
+        tot = b["total_rev_e4"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_year": b["o_year"],
+                "target_rev_e4": b["target_rev_e4"],
+                "total_rev_e4": b["total_rev_e4"],
+                "share_ppm": pa.array(tgt * 1_000_000 // tot, pa.int64()),
+                "n_rows": b["n_rows"],
+            }
+        )
+
+    from ..functions.schema import ensure_schema
+
+    return ensure_schema(
+        out.map_batches(finish, batch_format="pyarrow").sort("o_year"),
+        pa.schema(
+            [
+                ("o_year", pa.int64()),
+                ("target_rev_e4", pa.int64()),
+                ("total_rev_e4", pa.int64()),
+                ("share_ppm", pa.int64()),
+                ("n_rows", pa.int64()),
+            ]
+        ),
+    )
