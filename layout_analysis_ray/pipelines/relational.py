@@ -1724,14 +1724,22 @@ def q17_small_qty_revenue(sf_dir: str):
     sub = li.map_batches(fprep, batch_format="pyarrow").materialize()
 
     stats = _partial_then_global(sub, ["l_partkey"], ["qty_cents", "n"]).to_pandas()
-    stats = stats.sort_values("l_partkey")
-    stats_ref = ray.put(
-        (
+    if "l_partkey" in stats.columns:
+        stats = stats.sort_values("l_partkey")
+        stats_arrays = (
             stats["l_partkey"].to_numpy(dtype=np.int64),
             stats["qty_cents"].to_numpy(dtype=np.int64),
             stats["n"].to_numpy(dtype=np.int64),
         )
-    )
+    else:
+        # fully-empty Dataset loses its schema in to_pandas (CLAUDE.md
+        # quirk): an empty brand subset means no per-part stats at all
+        stats_arrays = (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+        )
+    stats_ref = ray.put(stats_arrays)
 
     _schema = pa.schema(
         [
@@ -2382,11 +2390,18 @@ def q8_market_share(sf_dir: str):
     cust = _read_dim(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).sort_values(
         "c_custkey"
     )
-    lookup_ref = ray.put(
+    # two refs, not one: the lineitem side never touches customer arrays
+    # and the orders side never touches part/supplier arrays — each stage
+    # pulls only the dimensions it reads (the q7 two-ref pattern)
+    li_ref = ray.put(
         (
             part_keys,
             supp["s_suppkey"].to_numpy(dtype=np.int64),
             supp["s_nationkey"].astype(int).isin(target_nk).to_numpy(),
+        )
+    )
+    cust_ref = ray.put(
+        (
             cust["c_custkey"].to_numpy(dtype=np.int64),
             cust["c_nationkey"].astype(int).isin(region_nk).to_numpy(),
         )
@@ -2399,7 +2414,7 @@ def q8_market_share(sf_dir: str):
     )
 
     def lprep(b: pa.Table) -> pa.Table:
-        pk, sk, s_target, _, _ = ray.get(lookup_ref)
+        pk, sk, s_target = ray.get(li_ref)
         probe = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(pk):
             idx = np.minimum(np.searchsorted(pk, probe), len(pk) - 1)
@@ -2437,7 +2452,7 @@ def q8_market_share(sf_dir: str):
                 pc.less(b["o_orderdate"], pa.scalar(hi)),
             )
         )
-        _, _, _, ck, c_in_region = ray.get(lookup_ref)
+        ck, c_in_region = ray.get(cust_ref)
         probe = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = c_in_region[np.searchsorted(ck, probe)]
         b = b.filter(pa.array(keep))
@@ -2477,14 +2492,21 @@ def q8_market_share(sf_dir: str):
     )
 
     def finish(b: pa.Table) -> pa.Table:
-        tgt = b["target_rev_e4"].to_numpy(zero_copy_only=False)
-        tot = b["total_rev_e4"].to_numpy(zero_copy_only=False)
+        # Python-int ppm (q14 convention): int64 numpy would wrap on
+        # tgt * 1e6 above ~9.2e12 cents·1e-4; the row count here is one
+        # per year, so the scalar loop is free
+        share = [
+            (int(t) * 1_000_000 // int(d)) if d else 0
+            for t, d in zip(
+                b["target_rev_e4"].to_pylist(), b["total_rev_e4"].to_pylist()
+            )
+        ]
         return pa.table(
             {
                 "o_year": b["o_year"],
                 "target_rev_e4": b["target_rev_e4"],
                 "total_rev_e4": b["total_rev_e4"],
-                "share_ppm": pa.array(tgt * 1_000_000 // tot, pa.int64()),
+                "share_ppm": pa.array(share, pa.int64()),
                 "n_rows": b["n_rows"],
             }
         )

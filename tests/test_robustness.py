@@ -388,3 +388,16 @@ def test_new_event_ops_single_row_and_empty(ray_session, tmp_path):
     assert len(new_users_hourly(str(empty))) == 0
     sk0 = approx_value_quantiles(str(empty)).to_pandas()
     assert (sk0["approx_cents"] == 0).all()  # documented empty convention
+
+
+def test_q17_empty_brand_subset_returns_typed_zero_row(ray_session, monkeypatch):
+    """A brand that matches no parts must yield the SQL contract row
+    (0, 0, 0), not a driver KeyError on the schema-less empty stats frame
+    (the CLAUDE.md empty-Dataset quirk)."""
+    import layout_analysis_ray.pipelines.relational as rel
+
+    monkeypatch.setattr(rel, "Q17_BRAND", "Brand#NONEXISTENT")
+    out = rel.q17_small_qty_revenue("/root/testdata/sf0.001").to_pandas()
+    assert out.to_dict("records") == [
+        {"total_price_cents": 0, "n_rows": 0, "avg_yearly_cents": 0}
+    ]
