@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_ngrams": dedup.decontaminate_ngrams,
         # source-level corpus composition (domain scorecard + balancing)
         "source_quality_report": domains.source_quality_report,
+        "source_quality_floor_keep": domains.source_quality_floor_keep,
         "cap_docs_per_source": domains.cap_docs_per_source,
         "domain_mix_sample": domains.domain_mix_sample,
         "domain_mix_repeat": domains.domain_mix_repeat,
@@ -1396,6 +1397,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN l ON l.doc_id = d.doc_id
             JOIN q ON q.doc_id = d.doc_id
             GROUP BY d.source
+        """,
+        "source_quality_floor_keep": f"""
+            WITH qc AS (
+              SELECT d.source, len({_TOKS}) AS n_tokens,
+                len(list_filter({_TOKS}, w -> w IN {_STOPS})) AS n_stop,
+                length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+                length(text) AS n_chars
+              FROM documents d),
+            q AS (
+              SELECT source,
+                (4 * least(n_tokens * 10000, 1000000)
+                 + 3 * (CASE WHEN n_tokens > 0
+                        THEN (n_stop * 1000000) // n_tokens ELSE 0 END)
+                 + 3 * (CASE WHEN n_chars > 0
+                        THEN (n_alpha * 1000000) // n_chars ELSE 0 END)) // 10
+                  AS quality_ppm
+              FROM qc),
+            r AS (
+              SELECT source, quality_ppm,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY quality_ppm) AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM q),
+            t AS (
+              SELECT source,
+                     MAX(CASE WHEN rn = (250000 * n + 999999) // 1000000
+                         THEN quality_ppm END) AS threshold_ppm
+              FROM r GROUP BY 1)
+            SELECT r.source,
+                   CAST(MAX(r.n) AS BIGINT) AS n_docs,
+                   CAST(MAX(t.threshold_ppm) AS BIGINT) AS threshold_ppm,
+                   CAST(SUM(CASE WHEN r.quality_ppm >= t.threshold_ppm
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+            FROM r JOIN t USING (source)
+            GROUP BY 1 ORDER BY 1
         """,
         "cap_docs_per_source": """
             WITH h AS (

@@ -275,3 +275,95 @@ def domain_mix_repeat(sf_dir: str, repeat_ppm: dict | None = None):
         ),
         _schema,
     )
+
+
+# Adaptive per-source quality floor: the keep threshold is each source's
+# own lower-quartile quality (ppm), not a global constant — the
+# CCNet/RefinedWeb-style per-domain filtering rule where noisy domains
+# get stricter absolute floors automatically.
+FLOOR_Q_PPM = 250_000
+
+
+def source_quality_floor_keep(sf_dir: str, q_ppm: int = FLOOR_Q_PPM):
+    """Per-source adaptive quality floor: for every source, the exact
+    q-quantile (default lower quartile) of its docs' quality_ppm, plus how
+    many docs clear their OWN source's floor.
+
+    Scale shape: the corpus is tokenized ONCE into a 16-byte (source,
+    quality) narrow table, materialized; the per-group exact quantile runs
+    the shared histogram-narrowing kernel over that narrow table (all
+    sources advance per pass, ~log_B(range) passes, no row sort); the keep
+    count is one more narrow-table pass with the per-source thresholds in
+    the map closure (source-count-bounded — swap to ``ray.put`` above
+    ~10^5 sources).  Result is source-bounded, returned as a typed
+    ``pa.Table`` (empty-corpus safe)."""
+    import pyarrow.compute as pc
+
+    from .core import partial_then_global
+    from .quantiles import grouped_quantile
+    from .text import _flat_tokens, quality_from_tokens
+
+    def prep(batch: pa.Table) -> pa.Table:
+        text_col = batch["text"]
+        if isinstance(text_col, pa.ChunkedArray):
+            text_col = text_col.combine_chunks()
+        text_col = pc.fill_null(text_col, "")
+        parent, toks, n = _flat_tokens(text_col)
+        qual = quality_from_tokens(parent, toks, n, text_col)["quality_ppm"]
+        return pa.table(
+            {
+                "g": batch["source"],
+                "v": pa.array(qual, pa.int64()),
+            }
+        )
+
+    narrow = (
+        _read_docs(sf_dir, ["source", "text"])
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()
+    )
+
+    schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_docs", pa.int64()),
+            ("threshold_ppm", pa.int64()),
+            ("n_keep", pa.int64()),
+        ]
+    )
+
+    # {source: (threshold, n_docs)}; empty corpus -> no groups
+    stats = grouped_quantile(lambda: narrow, q_ppm, return_counts=True)
+    if not stats:
+        return schema.empty_table()
+    thresholds = {g: int(v) for g, (v, _n) in stats.items()}
+
+    def keep_partial(b: pa.Table) -> pa.Table:
+        s = pd.Series(b["g"].to_numpy(zero_copy_only=False))
+        thr = s.map(thresholds).to_numpy(dtype=np.int64)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "g": b["g"],
+                "n_keep": pa.array((v >= thr).astype(np.int64)),
+            }
+        )
+
+    keep_rows = {
+        r["g"]: int(r["n_keep"])
+        for r in partial_then_global(
+            narrow.map_batches(keep_partial, batch_format="pyarrow"),
+            ["g"],
+            ["n_keep"],
+        ).take_all()
+    }
+
+    sources = sorted(stats)
+    return pa.table(
+        {
+            "source": pa.array(sources, pa.string()),
+            "n_docs": pa.array([int(stats[g][1]) for g in sources], pa.int64()),
+            "threshold_ppm": pa.array([thresholds[g] for g in sources], pa.int64()),
+            "n_keep": pa.array([keep_rows.get(g, 0) for g in sources], pa.int64()),
+        }
+    )
