@@ -2021,7 +2021,6 @@ def q21_waiting_suppliers(sf_dir: str):
         )
 
     from ..functions.core import partial_topk
-    from ..functions.schema import ensure_schema
 
     out = partial_topk(
         per_supp.map_batches(decorate, batch_format="pyarrow"),
@@ -2029,9 +2028,11 @@ def q21_waiting_suppliers(sf_dir: str):
         [False, True],
         Q21_TOPK,
     )
-    return ensure_schema(
-        out,
-        pa.schema(
+    # top-k result: driver-bounded by definition -> typed pa.Table (a
+    # fully-empty Dataset loses its schema in to_pandas/take_all)
+    return pa.Table.from_pylist(
+        out.take_all(),
+        schema=pa.schema(
             [
                 ("s_suppkey", pa.int64()),
                 ("s_name", pa.string()),
@@ -2081,20 +2082,32 @@ def q7_volume_shipping(sf_dir: str):
         )
         return keys, codes
 
-    supp_ref = ray.put(
-        _codes(
-            _read_dim(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
-            "s_suppkey",
-            "s_nationkey",
-        )
+    supp_keys, supp_codes = _codes(
+        _read_dim(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        "s_suppkey",
+        "s_nationkey",
     )
-    cust_ref = ray.put(
-        _codes(
-            _read_dim(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
-            "c_custkey",
-            "c_nationkey",
-        )
+    cust_keys, cust_codes = _codes(
+        _read_dim(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        "c_custkey",
+        "c_nationkey",
     )
+    q7_schema = pa.schema(
+        [
+            ("supp_nation", pa.string()),
+            ("cust_nation", pa.string()),
+            ("l_year", pa.int64()),
+            ("revenue_e4", pa.int64()),
+            ("n_rows", pa.int64()),
+        ]
+    )
+    # Ray 2.49 Dataset.join raises ArrowInvalid when a side delivers zero
+    # rows (typed 0-row blocks lose their schema in the hash shuffle);
+    # both emptiness conditions here are driver-knowable, so guard early
+    if not (supp_codes != 0).any() or not (cust_codes != 0).any():
+        return q7_schema.empty_table()
+    supp_ref = ray.put((supp_keys, supp_codes))
+    cust_ref = ray.put((cust_keys, cust_codes))
 
     lo = np.datetime64(Q7_LO, "us")
     hi = np.datetime64(Q7_HI, "us")
@@ -2194,22 +2207,11 @@ def q7_volume_shipping(sf_dir: str):
             }
         )
 
-    from ..functions.schema import ensure_schema
-
-    return ensure_schema(
-        out.map_batches(finish, batch_format="pyarrow").sort(
-            ["supp_nation", "cust_nation", "l_year"]
-        ),
-        pa.schema(
-            [
-                ("supp_nation", pa.string()),
-                ("cust_nation", pa.string()),
-                ("l_year", pa.int64()),
-                ("revenue_e4", pa.int64()),
-                ("n_rows", pa.int64()),
-            ]
-        ),
-    )
+    # <= 2 x 2 x years rows: driver-bounded -> typed pa.Table (a fully-
+    # empty Dataset loses its schema in to_pandas/take_all)
+    rows = out.map_batches(finish, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["supp_nation"], r["cust_nation"], r["l_year"]))
+    return pa.Table.from_pylist(rows, schema=q7_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -2328,11 +2330,11 @@ def q10_returned_top_customers(sf_dir: str):
             }
         )
 
-    from ..functions.schema import ensure_schema
-
-    return ensure_schema(
-        top.map_batches(decorate, batch_format="pyarrow"),
-        pa.schema(
+    # top-k result: driver-bounded -> typed pa.Table (a fully-empty
+    # Dataset loses its schema in to_pandas/take_all)
+    return pa.Table.from_pylist(
+        top.map_batches(decorate, batch_format="pyarrow").take_all(),
+        schema=pa.schema(
             [
                 ("c_custkey", pa.int64()),
                 ("c_name", pa.string()),
@@ -2390,6 +2392,21 @@ def q8_market_share(sf_dir: str):
     cust = _read_dim(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).sort_values(
         "c_custkey"
     )
+    q8_schema = pa.schema(
+        [
+            ("o_year", pa.int64()),
+            ("target_rev_e4", pa.int64()),
+            ("total_rev_e4", pa.int64()),
+            ("share_ppm", pa.int64()),
+            ("n_rows", pa.int64()),
+        ]
+    )
+    # Ray 2.49 Dataset.join raises ArrowInvalid when a side delivers zero
+    # rows; an empty part-type selection (left side) or a region with no
+    # customers (right side) is driver-knowable here, so guard early
+    cust_in_region = cust["c_nationkey"].astype(int).isin(region_nk).to_numpy()
+    if len(part_keys) == 0 or not cust_in_region.any():
+        return q8_schema.empty_table()
     # two refs, not one: the lineitem side never touches customer arrays
     # and the orders side never touches part/supplier arrays — each stage
     # pulls only the dimensions it reads (the q7 two-ref pattern)
@@ -2401,10 +2418,7 @@ def q8_market_share(sf_dir: str):
         )
     )
     cust_ref = ray.put(
-        (
-            cust["c_custkey"].to_numpy(dtype=np.int64),
-            cust["c_nationkey"].astype(int).isin(region_nk).to_numpy(),
-        )
+        (cust["c_custkey"].to_numpy(dtype=np.int64), cust_in_region)
     )
 
     li = _read(
@@ -2511,17 +2525,8 @@ def q8_market_share(sf_dir: str):
             }
         )
 
-    from ..functions.schema import ensure_schema
-
-    return ensure_schema(
-        out.map_batches(finish, batch_format="pyarrow").sort("o_year"),
-        pa.schema(
-            [
-                ("o_year", pa.int64()),
-                ("target_rev_e4", pa.int64()),
-                ("total_rev_e4", pa.int64()),
-                ("share_ppm", pa.int64()),
-                ("n_rows", pa.int64()),
-            ]
-        ),
-    )
+    # one row per year: driver-bounded -> typed pa.Table (a fully-empty
+    # Dataset loses its schema in to_pandas/take_all)
+    rows = out.map_batches(finish, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["o_year"])
+    return pa.Table.from_pylist(rows, schema=q8_schema)

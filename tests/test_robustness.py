@@ -401,3 +401,33 @@ def test_q17_empty_brand_subset_returns_typed_zero_row(ray_session, monkeypatch)
     assert out.to_dict("records") == [
         {"total_price_cents": 0, "n_rows": 0, "avg_yearly_cents": 0}
     ]
+
+
+def test_new_join_shapes_survive_degenerate_predicates(ray_session, monkeypatch, tmp_path):
+    """Q21/Q7/Q8 must return their typed empty/zero results when the
+    filters select nothing (no 'F' orders / no matching nations / no
+    matching part type) — the empty-Dataset schema-loss quirk again."""
+    import pyarrow as pa
+
+    import layout_analysis_ray.pipelines.relational as rel
+
+    sf = "/root/testdata/sf0.001"
+
+    monkeypatch.setattr(rel, "Q21_LATE_DAYS", 10_000_000)  # nothing is late
+    t = rel.q21_waiting_suppliers(sf).to_pandas()
+    assert list(t.columns) == ["s_suppkey", "s_name", "numwait"]
+    assert len(t) == 0
+
+    monkeypatch.setattr(rel, "Q7_NATION_A", "NATION_NOPE")
+    t = rel.q7_volume_shipping(sf).to_pandas()
+    assert list(t.columns) == [
+        "supp_nation", "cust_nation", "l_year", "revenue_e4", "n_rows",
+    ]
+    assert len(t) == 0
+
+    monkeypatch.setattr(rel, "Q8_PART_TYPE", "NO_SUCH_TYPE")
+    t = rel.q8_market_share(sf).to_pandas()
+    assert list(t.columns) == [
+        "o_year", "target_rev_e4", "total_rev_e4", "share_ppm", "n_rows",
+    ]
+    assert len(t) == 0
