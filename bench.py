@@ -175,6 +175,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "q21_waiting_suppliers": rel.q21_waiting_suppliers,
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q8_market_share": rel.q8_market_share,
+        "source_quality_floor_keep": domains.source_quality_floor_keep,
     }
     # One timed run per query, then a targeted second run for cold-start
     # outliers only: the first execution of a plan right after the 1M-doc

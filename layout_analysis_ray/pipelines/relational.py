@@ -1899,104 +1899,174 @@ def q19_disjunctive_revenue(sf_dir: str):
 
 Q21_LATE_DAYS = 365  # "late" = shipped more than a year after the order date
 Q21_TOPK = 25
+Q21_PARTITIONS = 64  # coarse orderkey-hash partitions for the kernel pass
+# broadcast the (F-orderkey, orderdate) arrays only below this measured
+# bound (12 B/order -> ~120 MB object); above it the hash join runs
+Q21_BROADCAST_MAX_ORDERS = 10_000_000
 
 
-def q21_waiting_suppliers(sf_dir: str):
+def q21_waiting_suppliers(sf_dir: str, broadcast_max_orders: int | None = None):
     """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
     multi-supplier finished order.
 
-    Scale shape: the classic formulation is a fact self-join with an EXISTS
-    and a NOT EXISTS — three scans of lineitem and two self-exchanges.  Here
-    both quantifiers collapse into grouped aggregates: after one
-    lineitem x orders('F') hash join, per-(order, supplier) partials dedup
-    suppliers map-side, a per-order aggregate computes (n_suppliers,
-    n_late_suppliers, sum of late supplier keys), and the EXISTS / NOT
-    EXISTS pair becomes the filter ``n_suppliers >= 2 AND n_late == 1``
-    (the sole late supplier's key IS the conditional sum).  One fact-fact
-    exchange + two key-shrinking groupbys, never a self-join.  The DuckDB
-    oracle keeps the genuine EXISTS/NOT EXISTS form so parity checks the
-    semantics, not mirrored arithmetic."""
+    Scale shape — the classic formulation is a fact self-join with an
+    EXISTS and a NOT EXISTS (three lineitem scans, two self-exchanges).
+    Here both quantifiers collapse into per-order vector math, in two
+    tiers chosen by a MEASURED streaming count of the 'F' orders:
+
+    - broadcast tier (F orders <= ``Q21_BROADCAST_MAX_ORDERS``): the
+      (orderkey, orderdate) pairs ride the object store once as two
+      sorted arrays (12 B/order); the lineitem scan resolves membership
+      + the late flag map-side, so the ONLY exchange is a coarse
+      orderkey-hash repartition of (ok, sk, late) triples (17 B/row,
+      status-'F' rows only).  Each partition runs one fully vectorized
+      kernel (lexsort -> pair dedup -> per-order n_supp / n_late /
+      conditional suppkey sum -> per-supplier counts) and emits
+      supplier-bounded partials — no per-order Python, no join.
+    - distributed tier (above the bound): lineitem x orders('F') hash
+      join (the orderkey exchange), then the SAME kernel partition pass.
+      This is the 100-TB path; both tiers are equality-pinned by
+      ``tests/test_robustness.py``.
+
+    The EXISTS / NOT EXISTS pair is the filter ``n_supp >= 2 AND
+    n_late == 1`` (the sole late supplier's key IS the conditional sum).
+    The DuckDB oracle keeps the genuine quantifier form so parity checks
+    the semantics, not mirrored arithmetic."""
     import ray
 
-    orders = _read(
-        sf_dir,
-        "orders",
-        columns=["o_orderkey", "o_orderstatus", "o_orderdate"],
-        row_filter=(pads.field("o_orderstatus") == "F"),
-    )
-
-    def oprep(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.equal(b["o_orderstatus"], pa.scalar("F")))
-        return b.select(["o_orderkey", "o_orderdate"])
-
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
-
-    joined = li.join(
-        orders.map_batches(oprep, batch_format="pyarrow"),
-        "inner",
-        num_partitions=16,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
+    if broadcast_max_orders is None:
+        broadcast_max_orders = Q21_BROADCAST_MAX_ORDERS
 
     late_us = Q21_LATE_DAYS * 86_400_000_000
 
-    def pair_partial(b: pa.Table) -> pa.Table:
-        ship = (
-            b["l_shipdate"].to_numpy(zero_copy_only=False)
-            .astype("datetime64[us]").astype(np.int64)
-        )
-        odate = (
-            b["o_orderdate"].to_numpy(zero_copy_only=False)
-            .astype("datetime64[us]").astype(np.int64)
-        )
-        return pa.table(
-            {
-                "l_orderkey": b["l_orderkey"],
-                "l_suppkey": b["l_suppkey"],
-                "n_late": pa.array((ship > odate + late_us).astype(np.int64)),
-            }
+    def _orders_f():
+        return _read(
+            sf_dir,
+            "orders",
+            columns=["o_orderkey", "o_orderstatus", "o_orderdate"],
+            row_filter=(pads.field("o_orderstatus") == "F"),
+        ).map_batches(
+            lambda b: b.filter(
+                pc.equal(b["o_orderstatus"], pa.scalar("F"))
+            ).select(["o_orderkey", "o_orderdate"]),
+            batch_format="pyarrow",
         )
 
-    # one row per (order, supplier) with the count of its late lineitems
-    pairs = _partial_then_global(
-        joined.map_batches(pair_partial, batch_format="pyarrow"),
-        ["l_orderkey", "l_suppkey"],
-        ["n_late"],
-    )
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
 
-    def order_partial(b: pa.Table) -> pa.Table:
-        late_any = pc.cast(pc.greater(b["n_late"], 0), pa.int64())
-        return pa.table(
-            {
-                "l_orderkey": b["l_orderkey"],
-                "n_supp": pa.array(np.ones(b.num_rows, dtype=np.int64)),
-                "n_late_supp": late_any,
-                "late_sk": pc.multiply(late_any, b["l_suppkey"]),
-            }
-        )
+    # cutover probe: a cheap streaming count of the pruned orders scan —
+    # nothing is pinned until the volume is known to fit
+    n_f = _orders_f().count()
 
-    per_order = _partial_then_global(
-        pairs.map_batches(order_partial, batch_format="pyarrow"),
-        ["l_orderkey"],
-        ["n_supp", "n_late_supp", "late_sk"],
-    )
-
-    def waiting_partial(b: pa.Table) -> pa.Table:
-        b = b.filter(
-            pc.and_(
-                pc.greater_equal(b["n_supp"], 2), pc.equal(b["n_late_supp"], 1)
+    if n_f <= broadcast_max_orders:
+        fo = _orders_f().to_pandas().sort_values("o_orderkey")
+        f_ref = ray.put(
+            (
+                fo["o_orderkey"].to_numpy(dtype=np.int64),
+                fo["o_orderdate"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype(np.int64),
             )
         )
-        return pa.table(
-            {
-                "s_suppkey": b["late_sk"],
-                "numwait": pa.array(np.ones(b.num_rows, dtype=np.int64)),
-            }
+
+        def lflag(b: pa.Table) -> pa.Table:
+            fk, fdate = ray.get(f_ref)
+            probe = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(fk):
+                idx = np.minimum(np.searchsorted(fk, probe), len(fk) - 1)
+                hit = fk[idx] == probe
+            else:
+                hit = np.zeros(len(probe), dtype=bool)
+            ship = (
+                b["l_shipdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64)[hit]
+            )
+            odate = fdate[idx[hit]] if len(fk) else ship
+            return pa.table(
+                {
+                    "l_orderkey": pa.array(probe[hit]),
+                    "l_suppkey": b["l_suppkey"].filter(pa.array(hit)),
+                    "late": pa.array((ship > odate + late_us).astype(np.int64)),
+                }
+            )
+
+        triples = li.map_batches(lflag, batch_format="pyarrow")
+    else:
+        joined = li.join(
+            _orders_f(),
+            "inner",
+            num_partitions=16,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+        def jflag(b: pa.Table) -> pa.Table:
+            ship = (
+                b["l_shipdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64)
+            )
+            odate = (
+                b["o_orderdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64)
+            )
+            return pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "l_suppkey": b["l_suppkey"],
+                    "late": pa.array((ship > odate + late_us).astype(np.int64)),
+                }
+            )
+
+        triples = joined.map_batches(jflag, batch_format="pyarrow")
+
+    def add_part(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = ok * np.uint64(0x9E3779B97F4A7C15)
+        key ^= key >> np.uint64(29)
+        return b.append_column(
+            "__opart", pa.array((key % np.uint64(Q21_PARTITIONS)).astype(np.int64))
+        )
+
+    import pandas as pd
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["l_orderkey"].to_numpy(dtype=np.int64)
+        sk = g["l_suppkey"].to_numpy(dtype=np.int64)
+        late = g["late"].to_numpy(dtype=np.int64)
+        order = np.lexsort((sk, ok))
+        ok, sk, late = ok[order], sk[order], late[order]
+        new_pair = np.empty(len(ok), dtype=bool)
+        new_pair[0] = True
+        new_pair[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
+        pair_idx = np.cumsum(new_pair) - 1
+        n_pairs = pair_idx[-1] + 1
+        pair_late = np.zeros(n_pairs, dtype=np.int64)
+        np.maximum.at(pair_late, pair_idx, late)  # ANY late lineitem
+        p_ok = ok[new_pair]
+        p_sk = sk[new_pair]
+        new_ok = np.empty(n_pairs, dtype=bool)
+        new_ok[0] = True
+        new_ok[1:] = p_ok[1:] != p_ok[:-1]
+        o_idx = np.cumsum(new_ok) - 1
+        n_orders = o_idx[-1] + 1
+        n_supp = np.bincount(o_idx, minlength=n_orders)
+        # int64 np.add.at, not bincount(weights=...): float64 weights
+        # would lose precision for suppkeys above 2^53
+        n_late = np.zeros(n_orders, dtype=np.int64)
+        np.add.at(n_late, o_idx, pair_late)
+        late_sk = np.zeros(n_orders, dtype=np.int64)
+        np.add.at(late_sk, o_idx, pair_late * p_sk)
+        keep = (n_supp >= 2) & (n_late == 1)
+        u, c = np.unique(late_sk[keep], return_counts=True)
+        return pd.DataFrame(
+            {"s_suppkey": u.astype(np.int64), "numwait": c.astype(np.int64)}
         )
 
     per_supp = _partial_then_global(
-        per_order.map_batches(waiting_partial, batch_format="pyarrow"),
+        triples.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__opart")
+        .map_groups(per_part, batch_format="pandas"),
         ["s_suppkey"],
         ["numwait"],
     )
@@ -2040,8 +2110,6 @@ def q21_waiting_suppliers(sf_dir: str):
             ]
         ),
     )
-
-
 # ---------------------------------------------------------------------------
 # Q7-style: bidirectional nation-pair shipping volume
 # ---------------------------------------------------------------------------

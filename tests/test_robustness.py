@@ -431,3 +431,16 @@ def test_new_join_shapes_survive_degenerate_predicates(ray_session, monkeypatch,
         "o_year", "target_rev_e4", "total_rev_e4", "share_ppm", "n_rows",
     ]
     assert len(t) == 0
+
+
+def test_q21_tiers_agree(ray_session):
+    """The broadcast cutover tier and the distributed join tier of Q21
+    must produce identical rows (the dedup_minhash_groups path-agreement
+    pattern)."""
+    import layout_analysis_ray.pipelines.relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    a = rel.q21_waiting_suppliers(sf).to_pandas()
+    b = rel.q21_waiting_suppliers(sf, broadcast_max_orders=0).to_pandas()
+    assert a.equals(b)
+    assert len(a) > 0
