@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_chain_groups": graph.ngram_chain_groups,
         "dedup_minhash_groups": graph.dedup_minhash_groups,
         "dedup_incremental_ingest": _dedup_incremental_ingest,
+        "dedup_lines": dedup.dedup_lines,
         "decontaminate_ngrams": dedup.decontaminate_ngrams,
         # source-level corpus composition (domain scorecard + balancing)
         "source_quality_report": domains.source_quality_report,
@@ -1089,6 +1090,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
                    COUNT(*) AS n_dups
             FROM documents GROUP BY md5(text)
+        """,
+        "dedup_lines": """
+            -- C4-style global line dedup: a "line" is a fixed 16-token
+            -- chunk (the corpus has no newlines); each chunk keeps only
+            -- its first (doc_id, chunk_idx) occurrence corpus-wide and
+            -- docs are rebuilt from their surviving chunks in order
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+              FROM documents),
+            idx AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(0,
+                       CAST((len(w)-1)//16 AS BIGINT))) AS i
+              FROM toks WHERE len(w) > 0),
+            chunks AS (
+              SELECT doc_id, i AS chunk_idx,
+                     array_to_string(w[(i*16+1):((i+1)*16)], ' ') AS chunk
+              FROM idx),
+            win AS (
+              SELECT doc_id, chunk_idx, chunk,
+                     row_number() OVER (PARTITION BY md5(chunk)
+                       ORDER BY doc_id, chunk_idx) AS rn
+              FROM chunks)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(CAST(rn = 1 AS INT)) AS BIGINT) AS n_kept,
+                   COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END,
+                            ' ' ORDER BY chunk_idx), '') AS text_clean
+            FROM win GROUP BY doc_id
         """,
         "dedup_incremental_ingest": """
             WITH day1 AS (

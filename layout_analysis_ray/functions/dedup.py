@@ -965,3 +965,315 @@ def dedup_rate_by_source(sf_dir: str):
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level global dedup (C4 / RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+# "line" granularity: this corpus representation is a single space-joined
+# token stream (no newlines), so a line is a fixed run of LINE_CHUNK_TOKENS
+# tokens — the same role newline-delimited lines play in C4's "discard every
+# duplicated three-sentence span but the first occurrence" pass.
+LINE_CHUNK_TOKENS = 16
+# packed global chunk coordinate: doc_id * CAP + chunk_idx.  Min over the
+# packed value IS lexicographic min over (doc_id, chunk_idx) because
+# chunk_idx < CAP; the guards below keep the packing collision-free.
+LINE_PACK_CAP = 1 << 20  # docs up to 16.7M tokens; doc_id < 2^43
+# broadcast cutover: when the corpus yields at most this many chunk rows,
+# the winner coordinate set rides the object store as one sorted int64
+# array (<= 128 MB) and the keep decision is made map-side with ZERO text
+# shuffle; above it the distributed two-exchange tier runs.
+LINE_BROADCAST_MAX_CHUNKS = 16_000_000
+LINE_PARTS = 64
+
+_LINE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_chunks", pa.int64()),
+        ("n_kept", pa.int64()),
+        ("text_clean", pa.string()),
+    ]
+)
+
+
+def _line_chunks(batch: pa.Table):
+    """Fixed-size token chunks for every doc of a batch, fully vectorized.
+
+    Returns ``(ids, chunk_parent, chunk_idx, chunks)``: ``ids`` is the
+    batch's doc_id column (all rows, including zero-token docs);
+    ``chunk_parent[i]`` indexes into ``ids``; ``chunks`` is an Arrow
+    string array of space-joined LINE_CHUNK_TOKENS-token runs (the last
+    chunk of a doc may be shorter).  Token set and join separator mirror
+    the oracle's regexp_extract_all + array_to_string exactly.
+    """
+    import pyarrow.compute as pc
+
+    from .text import _flat_tokens_arrow
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    parent, flat, n_rows = _flat_tokens_arrow(batch["text"])
+    if len(parent) == 0:
+        return (
+            ids,
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            pa.array([], pa.string()),
+        )
+    counts = np.bincount(parent, minlength=n_rows)
+    starts = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos = np.arange(len(parent), dtype=np.int64) - starts[parent]
+    is_start = pos % LINE_CHUNK_TOKENS == 0
+    offsets = np.append(np.nonzero(is_start)[0], len(parent))
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), flat.combine_chunks()
+        if isinstance(flat, pa.ChunkedArray) else flat
+    )
+    chunks = pc.binary_join(lists, " ")
+    chunk_parent = parent[offsets[:-1]]
+    chunk_idx = pos[offsets[:-1]] // LINE_CHUNK_TOKENS
+    if chunk_idx.size and chunk_idx.max() >= LINE_PACK_CAP:
+        raise ValueError(
+            f"doc with >= {LINE_PACK_CAP * LINE_CHUNK_TOKENS} tokens "
+            "overflows the packed chunk coordinate; raise LINE_PACK_CAP"
+        )
+    bad = ids[(ids < 0) | (ids >= 1 << 43)]
+    if bad.size:
+        raise ValueError(f"doc_id {bad[0]} outside [0, 2^43) packing range")
+    return ids, chunk_parent, chunk_idx, chunks
+
+
+def dedup_lines(sf_dir: str, broadcast_max_chunks: int = LINE_BROADCAST_MAX_CHUNKS):
+    """Global line-level dedup: every LINE_CHUNK_TOKENS-token chunk keeps
+    only its first occurrence corpus-wide (first = lexicographic min
+    (doc_id, chunk_idx)); docs are reassembled from their surviving
+    chunks in order.  The C4 / RefinedWeb "remove duplicated lines
+    across the corpus" pass (chunk identity = md5 of the chunk text,
+    the same partition function the SQL oracle uses).
+
+    Emits one row per doc with >= 1 token: (doc_id, n_chunks, n_kept,
+    text_clean) — text_clean is '' when every chunk of the doc appeared
+    earlier in the corpus.
+
+    Scale shape — two equality-pinned tiers chosen by a MEASURED
+    map-only probe of the corpus chunk count:
+
+    - broadcast tier: one groupby over 40-byte (hash, packed) rows picks
+      winners; the winning PACKED COORDINATES alone (8 B each, bounded
+      by the cutover) ride the object store, and a second map-only scan
+      re-chunks each doc and keeps chunks whose own coordinate is in the
+      winner set — document text NEVER shuffles.
+    - distributed tier (``_dedup_lines_distributed``): two coarse-hash
+      exchanges with vectorized per-partition kernels (winner-pick by
+      chunk-hash part, then reassembly by doc part with per-doc marker
+      rows so fully-deduped docs still emit).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from .hashing import md5_hex
+    from .schema import ensure_schema
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        ids, cp, ci, chunks = _line_chunks(batch)
+        return pa.table(
+            {
+                "content_hash": md5_hex(chunks),
+                "packed": pa.array(
+                    ids[cp] * LINE_PACK_CAP + ci, pa.int64()
+                ),
+            }
+        )
+
+    rows = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunk_rows, batch_format="pyarrow"
+    )
+    # streaming probe: map-only row count, nothing pinned; chunk rows
+    # bound winner rows from above, so fitting here implies the winner
+    # array fits the object store
+    n_chunk_rows = rows.count()
+    if n_chunk_rows == 0:
+        # typed empty short-circuit (a fully-empty Ray Dataset loses its
+        # schema in to_pandas/take_all; pa.Table keeps it)
+        return _LINE_SCHEMA.empty_table()
+    if n_chunk_rows > broadcast_max_chunks:
+        return _dedup_lines_distributed(sf_dir)
+
+    winners = rows.groupby("content_hash").aggregate(Min("packed"))
+    parts = [
+        b["min(packed)"].to_numpy(zero_copy_only=False)
+        for b in winners.iter_batches(batch_format="pyarrow")
+    ]
+    keep = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    keep_ref = ray.put(keep)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = ray.get(keep_ref)  # zero-copy view of the shared array
+        ids, cp, ci, chunks = _line_chunks(batch)
+        packed = ids[cp] * LINE_PACK_CAP + ci
+        pos = np.searchsorted(keep, packed)
+        hit = np.zeros(len(packed), dtype=bool)
+        if len(keep):
+            inb = pos < len(keep)
+            hit[inb] = keep[pos[inb]] == packed[inb]
+        n_chunks = np.bincount(cp, minlength=len(ids))
+        n_kept = np.bincount(cp[hit], minlength=len(ids))
+        kept_parent = cp[hit]
+        # per-doc ordered join of surviving chunks (chunk rows are
+        # already in (doc, chunk_idx) order within the batch)
+        doc_off = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(n_kept, out=doc_off[1:])
+        lists = pa.ListArray.from_arrays(
+            pa.array(doc_off, pa.int32()), chunks.filter(pa.array(hit))
+        )
+        text_clean = pc.binary_join(lists, " ")
+        has_tokens = n_chunks > 0
+        del kept_parent
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[has_tokens], pa.int64()),
+                "n_chunks": pa.array(n_chunks[has_tokens], pa.int64()),
+                "n_kept": pa.array(n_kept[has_tokens], pa.int64()),
+                "text_clean": pc.take(
+                    text_clean, pa.array(np.nonzero(has_tokens)[0])
+                ),
+            }
+        )
+
+    return ensure_schema(
+        _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            rebuild, batch_format="pyarrow"
+        ),
+        _LINE_SCHEMA,
+    )
+
+
+def _dedup_lines_distributed(sf_dir: str):
+    """Distributed tier of ``dedup_lines`` — see its docstring.
+
+    Exchange 1 partitions chunk rows by a coarse hash of the chunk text
+    (full md5 identity is re-derived VECTORIZED inside each partition, so
+    the 60-bit partitioning prefix can collide without diverging from the
+    oracle); a per-partition sort picks each hash's first occurrence.
+    Exchange 2 regroups surviving chunks by doc part and joins them in
+    chunk order; one marker row per doc (emitted from a map-only scan of
+    the same corpus) guarantees fully-deduped docs still produce a row.
+    Document text crosses the wire exactly twice, both times as part of
+    a coarse-partition exchange — never per-group, never via the driver.
+    """
+    import pyarrow.compute as pc
+
+    from .hashing import md5_hex, str_hash_u60
+    from .schema import ensure_schema
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        ids, cp, ci, chunks = _line_chunks(batch)
+        return pa.table(
+            {
+                "hpart": pa.array(
+                    str_hash_u60(chunks) % LINE_PARTS, pa.int64()
+                ),
+                "packed": pa.array(ids[cp] * LINE_PACK_CAP + ci, pa.int64()),
+                "chunk": chunks,
+            }
+        )
+
+    def pick_winners(g: pa.Table) -> pa.Table:
+        h = md5_hex(g["chunk"])
+        order = pc.sort_indices(
+            pa.table({"h": h, "p": g["packed"]}),
+            sort_keys=[("h", "ascending"), ("p", "ascending")],
+        )
+        h_s = h.take(order)
+        packed = g["packed"].take(order)
+        n = len(h_s)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = pc.not_equal(
+                h_s.slice(1), h_s.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        win = pa.array(np.nonzero(first)[0])
+        p = packed.take(win).to_numpy(zero_copy_only=False)
+        doc_id = p // LINE_PACK_CAP
+        return pa.table(
+            {
+                "docpart": pa.array(doc_id % LINE_PARTS, pa.int64()),
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "chunk_idx": pa.array(p % LINE_PACK_CAP, pa.int64()),
+                "chunk": g["chunk"].take(order).take(win),
+                "n_chunks": pa.array(np.zeros(len(p), np.int64), pa.int64()),
+            }
+        )
+
+    kept = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(chunk_rows, batch_format="pyarrow")
+        .groupby("hpart")
+        .map_groups(pick_winners, batch_format="pyarrow")
+    )
+
+    def markers(batch: pa.Table) -> pa.Table:
+        ids, cp, _ci, _chunks = _line_chunks(batch)
+        n_chunks = np.bincount(cp, minlength=len(ids))
+        has = n_chunks > 0
+        ids = ids[has]
+        return pa.table(
+            {
+                "docpart": pa.array(ids % LINE_PARTS, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(np.full(len(ids), -1), pa.int64()),
+                "chunk": pa.array([""] * len(ids), pa.string()),
+                "n_chunks": pa.array(n_chunks[has], pa.int64()),
+            }
+        )
+
+    marker_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        markers, batch_format="pyarrow"
+    )
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        ci = g["chunk_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ci, doc))
+        doc, ci = doc[order], ci[order]
+        chunks = g["chunk"].take(pa.array(order))
+        nch = g["n_chunks"].to_numpy(zero_copy_only=False)[order]
+        starts = np.ones(len(doc), dtype=bool)
+        starts[1:] = doc[1:] != doc[:-1]
+        seg_of = np.cumsum(starts) - 1
+        n_docs = int(seg_of[-1]) + 1 if len(doc) else 0
+        is_marker = ci < 0  # sorts first within each doc segment
+        doc_ids = doc[starts]
+        n_chunks = np.bincount(seg_of, weights=nch, minlength=n_docs).astype(
+            np.int64
+        )
+        n_kept = np.bincount(
+            seg_of[~is_marker], minlength=n_docs
+        ).astype(np.int64)
+        keep_mask = ~is_marker
+        off = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(n_kept, out=off[1:])
+        if isinstance(chunks, pa.ChunkedArray):
+            chunks = chunks.combine_chunks()
+        lists = pa.ListArray.from_arrays(
+            pa.array(off, pa.int32()), chunks.filter(pa.array(keep_mask))
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_chunks": pa.array(n_chunks, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "text_clean": pc.binary_join(lists, " "),
+            }
+        )
+
+    out = (
+        kept.union(marker_ds)
+        .groupby("docpart")
+        .map_groups(reassemble, batch_format="pyarrow")
+    )
+    return ensure_schema(out, _LINE_SCHEMA)

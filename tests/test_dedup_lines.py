@@ -1,0 +1,87 @@
+"""Line-level global dedup (C4-style): both tiers must agree with each
+other and with planted first-occurrence semantics, and degenerate corpora
+must keep the typed output schema."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm(df):
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _write_docs(tmp_path, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_dedup_lines_tiers_agree(ray_session):
+    from layout_analysis_ray.functions.dedup import dedup_lines
+
+    broad = _norm(dedup_lines(SF).to_pandas())
+    dist = _norm(dedup_lines(SF, broadcast_max_chunks=-1).to_pandas())
+    pd.testing.assert_frame_equal(broad, dist)
+    assert len(broad) == 500
+    # the corpus genuinely contains repeated 16-token chunks
+    assert (broad["n_kept"] < broad["n_chunks"]).any()
+    assert (broad["n_kept"] == broad["n_chunks"]).any()
+
+
+def test_dedup_lines_planted(ray_session, tmp_path):
+    """First-occurrence-wins over planted chunks: an exact-copy doc is
+    fully deduped (kept row with empty text), a doc sharing only its
+    first chunk keeps the rest, short docs are their own chunk, and
+    empty docs emit nothing."""
+    from layout_analysis_ray.functions.dedup import dedup_lines
+
+    a = " ".join(f"a{i}" for i in range(16))
+    b = " ".join(f"b{i}" for i in range(16))
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, a),
+            (2, a + " " + b),  # chunk a duplicates doc 1 -> keeps only b
+            (3, a),  # full duplicate of doc 1 -> n_kept 0, text ''
+            (4, "tiny doc"),  # single short chunk, unique -> kept
+            (5, ""),  # zero tokens -> no output row
+        ],
+    )
+    for kw in ({}, {"broadcast_max_chunks": -1}):
+        out = _norm(dedup_lines(sf, **kw).to_pandas())
+        assert list(out["doc_id"]) == [1, 2, 3, 4], kw
+        assert list(out["n_chunks"]) == [1, 2, 1, 1], kw
+        assert list(out["n_kept"]) == [1, 1, 0, 1], kw
+        assert list(out["text_clean"]) == [a, b, "", "tiny doc"], kw
+
+
+def test_dedup_lines_degenerate_keeps_schema(ray_session, tmp_path):
+    from layout_analysis_ray.functions.dedup import dedup_lines
+
+    sf = _write_docs(tmp_path, [(1, ""), (2, None), (3, "   ")])
+    for kw in ({}, {"broadcast_max_chunks": -1}):
+        out = dedup_lines(sf, **kw).to_pandas()
+        assert len(out) == 0, kw
+        assert list(out.columns) == ["doc_id", "n_chunks", "n_kept", "text_clean"], kw
+        assert out["doc_id"].dtype == "int64" and out["text_clean"].dtype == object, kw
+
+
+def test_dedup_lines_pack_guard(ray_session, tmp_path):
+    """doc_id outside the packing range must fail loudly, not silently
+    collide."""
+    from layout_analysis_ray.functions.dedup import dedup_lines
+
+    sf = _write_docs(tmp_path, [(1 << 43, "alpha beta")])
+    with pytest.raises(Exception):
+        dedup_lines(sf).to_pandas()
