@@ -330,6 +330,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_groups": graph.dedup_minhash_groups,
         "dedup_incremental_ingest": _dedup_incremental_ingest,
         "dedup_lines": dedup.dedup_lines,
+        "events_value_hour_cov_by_type": stats.events_value_hour_cov_by_type,
+        "events_value_mad_by_type": quantiles.events_value_mad_by_type,
+        "doc_pii_stats": text.pii_stats,
+        "doc_redact_terms": text.redact_pattern,
         "decontaminate_ngrams": dedup.decontaminate_ngrams,
         # source-level corpus composition (domain scorecard + balancing)
         "source_quality_report": domains.source_quality_report,
@@ -1090,6 +1094,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
                    COUNT(*) AS n_dups
             FROM documents GROUP BY md5(text)
+        """,
+        "doc_pii_stats": """
+            -- the synthetic corpus is PII-free, so every count is zero
+            -- here; the planted-text pytest is the semantic gate (both
+            -- sides run the same RE2 pattern literals)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(coalesce(text,''),
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+              CAST(len(regexp_extract_all(coalesce(text,''),
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+              CAST(len(regexp_extract_all(coalesce(text,''),
+                '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+              CAST(len(regexp_extract_all(coalesce(text,''),
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+                + len(regexp_extract_all(coalesce(text,''),
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                + len(regexp_extract_all(coalesce(text,''),
+                '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_total
+            FROM documents
+        """,
+        "doc_redact_terms": """
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(coalesce(text,''),
+                '\\b(customer|spark)\\b')) AS BIGINT) AS n_hits,
+              regexp_replace(coalesce(text,''), '\\b(customer|spark)\\b',
+                '[REDACTED]', 'g') AS text_redacted
+            FROM documents
+        """,
+        "events_value_mad_by_type": """
+            -- two exact-rank medians (engine-wide lower-middle rank
+            -- convention), the second over |cents - group median|
+            WITH v AS (
+              SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
+              FROM events WHERE event_type IS NOT NULL),
+            r AS (
+              SELECT event_type, c,
+                     row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM v),
+            med AS (SELECT event_type, c AS med FROM r
+                    WHERE rn = (500000 * n + 999999) // 1000000),
+            d AS (SELECT v.event_type, abs(v.c - med.med) AS a,
+                         med.med AS med
+                  FROM v JOIN med USING (event_type)),
+            r2 AS (
+              SELECT event_type, a, med,
+                     row_number() OVER (PARTITION BY event_type ORDER BY a) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM d)
+            SELECT event_type, med AS median_cents, a AS mad_cents
+            FROM r2 WHERE rn = (500000 * n + 999999) // 1000000
+            ORDER BY event_type
+        """,
+        "events_value_hour_cov_by_type": """
+            -- exact-integer bivariate moments (value cents vs hour of
+            -- day); HUGEINT keeps the products exact and // truncates
+            -- toward zero exactly like the engine's big-int trunc-div
+            WITH v AS (
+              SELECT event_type, CAST(round(value*100) AS BIGINT) AS x,
+                     CAST(hour(ts) AS BIGINT) AS y
+              FROM events WHERE event_type IS NOT NULL),
+            m AS (
+              SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x*y) AS sxy, SUM(y*y) AS syy
+              FROM v GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+              CAST((n*sxy - sx*sy) * 1000000 // (n*n) AS BIGINT) AS cov_ppm,
+              CASE WHEN n*syy - sy*sy = 0 THEN NULL
+                   ELSE CAST((n*sxy - sx*sy) * 1000000 // (n*syy - sy*sy)
+                             AS BIGINT) END AS slope_ppm
+            FROM m ORDER BY event_type
         """,
         "dedup_lines": """
             -- C4-style global line dedup: a "line" is a fixed 16-token

@@ -558,3 +558,54 @@ def events_value_quartile(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "value"]
     ).map_batches(assign, batch_format="pyarrow")
+
+
+def events_value_mad_by_type(sf_dir: str) -> pa.Table:
+    """Median absolute deviation per event type, exact in cents: the
+    grouped histogram-narrowing median runs twice — once over value
+    cents, once over |cents − group median| with the tiny per-group
+    median table riding the map closure (group count is the broadcast
+    bound, same as ``grouped_quantile``'s own interval table).  Both
+    passes use the engine-wide exact-rank convention
+    (500000·n + 999999) // 10⁶, so even-count groups take the lower
+    middle value rather than interpolating — mirrored verbatim in the
+    SQL oracle.  NULL event_type rows are excluded on both sides.
+    """
+    import ray.data as rd
+
+    def base(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["event_type"]))
+        return pa.table({"g": b["event_type"], "v": _cents(b["value"])})
+
+    def make_ds():
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).map_batches(base, batch_format="pyarrow")
+
+    med = grouped_quantile(make_ds, 500_000)
+    keys = sorted(med)
+    key_arr = pa.array(keys, pa.string())
+    med_arr = np.array([med[k] for k in keys], dtype=np.int64)
+
+    def absdev(b: pa.Table) -> pa.Table:
+        b = base(b)
+        idx = pc.index_in(b["g"], value_set=key_arr)
+        gi = np.asarray(
+            pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"g": b["g"], "v": pa.array(np.abs(v - med_arr[gi]))})
+
+    def make_abs_ds():
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).map_batches(absdev, batch_format="pyarrow")
+
+    mad = grouped_quantile(make_abs_ds, 500_000)
+    return pa.table(
+        {
+            "event_type": key_arr,
+            "median_cents": pa.array(med_arr, pa.int64()),
+            "mad_cents": pa.array([mad[k] for k in keys], pa.int64()),
+        }
+    )

@@ -190,3 +190,120 @@ def events_value_outliers(sf_dir: str):
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped bivariate moments: value vs hour-of-day covariance / trend
+# ---------------------------------------------------------------------------
+
+def _trunc_div(a: int, b: int) -> int:
+    """Exact integer division truncating toward zero over Python big ints
+    — DuckDB's `//` semantics (Python's `//` floors, which diverges on
+    negative numerators)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def events_value_hour_cov_by_type(sf_dir: str) -> pa.Table:
+    """Per event_type, the exact-integer covariance (and regression
+    slope) between value cents and hour-of-day — the diurnal-pattern
+    probe of the moments family.  Same scale shape as the outlier flag:
+    one (n, Σx, Σy, Σxy, Σy²) row per (batch, type), limb-split
+    DISTRIBUTED merge, and the driver only sees one final row per group
+    (bounded by the type count), reassembled in Python big ints.
+
+    cov_ppm  = (n·Σxy − Σx·Σy) · 10⁶ trunc-div n²
+    slope_ppm = (n·Σxy − Σx·Σy) · 10⁶ trunc-div (n·Σy² − (Σy)²), NULL
+    when every event of the type lands in one hour.  Trunc (not floor)
+    division matches DuckDB `//` on signed values.  NULL event_type rows
+    are excluded (the oracle's WHERE clause drops the NULL group).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from .core import partial_then_global
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "ts"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.is_valid(batch["event_type"]))
+        c = cents_arrow(batch["value"]).to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        us = ts.astype("datetime64[us]").astype(np.int64)
+        # FLOOR division then %24 is the calendar hour for any epoch sign
+        # (DuckDB hour(ts)); trunc-div would be wrong pre-1970 here
+        hour = (us // 3_600_000_000) % 24
+        types = batch["event_type"].to_numpy(zero_copy_only=False)
+        if len(c):
+            amax = int(np.abs(c).max())
+            # per-batch Σ|x·y| bound: rows · amax · 23 must fit int64
+            if amax > 3_000_000_000 or len(c) * amax * 23 > (1 << 62):
+                raise ValueError(
+                    "bivariate partial would overflow int64: "
+                    f"max |cents|={amax}, rows={len(c)}"
+                )
+        codes, uniq = pd.factorize(types)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        # integer sums via add.at (float64 bincount weights lose exactness
+        # above 2^53)
+        sx = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sx, codes, c)
+        sy = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sy, codes, hour)
+        sxy = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sxy, codes, c * hour)
+        syy = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(syy, codes, hour * hour)
+        return pa.table(
+            {
+                "event_type": pa.array(uniq, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "sx_hi": pa.array(sx // _LIMB, pa.int64()),
+                "sx_lo": pa.array(sx % _LIMB, pa.int64()),
+                "sy": pa.array(sy, pa.int64()),
+                "sxy_hi": pa.array(sxy // _LIMB, pa.int64()),
+                "sxy_lo": pa.array(sxy % _LIMB, pa.int64()),
+                "syy": pa.array(syy, pa.int64()),
+            }
+        )
+
+    limbs = partial_then_global(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        ["n", "sx_hi", "sx_lo", "sy", "sxy_hi", "sxy_lo", "syy"],
+    )
+    rows = []
+    for row in limbs.take_all():  # one row per event type (driver-bounded)
+        n = int(row["n"])
+        sx = int(row["sx_hi"]) * _LIMB + int(row["sx_lo"])
+        sy = int(row["sy"])
+        sxy = int(row["sxy_hi"]) * _LIMB + int(row["sxy_lo"])
+        syy = int(row["syy"])
+        num = n * sxy - sx * sy
+        den = n * syy - sy * sy
+        rows.append(
+            {
+                "event_type": row["event_type"],
+                "n": n,
+                "cov_ppm": _trunc_div(num * 1_000_000, n * n),
+                "slope_ppm": (
+                    None if den == 0 else _trunc_div(num * 1_000_000, den)
+                ),
+            }
+        )
+    rows.sort(key=lambda r: r["event_type"])
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("n", pa.int64()),
+                ("cov_ppm", pa.int64()),
+                ("slope_ppm", pa.int64()),
+            ]
+        ),
+    )

@@ -1196,3 +1196,81 @@ def doc_sentence_stats(sf_dir: str):
         ),
         _out_schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Pattern scrubbing: PII-style hit stats and denylist redaction
+# ---------------------------------------------------------------------------
+
+# named RE2 patterns (pyarrow and DuckDB both run RE2, so the two sides
+# can share the literal pattern strings); the synthetic corpus contains
+# no PII, so the planted-text pytest is the semantic gate and the SQL
+# oracle pins the all-zero fixture behavior
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+# denylist that genuinely hits the fixture corpus (the oracle's
+# non-degenerate redaction check); one alternation = one RE2 pass
+REDACT_TERMS_PATTERN = r"\b(customer|spark)\b"
+REDACT_SENTINEL = "[REDACTED]"
+
+
+def pattern_hit_stats(sf_dir: str, patterns: dict[str, str] | None = None):
+    """Per-doc match counts for a set of named RE2 patterns — the scrub
+    census a pipeline runs before deciding redaction policy.  One
+    vectorized ``count_substring_regex`` pass per pattern per batch
+    (patterns are compiled once per task by Arrow), map-only, zero
+    shuffle."""
+    pats = PII_PATTERNS if patterns is None else patterns
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"], "")
+        cols = {"doc_id": batch["doc_id"]}
+        total = np.zeros(len(batch), dtype=np.int64)
+        for name, pat in pats.items():
+            n = pc.count_substring_regex(text, pat).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            cols[f"n_{name}"] = pa.array(n, pa.int64())
+            total += n
+        cols["n_total"] = pa.array(total, pa.int64())
+        return pa.table(cols)
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+def pii_stats(sf_dir: str):
+    return pattern_hit_stats(sf_dir, PII_PATTERNS)
+
+
+def redact_pattern(
+    sf_dir: str,
+    pattern: str = REDACT_TERMS_PATTERN,
+    sentinel: str = REDACT_SENTINEL,
+):
+    """Denylist / PII redaction: every match of one RE2 alternation is
+    replaced by a fixed sentinel; emits (doc_id, n_hits, text_redacted).
+    Map-only, zero shuffle; NULL text redacts to '' (the oracle's
+    COALESCE)."""
+
+    def redact(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"], "")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_hits": pc.cast(
+                    pc.count_substring_regex(text, pattern), pa.int64()
+                ),
+                "text_redacted": pc.replace_substring_regex(
+                    text, pattern, sentinel
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        redact, batch_format="pyarrow"
+    )

@@ -1,0 +1,155 @@
+"""Pattern scrubbing (PII stats / redaction) and the new grouped
+bivariate-moment + MAD operators: planted-data semantic gates (the
+synthetic corpus is PII-free, so the fixture oracle rows are all-zero
+there) plus exactness checks against DuckDB on adversarial values."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_pii_stats_planted(ray_session, tmp_path):
+    from layout_analysis_ray.functions.text import pii_stats
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "contact bob@example.com or alice@corp.co.uk today"),
+            (2, "server at 10.0.0.1 and 192.168.1.255, ssn 123-45-6789"),
+            (3, "clean text with no identifiers at all"),
+            (4, None),
+            (5, "edge: not-an-ip 1234.5.6.7890 still matches inner bytes"),
+        ],
+    )
+    out = pii_stats(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, ["n_email", "n_ipv4", "n_ssn"]].tolist() == [2, 0, 0]
+    assert out.loc[1, ["n_email", "n_ipv4", "n_ssn"]].tolist() == [0, 2, 1]
+    assert out.loc[2, "n_total"] == 0 and out.loc[3, "n_total"] == 0
+    # engine counts must equal DuckDB's RE2 counts on the same patterns
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(
+        r"""SELECT doc_id,
+            len(regexp_extract_all(coalesce(text,''),
+              '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email
+            FROM documents ORDER BY doc_id"""
+    ).df()
+    assert out["n_email"].tolist() == want["n_email"].astype(int).tolist()
+
+
+def test_redact_planted(ray_session, tmp_path):
+    from layout_analysis_ray.functions.text import redact_pattern
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "the customer saw spark fly"),
+            (2, "customers are not redacted (no word boundary match)"),
+            (3, None),
+        ],
+    )
+    out = (
+        redact_pattern(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.loc[0, "text_redacted"] == "the [REDACTED] saw [REDACTED] fly"
+    assert out.loc[0, "n_hits"] == 2
+    assert out.loc[1, "n_hits"] == 0
+    assert "customers" in out.loc[1, "text_redacted"]
+    assert out.loc[2, "text_redacted"] == "" and out.loc[2, "n_hits"] == 0
+
+
+def _write_events(tmp_path, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_hour_cov_exact_and_trunc_division(ray_session, tmp_path):
+    """Negative covariance must trunc-div toward zero (DuckDB //), and a
+    single-hour group yields NULL slope."""
+    from layout_analysis_ray.functions.stats import events_value_hour_cov_by_type
+
+    ts = pd.Timestamp
+    sf = _write_events(
+        tmp_path,
+        [
+            # 'down': value falls as hour rises -> negative cov
+            (ts("2024-01-01 01:00"), "down", 10.0),
+            (ts("2024-01-01 05:00"), "down", 2.0),
+            (ts("2024-01-01 23:30"), "down", -4.0),
+            # 'flat': all in one hour -> den 0 -> NULL slope
+            (ts("2024-01-01 07:01"), "flat", 1.0),
+            (ts("2024-01-01 07:59"), "flat", 99.0),
+            (None if False else ts("2024-01-02 07:30"), "flat", -5.0),
+        ],
+    )
+    out = events_value_hour_cov_by_type(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(
+        """WITH v AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS x,
+                             CAST(hour(ts) AS BIGINT) AS y
+                      FROM events WHERE event_type IS NOT NULL),
+           m AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                        SUM(x*y) AS sxy, SUM(y*y) AS syy FROM v GROUP BY 1)
+           SELECT event_type, CAST(n AS BIGINT) AS n,
+             CAST((n*sxy - sx*sy) * 1000000 // (n*n) AS BIGINT) AS cov_ppm,
+             CASE WHEN n*syy - sy*sy = 0 THEN NULL
+                  ELSE CAST((n*sxy - sx*sy) * 1000000 // (n*syy - sy*sy)
+                            AS BIGINT) END AS slope_ppm
+           FROM m ORDER BY event_type"""
+    ).df()
+    got = out.sort_values("event_type").reset_index(drop=True)
+    want = want.sort_values("event_type").reset_index(drop=True)
+    assert got["cov_ppm"].tolist() == want["cov_ppm"].astype(int).tolist()
+    assert got.loc[got["event_type"] == "down", "cov_ppm"].iloc[0] < 0
+    assert pd.isna(got.loc[got["event_type"] == "flat", "slope_ppm"]).all()
+    pd.testing.assert_series_equal(
+        got["slope_ppm"], want["slope_ppm"].astype("float64").astype(got["slope_ppm"].dtype),
+        check_names=False,
+    )
+
+
+def test_mad_even_count_lower_middle(ray_session, tmp_path):
+    """Even-count groups take the LOWER middle (exact-rank convention),
+    both for the median and for the MAD."""
+    from layout_analysis_ray.functions.quantiles import events_value_mad_by_type
+
+    ts = pd.Timestamp("2024-01-01")
+    sf = _write_events(
+        tmp_path,
+        [(ts, "a", v) for v in (1.0, 2.0, 7.0, 50.0)]  # med=2.00
+        # |c-200|: 100,0,500,4800 -> sorted 0,100,500,4800 -> mad=100
+        + [(ts, "b", 5.0)],  # singleton: med=500, mad=0
+    )
+    out = events_value_mad_by_type(sf).to_pandas().set_index("event_type")
+    assert out.loc["a", "median_cents"] == 200
+    assert out.loc["a", "mad_cents"] == 100
+    assert out.loc["b", "median_cents"] == 500
+    assert out.loc["b", "mad_cents"] == 0
