@@ -255,6 +255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_order_counts": rel.cust_order_counts,
         "top_orders_per_segment": rel.top_orders_per_segment,
         "revenue_rollup": rel.revenue_rollup,
+        "revenue_cube": rel.revenue_cube,
+        "part_skyline_by_brand": rel.part_skyline_by_brand,
         "orders_pivot_by_year": rel.orders_pivot_by_year,
         "orders_above_cust_avg": rel.orders_above_cust_avg,
         "q18_large_orders": rel.q18_large_orders,
@@ -332,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lines": dedup.dedup_lines,
         "events_value_hour_cov_by_type": stats.events_value_hour_cov_by_type,
         "events_value_mad_by_type": quantiles.events_value_mad_by_type,
+        "lineitem_weighted_median_price": quantiles.lineitem_weighted_median_price,
         "doc_pii_stats": text.pii_stats,
         "doc_redact_terms": text.redact_pattern,
         "decontaminate_ngrams": dedup.decontaminate_ngrams,
@@ -781,6 +784,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_orders
             FROM j GROUP BY ROLLUP(seg, yr)
         """,
+        "revenue_cube": """
+            WITH j AS (
+              SELECT c.c_mktsegment AS seg, year(o.o_orderdate) AS yr,
+                     CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+            SELECT coalesce(seg, 'ALL') AS c_mktsegment,
+                   CAST(coalesce(yr, -1) AS BIGINT) AS o_year,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM j GROUP BY CUBE(seg, yr)
+        """,
+        "part_skyline_by_brand": """
+            -- per-brand Pareto frontier on (price minimize, size maximize):
+            -- weak dominance with at least one strict improvement
+            WITH p AS (
+              SELECT p_partkey, p_brand,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+                     CAST(p_size AS BIGINT) AS p_size
+              FROM part)
+            SELECT p_partkey, p_brand, price_cents, p_size FROM p a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p b
+              WHERE b.p_brand = a.p_brand
+                AND b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+                AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+            ORDER BY p_brand, p_partkey
+        """,
         "orders_pivot_by_year": """
             SELECT c.c_mktsegment,
               CAST(COUNT(*) FILTER (WHERE year(o.o_orderdate) = 1992) AS BIGINT) AS y1992,
@@ -1121,6 +1151,25 @@ def oracle_sql() -> dict[str, str]:
               regexp_replace(coalesce(text,''), '\\b(customer|spark)\\b',
                 '[REDACTED]', 'g') AS text_redacted
             FROM documents
+        """,
+        "lineitem_weighted_median_price": """
+            -- quantity-weighted median price per returnflag: smallest price
+            -- whose cumulative weight reaches ceil(q * total weight); weight
+            -- = quantity cents (scaling weights leaves quantiles unchanged)
+            WITH v AS (
+              SELECT l_returnflag AS g,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                     CAST(round(l_quantity * 100) AS BIGINT) AS w
+              FROM lineitem),
+            t AS (SELECT g, SUM(w) AS tw FROM v GROUP BY g),
+            c AS (SELECT g, v, SUM(w) AS wv FROM v GROUP BY g, v),
+            r AS (SELECT g, v,
+                         SUM(wv) OVER (PARTITION BY g ORDER BY v) AS cum
+                  FROM c)
+            SELECT r.g AS l_returnflag, CAST(MIN(r.v) AS BIGINT) AS wmedian_cents
+            FROM r JOIN t USING (g)
+            WHERE r.cum >= (500000 * t.tw + 999999) // 1000000
+            GROUP BY r.g ORDER BY r.g
         """,
         "events_value_mad_by_type": """
             -- two exact-rank medians (engine-wide lower-middle rank

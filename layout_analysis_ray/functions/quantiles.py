@@ -314,7 +314,8 @@ def lineitem_price_quartiles_interp(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 def grouped_quantile(
-    make_ds, q_ppm: int, rank_fn=None, return_counts=False, _stats_rows=None
+    make_ds, q_ppm: int, rank_fn=None, return_counts=False, _stats_rows=None,
+    weighted=False,
 ):
     """Exact q-quantile PER GROUP of a dataset with columns (g: string,
     v: int64): one grouped Min/Max/Count aggregate, then histogram passes
@@ -334,19 +335,30 @@ def grouped_quantile(
     {g: (value, n)} instead of {g: value}.  ``_stats_rows`` (the grouped
     Min/Max/Count take_all rows) lets callers running several narrowings
     over the same dataset pay for that first scan once.
+
+    With ``weighted=True`` the dataset carries a third int64 column ``w``
+    (positive weights) and the q-quantile is over CUMULATIVE WEIGHT: the
+    smallest v whose running weight reaches ceil(q_ppm * W / 1e6), W the
+    group's total weight — the SQL ``SUM(w) OVER (ORDER BY v)`` threshold.
+    Ranks/offsets simply count weight instead of rows; the histogram pass
+    bin-sums weights (exact: per-block weight sums stay far below 2^53,
+    and the cross-block merge is a native int64 Sum).
     """
     from ray.data.aggregate import Count, Max, Min, Sum
 
     rows = (
         _stats_rows
         if _stats_rows is not None
-        else make_ds().groupby("g").aggregate(Min("v"), Max("v"), Count()).take_all()
+        else make_ds()
+        .groupby("g")
+        .aggregate(Min("v"), Max("v"), Sum("w") if weighted else Count())
+        .take_all()
     )
     # state per group: (lo, hi, offset, target_rank)
     state = {}
     counts_by_g: dict[str, int] = {}
     for r in rows:
-        n = int(r["count()"])
+        n = int(r["sum(w)"] if weighted else r["count()"])
         counts_by_g[r["g"]] = n
         k = rank_fn(n) if rank_fn is not None else (q_ppm * n + 999_999) // 1_000_000
         state[r["g"]] = (int(r["min(v)"]), int(r["max(v)"]), 0, k)
@@ -409,7 +421,13 @@ def grouped_quantile(
             ivs = iv_i[inr]
             b = (v[inr] - lo_a[ivs]) // w_a[ivs]
             comp = ivs * np.int64(N_BUCKETS) + b
-            binc = np.bincount(comp)
+            if weighted:
+                wv = batch["w"].to_numpy(zero_copy_only=False)
+                # float64 bin-sum is exact here: per-block weight totals
+                # are << 2^53; the cross-block merge below is int64
+                binc = np.rint(np.bincount(comp, weights=wv[inr]))
+            else:
+                binc = np.bincount(comp)
             nz = np.nonzero(binc)[0]
             return pa.table(
                 {
@@ -607,5 +625,44 @@ def events_value_mad_by_type(sf_dir: str) -> pa.Table:
             "event_type": key_arr,
             "median_cents": pa.array(med_arr, pa.int64()),
             "mad_cents": pa.array([mad[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def lineitem_weighted_median_price(sf_dir: str) -> pa.Table:
+    """Quantity-WEIGHTED median of l_extendedprice (cents) per returnflag:
+    the smallest price whose cumulative quantity reaches half the group's
+    total quantity — the curation-pipeline shape for token-weighted
+    quality thresholds (weight = doc token count) expressed on the star
+    schema.  Weight = quantity cents (scaling all weights by 100 leaves
+    every weighted quantile unchanged and keeps the shared _cents
+    convention on both engine and oracle sides).
+
+    Same histogram-narrowing scan shape as the unweighted grouped median:
+    no row sort, <= ~3 streaming passes, weights merged as native int64
+    Sums."""
+    import ray.data as rd
+
+    def make_ds():
+        return rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "g": b["l_returnflag"],
+                    "v": _cents(b["l_extendedprice"]),
+                    "w": _cents(b["l_quantity"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    med = grouped_quantile(make_ds, 500_000, weighted=True)
+    keys = sorted(med)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(keys, pa.string()),
+            "wmedian_cents": pa.array([med[k] for k in keys], pa.int64()),
         }
     )

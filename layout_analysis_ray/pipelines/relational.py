@@ -2598,3 +2598,168 @@ def q8_market_share(sf_dir: str):
     rows = out.map_batches(finish, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: r["o_year"])
     return pa.Table.from_pylist(rows, schema=q8_schema)
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto-dominance filter) over part
+# ---------------------------------------------------------------------------
+
+_INT64_MIN = np.iinfo(np.int64).min
+
+
+def _skyline_kernel(df):
+    """Per-brand 2-D Pareto frontier over (price_cents minimize, p_size
+    maximize): keep rows that no same-brand row weakly dominates with at
+    least one strict improvement — the oracle's NOT EXISTS dominance test.
+
+    Fully vectorized, no per-row Python: lexsort by (brand, price asc,
+    size desc); a row is dominated iff a strictly-cheaper same-brand row
+    has size >= its size (previous-group cummax of per-price maxima,
+    reset at brand boundaries) or an equal-price same-brand row has
+    strictly larger size (its (brand, price) group's max).  O(n log n).
+
+    The kernel is ASSOCIATIVE (frontier of a union == frontier of the
+    per-block frontiers, by transitivity of dominance), so it serves as
+    both the per-block partial and the per-brand final reducer — the
+    exchange moves only block frontiers (O(log n) expected rows per
+    block for random 2-D data), never the table."""
+    import pandas as pd
+
+    if len(df) == 0:
+        return df
+    brand_codes, _ = pd.factorize(df["p_brand"], use_na_sentinel=False)
+    price = df["price_cents"].to_numpy()
+    size = df["p_size"].to_numpy()
+    order = np.lexsort((df["p_partkey"].to_numpy(), -size, price, brand_codes))
+    bc, pr, sz = brand_codes[order], price[order], size[order]
+
+    n = len(df)
+    new_brand = np.empty(n, dtype=bool)
+    new_brand[0] = True
+    new_brand[1:] = bc[1:] != bc[:-1]
+    new_grp = new_brand.copy()
+    new_grp[1:] |= pr[1:] != pr[:-1]
+
+    grp_first = np.flatnonzero(new_grp)
+    grp_id = np.cumsum(new_grp) - 1
+    grp_max = sz[grp_first]  # sorted size-desc within group -> first is max
+    brand_of_grp = (np.cumsum(new_brand) - 1)[grp_first]
+    # previous same-brand group's running max size (strictly cheaper prices)
+    cm = pd.Series(grp_max).groupby(brand_of_grp).cummax().to_numpy()
+    prev_max = np.empty(len(grp_max), dtype=np.int64)
+    prev_max[0] = _INT64_MIN
+    prev_max[1:] = cm[:-1]
+    first_of_brand = np.empty(len(grp_max), dtype=bool)
+    first_of_brand[0] = True
+    first_of_brand[1:] = brand_of_grp[1:] != brand_of_grp[:-1]
+    prev_max[first_of_brand] = _INT64_MIN
+
+    dominated = (prev_max[grp_id] >= sz) | (sz < grp_max[grp_id])
+    return df.iloc[order[~dominated]]
+
+
+def part_skyline_by_brand(sf_dir: str):
+    """Per-brand skyline of parts: cheapest-for-their-size frontier on
+    (p_retailprice minimize, p_size maximize).  A dominance filter is a
+    different operator shape from top-k/quantile ranking — the survivor
+    set is data-dependent, and the reduction is the frontier itself.
+
+    Plan: pruned read -> per-block frontier (map-side, output ~O(log n)
+    rows per block) -> per-brand frontier of frontiers via a tiny grouped
+    shuffle.  No row sort, no full-table exchange."""
+    from ..functions.schema import ensure_schema
+
+    ds = _read(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_retailprice", "p_size"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": pc.cast(batch["p_partkey"], pa.int64()),
+                "p_brand": batch["p_brand"],
+                "price_cents": _cents(batch["p_retailprice"]),
+                "p_size": pc.cast(batch["p_size"], pa.int64()),
+            }
+        )
+
+    return ensure_schema(
+        ds.map_batches(prep, batch_format="pyarrow")
+        .map_batches(_skyline_kernel, batch_format="pandas")
+        .groupby("p_brand")
+        .map_groups(_skyline_kernel, batch_format="pandas"),
+        pa.schema(
+            [
+                ("p_partkey", pa.int64()),
+                ("p_brand", pa.string()),
+                ("price_cents", pa.int64()),
+                ("p_size", pa.int64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets (completes the ROLLUP family)
+# ---------------------------------------------------------------------------
+
+
+def revenue_cube(sf_dir: str):
+    """CUBE(segment, year): revenue + order count at all four grains —
+    (segment, year), (segment, ALL), (ALL, year), (ALL, ALL) — with the
+    same 'ALL'/-1 subtotal sentinels as ``revenue_rollup``.
+
+    Scale shape mirrors the rollup: one pass builds per-batch
+    (segment, year) partials; each partial row is expanded map-side into
+    its 4 grouping sets (4x GROUP-cardinality rows, independent of input
+    rows); ONE tiny groupby sums every level — the fact table is scanned
+    exactly once."""
+
+    ds = _orders_with_segment(sf_dir, _segment_lookup(sf_dir), with_year=True)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "o_year": batch["o_year"],
+                "revenue_cents": batch["price_cents"],
+                "n_orders": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    fine = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        lambda b: b.group_by(["c_mktsegment", "o_year"])
+        .aggregate([("revenue_cents", "sum"), ("n_orders", "sum")])
+        .rename_columns(["c_mktsegment", "o_year", "revenue_cents", "n_orders"]),
+        batch_format="pyarrow",
+    )
+
+    def expand_levels(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        seg = b["c_mktsegment"].to_numpy(zero_copy_only=False)
+        yr = b["o_year"].to_numpy(zero_copy_only=False)
+        rev = b["revenue_cents"].to_numpy(zero_copy_only=False)
+        cnt = b["n_orders"].to_numpy(zero_copy_only=False)
+        all_seg = np.concatenate(
+            [seg, seg, np.full(n, "ALL", dtype=object), np.full(n, "ALL", dtype=object)]
+        )
+        all_yr = np.concatenate([yr, np.full(n, -1), yr, np.full(n, -1)])
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(all_seg, pa.string()),
+                "o_year": pa.array(all_yr, pa.int64()),
+                "revenue_cents": pa.array(np.tile(rev, 4)),
+                "n_orders": pa.array(np.tile(cnt, 4)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        fine.map_batches(expand_levels, batch_format="pyarrow")
+        .groupby(["c_mktsegment", "o_year"])
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )

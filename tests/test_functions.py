@@ -541,3 +541,51 @@ def test_orders_above_cust_avg_paths_agree(ray_session, monkeypatch):
     j = rel.orders_above_cust_avg(sf).to_pandas()  # forced join path
     key = lambda d: d.sort_values("o_orderkey").reset_index(drop=True)
     pd.testing.assert_frame_equal(key(b), key(j)[b.columns])
+
+
+def test_skyline_kernel_bruteforce_and_associativity():
+    """_skyline_kernel (per-brand Pareto frontier) vs an O(n^2) dominance
+    scan, plus the partial-frontier merge property the distributed plan
+    relies on: frontier(union) == frontier(concat of block frontiers),
+    for any block split."""
+    import numpy as np
+    import pandas as pd
+
+    from layout_analysis_ray.pipelines.relational import _skyline_kernel
+
+    rng = np.random.default_rng(23)
+    for trial in range(5):
+        n = int(rng.integers(1, 800))
+        df = pd.DataFrame(
+            {
+                "p_partkey": np.arange(n, dtype=np.int64),
+                "p_brand": rng.choice(["B1", "B2", "B3"], n),
+                "price_cents": rng.integers(100, 100 + int(rng.integers(5, 500)), n).astype(np.int64),
+                "p_size": rng.integers(1, 20, n).astype(np.int64),
+            }
+        )
+        keep = []
+        for i in range(n):
+            a = df.iloc[i]
+            dom = (
+                (df.p_brand == a.p_brand)
+                & (df.price_cents <= a.price_cents)
+                & (df.p_size >= a.p_size)
+                & ((df.price_cents < a.price_cents) | (df.p_size > a.p_size))
+            )
+            if not dom.any():
+                keep.append(i)
+        exp = df.iloc[keep].sort_values(["p_brand", "p_partkey"]).reset_index(drop=True)
+        got = (
+            _skyline_kernel(df)
+            .sort_values(["p_brand", "p_partkey"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(exp), f"trial {trial}: kernel != brute force"
+
+        parts = np.array_split(df.sample(frac=1, random_state=trial).reset_index(drop=True), 5)
+        merged = _skyline_kernel(
+            pd.concat([_skyline_kernel(p) for p in parts], ignore_index=True)
+        )
+        merged = merged.sort_values(["p_brand", "p_partkey"]).reset_index(drop=True)
+        assert merged.equals(exp), f"trial {trial}: partial merge != frontier"

@@ -263,3 +263,40 @@ def test_winsorize_reconciles_with_numpy(ray_session):
     inside = (v >= lo) & (v <= hi)
     assert (w[inside] == v[inside]).all()
     assert (w[v < lo] == lo).all() and (w[v > hi] == hi).all()
+
+
+def test_grouped_weighted_quantile_vs_bruteforce(ray_session):
+    """Weighted median per group vs a brute-force cumulative-weight scan:
+    smallest v whose running weight over sorted values reaches
+    ceil(q * total_weight) — ties, skewed weights, and a singleton group."""
+    import ray.data as rd
+
+    from layout_analysis_ray.functions.quantiles import grouped_quantile
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    g = rng.choice(["a", "b", "c"], n).tolist() + ["solo"]
+    v = np.concatenate(
+        [np.repeat(rng.integers(-100, 100, n // 4), 4)[:n], [7]]
+    ).astype(np.int64)
+    w = np.concatenate([rng.integers(1, 50, n), [3]]).astype(np.int64)
+    tbl = pa.table(
+        {
+            "g": pa.array(g, pa.string()),
+            "v": pa.array(v, pa.int64()),
+            "w": pa.array(w, pa.int64()),
+        }
+    )
+
+    def make_ds():
+        return rd.from_arrow(tbl).repartition(7)
+
+    for q_ppm in (250_000, 500_000, 900_000):
+        got = grouped_quantile(make_ds, q_ppm, weighted=True)
+        for key in set(g):
+            m = np.array([x == key for x in g])
+            order = np.argsort(v[m], kind="stable")
+            sv, sw = v[m][order], w[m][order]
+            k = (q_ppm * int(sw.sum()) + 999_999) // 1_000_000
+            exp = int(sv[np.searchsorted(np.cumsum(sw), k)])
+            assert got[key] == exp, (q_ppm, key)
