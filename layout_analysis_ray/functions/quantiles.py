@@ -423,9 +423,17 @@ def grouped_quantile(
             comp = ivs * np.int64(N_BUCKETS) + b
             if weighted:
                 wv = batch["w"].to_numpy(zero_copy_only=False)
-                # float64 bin-sum is exact here: per-block weight totals
-                # are << 2^53; the cross-block merge below is int64
-                binc = np.rint(np.bincount(comp, weights=wv[inr]))
+                ws = wv[inr]
+                # float64 bin-sum is exact while every intermediate sum
+                # stays below 2^53; each bin's running sum is bounded by
+                # the block total, so bound that LOUDLY (silent drift here
+                # would walk the narrowing to a wrong quantile)
+                if len(ws) and int(ws.max()) * len(ws) >= 2**53:
+                    raise ValueError(
+                        "per-block weight total may exceed 2^53 — shrink "
+                        "blocks or rescale weights before grouped_quantile"
+                    )
+                binc = np.rint(np.bincount(comp, weights=ws))
             else:
                 binc = np.bincount(comp)
             nz = np.nonzero(binc)[0]

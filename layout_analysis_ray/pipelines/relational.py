@@ -841,15 +841,19 @@ def top_orders_per_segment(sf_dir: str, k: int = TOPK_PER_SEGMENT):
     )
 
 
-def revenue_rollup(sf_dir: str):
-    """ROLLUP(segment, year): revenue + order count at (segment, year),
-    (segment, ALL) and (ALL, ALL) grain.  Subtotal keys use the sentinels
-    'ALL' / -1 (coalesce'd identically in the oracle).
+# grouping-set masks: (keep_segment, keep_year) per output grain; a masked
+# key collapses to the 'ALL' / -1 subtotal sentinel (coalesce'd identically
+# in the oracle)
+_ROLLUP_SETS = ((True, True), (True, False), (False, False))
+_CUBE_SETS = ((True, True), (True, False), (False, True), (False, False))
 
-    Scale: one pass builds per-batch (segment, year) partials; each partial
-    row is expanded map-side into its 3 rollup levels (3x GROUP-cardinality
-    rows, independent of input rows); ONE tiny groupby sums all levels —
-    the input is never rescanned per level."""
+
+def _segment_year_grouping_sets(sf_dir: str, sets):
+    """Shared GROUPING SETS plan over (segment, year): one pass builds
+    per-batch (segment, year) partials; each partial row is expanded
+    map-side into every requested grouping set (len(sets) x
+    GROUP-cardinality rows, independent of input rows); ONE tiny groupby
+    sums all grains — the fact table is scanned exactly once."""
 
     ds = _orders_with_segment(sf_dir, _segment_lookup(sf_dir), with_year=True)
 
@@ -876,14 +880,18 @@ def revenue_rollup(sf_dir: str):
         yr = b["o_year"].to_numpy(zero_copy_only=False)
         rev = b["revenue_cents"].to_numpy(zero_copy_only=False)
         cnt = b["n_orders"].to_numpy(zero_copy_only=False)
-        all_seg = np.concatenate([seg, seg, np.full(n, "ALL", dtype=object)])
-        all_yr = np.concatenate([yr, np.full(n, -1), np.full(n, -1)])
+        all_seg = np.concatenate(
+            [seg if keep_seg else np.full(n, "ALL", dtype=object) for keep_seg, _ in sets]
+        )
+        all_yr = np.concatenate(
+            [yr if keep_yr else np.full(n, -1) for _, keep_yr in sets]
+        )
         return pa.table(
             {
                 "c_mktsegment": pa.array(all_seg, pa.string()),
                 "o_year": pa.array(all_yr, pa.int64()),
-                "revenue_cents": pa.array(np.tile(rev, 3)),
-                "n_orders": pa.array(np.tile(cnt, 3)),
+                "revenue_cents": pa.array(np.tile(rev, len(sets))),
+                "n_orders": pa.array(np.tile(cnt, len(sets))),
             }
         )
 
@@ -901,6 +909,13 @@ def revenue_rollup(sf_dir: str):
         lambda b: b.select(["c_mktsegment", "o_year", "revenue_cents", "n_orders"]),
         batch_format="pyarrow",
     )
+
+
+def revenue_rollup(sf_dir: str):
+    """ROLLUP(segment, year): revenue + order count at (segment, year),
+    (segment, ALL) and (ALL, ALL) grain — the 3-set member of the shared
+    grouping-sets plan (see ``_segment_year_grouping_sets``)."""
+    return _segment_year_grouping_sets(sf_dir, _ROLLUP_SETS)
 
 
 PIVOT_YEARS = tuple(range(1992, 1999))
@@ -2627,6 +2642,13 @@ def _skyline_kernel(df):
 
     if len(df) == 0:
         return df
+    # SQL dominance semantics for NULL keys: 'b.p_brand = a.p_brand' never
+    # matches NULL, so NULL-brand rows neither dominate nor are dominated —
+    # they all survive, untouched by the kernel
+    null_mask = df["p_brand"].isna().to_numpy()
+    if null_mask.any():
+        kept = _skyline_kernel(df[~null_mask])
+        return pd.concat([kept, df[null_mask]], ignore_index=False)
     brand_codes, _ = pd.factorize(df["p_brand"], use_na_sentinel=False)
     price = df["price_cents"].to_numpy()
     size = df["p_size"].to_numpy()
@@ -2706,60 +2728,7 @@ def part_skyline_by_brand(sf_dir: str):
 
 def revenue_cube(sf_dir: str):
     """CUBE(segment, year): revenue + order count at all four grains —
-    (segment, year), (segment, ALL), (ALL, year), (ALL, ALL) — with the
-    same 'ALL'/-1 subtotal sentinels as ``revenue_rollup``.
-
-    Scale shape mirrors the rollup: one pass builds per-batch
-    (segment, year) partials; each partial row is expanded map-side into
-    its 4 grouping sets (4x GROUP-cardinality rows, independent of input
-    rows); ONE tiny groupby sums every level — the fact table is scanned
-    exactly once."""
-
-    ds = _orders_with_segment(sf_dir, _segment_lookup(sf_dir), with_year=True)
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "c_mktsegment": batch["c_mktsegment"],
-                "o_year": batch["o_year"],
-                "revenue_cents": batch["price_cents"],
-                "n_orders": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
-            }
-        )
-
-    fine = ds.map_batches(prep, batch_format="pyarrow").map_batches(
-        lambda b: b.group_by(["c_mktsegment", "o_year"])
-        .aggregate([("revenue_cents", "sum"), ("n_orders", "sum")])
-        .rename_columns(["c_mktsegment", "o_year", "revenue_cents", "n_orders"]),
-        batch_format="pyarrow",
-    )
-
-    def expand_levels(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        seg = b["c_mktsegment"].to_numpy(zero_copy_only=False)
-        yr = b["o_year"].to_numpy(zero_copy_only=False)
-        rev = b["revenue_cents"].to_numpy(zero_copy_only=False)
-        cnt = b["n_orders"].to_numpy(zero_copy_only=False)
-        all_seg = np.concatenate(
-            [seg, seg, np.full(n, "ALL", dtype=object), np.full(n, "ALL", dtype=object)]
-        )
-        all_yr = np.concatenate([yr, np.full(n, -1), yr, np.full(n, -1)])
-        return pa.table(
-            {
-                "c_mktsegment": pa.array(all_seg, pa.string()),
-                "o_year": pa.array(all_yr, pa.int64()),
-                "revenue_cents": pa.array(np.tile(rev, 4)),
-                "n_orders": pa.array(np.tile(cnt, 4)),
-            }
-        )
-
-    from ray.data.aggregate import Sum
-
-    return (
-        fine.map_batches(expand_levels, batch_format="pyarrow")
-        .groupby(["c_mktsegment", "o_year"])
-        .aggregate(
-            Sum("revenue_cents", alias_name="revenue_cents"),
-            Sum("n_orders", alias_name="n_orders"),
-        )
-    )
+    (segment, year), (segment, ALL), (ALL, year), (ALL, ALL) — the 4-set
+    member of the shared grouping-sets plan (the rollup plus the
+    (ALL, year) column totals)."""
+    return _segment_year_grouping_sets(sf_dir, _CUBE_SETS)

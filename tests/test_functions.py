@@ -589,3 +589,25 @@ def test_skyline_kernel_bruteforce_and_associativity():
         )
         merged = merged.sort_values(["p_brand", "p_partkey"]).reset_index(drop=True)
         assert merged.equals(exp), f"trial {trial}: partial merge != frontier"
+
+
+def test_skyline_kernel_null_brand_rows_all_survive():
+    """SQL dominance semantics: 'b.p_brand = a.p_brand' never matches NULL,
+    so NULL-brand rows are neither dominated nor dominating — every one
+    survives, while non-null groups still prune."""
+    import numpy as np
+    import pandas as pd
+
+    from layout_analysis_ray.pipelines.relational import _skyline_kernel
+
+    df = pd.DataFrame(
+        {
+            "p_partkey": np.arange(4, dtype=np.int64),
+            "p_brand": pd.array([None, None, "B1", "B1"], dtype=object),
+            "price_cents": np.array([100, 200, 100, 200], dtype=np.int64),
+            "p_size": np.array([10, 5, 10, 5], dtype=np.int64),
+        }
+    )
+    got = _skyline_kernel(df)
+    # both NULL rows survive; B1's (200, 5) is dominated by (100, 10)
+    assert sorted(got["p_partkey"].tolist()) == [0, 1, 2]

@@ -300,3 +300,22 @@ def test_grouped_weighted_quantile_vs_bruteforce(ray_session):
             k = (q_ppm * int(sw.sum()) + 999_999) // 1_000_000
             exp = int(sv[np.searchsorted(np.cumsum(sw), k)])
             assert got[key] == exp, (q_ppm, key)
+
+
+def test_grouped_weighted_quantile_overflow_guard(ray_session):
+    """Weights big enough that a block's bin-sum could pass 2^53 must fail
+    LOUDLY instead of silently walking the narrowing to a wrong value."""
+    import ray.data as rd
+
+    from layout_analysis_ray.functions.quantiles import grouped_quantile
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"] * 4, pa.string()),
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+            "w": pa.array([2**52, 2**52, 1, 1], pa.int64()),
+        }
+    )
+    with pytest.raises((ValueError, Exception)) as ei:
+        grouped_quantile(lambda: rd.from_arrow(tbl), 500_000, weighted=True)
+    assert "2^53" in str(ei.value) or "2^53" in repr(ei.value)
