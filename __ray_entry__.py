@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # source-level corpus composition (domain scorecard + balancing)
         "source_quality_report": domains.source_quality_report,
         "source_quality_floor_keep": domains.source_quality_floor_keep,
+        "corpus_token_budget_cut": domains.corpus_token_budget_cut,
         "cap_docs_per_source": domains.cap_docs_per_source,
         "domain_mix_sample": domains.domain_mix_sample,
         "domain_mix_repeat": domains.domain_mix_repeat,
@@ -1586,6 +1587,38 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
             FROM r JOIN t USING (source)
             GROUP BY 1 ORDER BY 1
+        """,
+        "corpus_token_budget_cut": f"""
+            -- token-budget quality cut: highest quality cutoff whose docs
+            -- carry >= 10000 tokens (the engine's TOKEN_BUDGET), then keep
+            -- stats over docs at/above it; COALESCE fallback = keep all
+            WITH qc AS (
+              SELECT len({_TOKS}) AS n_tokens,
+                len(list_filter({_TOKS}, w -> w IN {_STOPS})) AS n_stop,
+                length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+                length(text) AS n_chars
+              FROM documents),
+            q AS (
+              SELECT n_tokens,
+                (4 * least(n_tokens * 10000, 1000000)
+                 + 3 * (CASE WHEN n_tokens > 0
+                        THEN (n_stop * 1000000) // n_tokens ELSE 0 END)
+                 + 3 * (CASE WHEN n_chars > 0
+                        THEN (n_alpha * 1000000) // n_chars ELSE 0 END)) // 10
+                  AS quality_ppm
+              FROM qc),
+            lv AS (SELECT quality_ppm, SUM(n_tokens) AS tok
+                   FROM q GROUP BY quality_ppm),
+            cum AS (SELECT quality_ppm,
+                           SUM(tok) OVER (ORDER BY quality_ppm DESC) AS c
+                    FROM lv),
+            cut AS (SELECT coalesce(
+                      MAX(quality_ppm) FILTER (WHERE c >= 10000),
+                      (SELECT MIN(quality_ppm) FROM q)) AS cq FROM cum)
+            SELECT CAST((SELECT cq FROM cut) AS BIGINT) AS cutoff_quality_ppm,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+                   CAST(SUM(q.n_tokens) AS BIGINT) AS tokens_kept
+            FROM q WHERE q.quality_ppm >= (SELECT cq FROM cut)
         """,
         "cap_docs_per_source": """
             WITH h AS (

@@ -176,6 +176,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q8_market_share": rel.q8_market_share,
         "source_quality_floor_keep": domains.source_quality_floor_keep,
+        "part_skyline_by_brand": rel.part_skyline_by_brand,
+        "lineitem_weighted_median_price": quantiles.lineitem_weighted_median_price,
+        "corpus_token_budget_cut": domains.corpus_token_budget_cut,
     }
     # One timed run per query, then a targeted second run for cold-start
     # outliers only: the first execution of a plan right after the 1M-doc

@@ -367,3 +367,104 @@ def source_quality_floor_keep(sf_dir: str, q_ppm: int = FLOOR_Q_PPM):
             "n_keep": pa.array([keep_rows.get(g, 0) for g in sources], pa.int64()),
         }
     )
+
+
+# default global token budget for the budget-cut selection (a constant so
+# the DuckDB oracle states the same number)
+TOKEN_BUDGET = 10_000
+
+
+def corpus_token_budget_cut(sf_dir: str, budget_tokens: int = TOKEN_BUDGET):
+    """Token-budget quality cut — the data-mixing selection rule: find the
+    HIGHEST quality cutoff whose docs carry at least ``budget_tokens``
+    tokens, then keep every doc at or above it.  (Greedy fill of a global
+    token budget from the top of the quality distribution; the cut
+    overshoots the budget by less than one quality level's token mass.)
+
+    Scale shape: corpus tokenized ONCE into a materialized 24-byte
+    (v=-quality, w=n_tokens) narrow table; the cutoff is the WEIGHTED
+    histogram-narrowing kernel with the absolute token budget as the
+    rank target (quality negated so "smallest v whose cumulative weight
+    reaches B" is "highest quality keeping >= B tokens"); the keep stats
+    are one more narrow-table pass collapsing each block to a single
+    (n, tok) partial.  No sort, no shuffle of rows; result is one typed
+    row (empty-corpus safe)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    from .core import partial_then_global
+    from .quantiles import grouped_quantile
+    from .text import _flat_tokens, quality_from_tokens
+
+    def prep(batch: pa.Table) -> pa.Table:
+        text_col = batch["text"]
+        if isinstance(text_col, pa.ChunkedArray):
+            text_col = text_col.combine_chunks()
+        text_col = pc.fill_null(text_col, "")
+        parent, toks, n = _flat_tokens(text_col)
+        q = quality_from_tokens(parent, toks, n, text_col)
+        return pa.table(
+            {
+                "g": pa.array(np.full(batch.num_rows, "all", dtype=object), pa.string()),
+                "v": pa.array(-np.asarray(q["quality_ppm"], dtype=np.int64)),
+                "w": pa.array(np.asarray(q["n_tokens"], dtype=np.int64)),
+            }
+        )
+
+    narrow = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()
+    )
+
+    schema = pa.schema(
+        [
+            ("cutoff_quality_ppm", pa.int64()),
+            ("n_docs_kept", pa.int64()),
+            ("tokens_kept", pa.int64()),
+        ]
+    )
+    if narrow.count() == 0:
+        return schema.empty_table()
+
+    total = narrow.aggregate(Sum("w"), Max("v"))
+    total_tokens = int(total["sum(w)"])
+    if budget_tokens >= total_tokens:
+        # budget exceeds the corpus: keep everything — cutoff is the global
+        # min quality (oracle's COALESCE fallback), matched exactly
+        cutoff = -int(total["max(v)"])
+    else:
+        cut = grouped_quantile(
+            lambda: narrow,
+            0,
+            rank_fn=lambda _w: budget_tokens,
+            weighted=True,
+        )
+        cutoff = -int(cut["all"])
+
+    def keep_partial(b: pa.Table) -> pa.Table:
+        v = b["v"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False)
+        m = v <= -cutoff
+        return pa.table(
+            {
+                "g": pa.array(["all"], pa.string()),
+                "n": pa.array([int(m.sum())], pa.int64()),
+                "tok": pa.array([int(w[m].sum())], pa.int64()),
+            }
+        )
+
+    rows = partial_then_global(
+        narrow.map_batches(keep_partial, batch_format="pyarrow"), ["g"], ["n", "tok"]
+    ).take_all()
+    r = rows[0]
+    return pa.Table.from_pylist(
+        [
+            {
+                "cutoff_quality_ppm": cutoff,
+                "n_docs_kept": int(r["n"]),
+                "tokens_kept": int(r["tok"]),
+            }
+        ],
+        schema=schema,
+    )

@@ -164,3 +164,58 @@ def test_domain_mix_repeat_fractional_and_batch_invariant(ray_session, tmp_path)
     assert (got.groupby("doc_id")["copy_idx"].min() == 1).all()
     # some docs must actually differ (2 vs 3) for the test to bite
     assert 0 < extra.sum() < 40
+
+
+def test_corpus_token_budget_cut_branches(ray_session):
+    """Both cutoff branches: a budget below the corpus token mass triggers
+    the weighted narrowing (fill >= budget, overshoot < one quality
+    level's mass); a budget above it falls back to keep-everything with
+    cutoff == global min quality."""
+    import duckdb
+
+    from layout_analysis_ray.functions.domains import corpus_token_budget_cut
+
+    sf = "/root/testdata/sf0.001"
+    total, minq = duckdb.sql(f"""
+        WITH qc AS (
+          SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+            len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                w -> w IN ('the','a','and','of','to','in','is','on','for','with'))) AS n_stop,
+            length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+            length(text) AS n_chars
+          FROM read_parquet('{sf}/documents.parquet')),
+        q AS (SELECT n_tokens,
+            (4 * least(n_tokens * 10000, 1000000)
+             + 3 * (CASE WHEN n_tokens > 0 THEN (n_stop * 1000000) // n_tokens ELSE 0 END)
+             + 3 * (CASE WHEN n_chars > 0 THEN (n_alpha * 1000000) // n_chars ELSE 0 END)) // 10
+              AS quality_ppm FROM qc)
+        SELECT SUM(n_tokens), MIN(quality_ppm) FROM q
+    """).fetchone()
+
+    # narrowing branch: budget below the corpus mass
+    row = corpus_token_budget_cut(sf, budget_tokens=5_000).to_pylist()[0]
+    assert row["tokens_kept"] >= 5_000
+    assert row["cutoff_quality_ppm"] > minq
+    # greedy-fill tightness: dropping the cutoff level must dip below budget
+    tighter = duckdb.sql(f"""
+        WITH qc AS (
+          SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+            len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                w -> w IN ('the','a','and','of','to','in','is','on','for','with'))) AS n_stop,
+            length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+            length(text) AS n_chars
+          FROM read_parquet('{sf}/documents.parquet')),
+        q AS (SELECT n_tokens,
+            (4 * least(n_tokens * 10000, 1000000)
+             + 3 * (CASE WHEN n_tokens > 0 THEN (n_stop * 1000000) // n_tokens ELSE 0 END)
+             + 3 * (CASE WHEN n_chars > 0 THEN (n_alpha * 1000000) // n_chars ELSE 0 END)) // 10
+              AS quality_ppm FROM qc)
+        SELECT SUM(n_tokens) FROM q WHERE quality_ppm > {row['cutoff_quality_ppm']}
+    """).fetchone()[0]
+    assert (tighter or 0) < 5_000
+
+    # keep-all branch: budget above the corpus mass
+    row2 = corpus_token_budget_cut(sf, budget_tokens=int(total) + 1).to_pylist()[0]
+    assert row2["cutoff_quality_ppm"] == minq
+    assert row2["tokens_kept"] == int(total)
+    assert row2["n_docs_kept"] == 500
