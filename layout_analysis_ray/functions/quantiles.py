@@ -646,16 +646,22 @@ def lineitem_weighted_median_price(sf_dir: str) -> pa.Table:
     every weighted quantile unchanged and keeps the shared _cents
     convention on both engine and oracle sides).
 
-    Same histogram-narrowing scan shape as the unweighted grouped median:
-    no row sort, <= ~3 streaming passes, weights merged as native int64
-    Sums."""
+    Same histogram-narrowing scan shape as the unweighted grouped median
+    (no row sort, <= ~3 passes, weights merged as native int64 Sums), but
+    the (g, v, w) narrow table is MATERIALIZED once: the weighted passes
+    need 3 decoded parquet columns each instead of 1, so paying ~17 B/row
+    of object store to decode once wins (measured interleaved: 5.1-7.8 s
+    materialized vs 6.5-9.0 s streaming per pass set at sf0.1/32 CPUs) —
+    the source_quality_floor_keep trade, not the unweighted family's
+    rescan-the-column one."""
     import ray.data as rd
 
-    def make_ds():
-        return rd.read_parquet(
+    narrow = (
+        rd.read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_returnflag", "l_extendedprice", "l_quantity"],
-        ).map_batches(
+        )
+        .map_batches(
             lambda b: pa.table(
                 {
                     "g": b["l_returnflag"],
@@ -665,8 +671,10 @@ def lineitem_weighted_median_price(sf_dir: str) -> pa.Table:
             ),
             batch_format="pyarrow",
         )
+        .materialize()
+    )
 
-    med = grouped_quantile(make_ds, 500_000, weighted=True)
+    med = grouped_quantile(lambda: narrow, 500_000, weighted=True)
     keys = sorted(med)
     return pa.table(
         {
