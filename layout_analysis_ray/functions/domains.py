@@ -40,14 +40,10 @@ def source_quality_report(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     from .hashing import md5_hex
-    from .text import _flat_tokens, lang_from_tokens, quality_from_tokens
+    from .text import lang_from_tokens, normalized_flat_tokens, quality_from_tokens
 
     def prep(batch: pa.Table) -> pa.Table:
-        text_col = batch["text"]
-        if isinstance(text_col, pa.ChunkedArray):
-            text_col = text_col.combine_chunks()
-        text_col = pc.fill_null(text_col, "")
-        parent, toks, n = _flat_tokens(text_col)
+        parent, toks, n, text_col = normalized_flat_tokens(batch["text"])
         lang = lang_from_tokens(parent, toks, n)
         qual = quality_from_tokens(parent, toks, n, text_col)["quality_ppm"]
         return pa.table(
@@ -297,18 +293,12 @@ def source_quality_floor_keep(sf_dir: str, q_ppm: int = FLOOR_Q_PPM):
     the map closure (source-count-bounded — swap to ``ray.put`` above
     ~10^5 sources).  Result is source-bounded, returned as a typed
     ``pa.Table`` (empty-corpus safe)."""
-    import pyarrow.compute as pc
-
     from .core import partial_then_global
     from .quantiles import grouped_quantile
-    from .text import _flat_tokens, quality_from_tokens
+    from .text import normalized_flat_tokens, quality_from_tokens
 
     def prep(batch: pa.Table) -> pa.Table:
-        text_col = batch["text"]
-        if isinstance(text_col, pa.ChunkedArray):
-            text_col = text_col.combine_chunks()
-        text_col = pc.fill_null(text_col, "")
-        parent, toks, n = _flat_tokens(text_col)
+        parent, toks, n, text_col = normalized_flat_tokens(batch["text"])
         qual = quality_from_tokens(parent, toks, n, text_col)["quality_ppm"]
         return pa.table(
             {
@@ -381,31 +371,34 @@ def corpus_token_budget_cut(sf_dir: str, budget_tokens: int = TOKEN_BUDGET):
     token budget from the top of the quality distribution; the cut
     overshoots the budget by less than one quality level's token mass.)
 
-    Scale shape: corpus tokenized ONCE into a materialized 24-byte
-    (v=-quality, w=n_tokens) narrow table; the cutoff is the WEIGHTED
-    histogram-narrowing kernel with the absolute token budget as the
-    rank target (quality negated so "smallest v whose cumulative weight
-    reaches B" is "highest quality keeping >= B tokens"); the keep stats
-    are one more narrow-table pass collapsing each block to a single
-    (n, tok) partial.  No sort, no shuffle of rows; result is one typed
-    row (empty-corpus safe)."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Max, Sum
+    Scale shape: corpus tokenized ONCE into a materialized 17-byte
+    (g=const int64, v=-quality, w=n_tokens) narrow table; ONE grouped
+    Min/Max/Sum stats pass decides the branch AND seeds the narrowing
+    (``_stats_rows``); the cutoff is the WEIGHTED histogram-narrowing
+    kernel with the absolute token budget as the rank target (quality
+    negated so "smallest v whose cumulative weight reaches B" is
+    "highest quality keeping >= B tokens"); the keep stats are one more
+    narrow-table pass collapsing each block to a single (n, tok)
+    partial.  No sort, no shuffle of rows; result is one typed row —
+    on an EMPTY corpus that row is (NULL, 0, NULL), the oracle's
+    ungrouped-aggregate shape."""
+    from ray.data.aggregate import Count, Max, Min, Sum
 
     from .core import partial_then_global
     from .quantiles import grouped_quantile
-    from .text import _flat_tokens, quality_from_tokens
+    from .text import normalized_flat_tokens, quality_from_tokens
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
 
     def prep(batch: pa.Table) -> pa.Table:
-        text_col = batch["text"]
-        if isinstance(text_col, pa.ChunkedArray):
-            text_col = text_col.combine_chunks()
-        text_col = pc.fill_null(text_col, "")
-        parent, toks, n = _flat_tokens(text_col)
+        parent, toks, n, text_col = normalized_flat_tokens(batch["text"])
         q = quality_from_tokens(parent, toks, n, text_col)
         return pa.table(
             {
-                "g": pa.array(np.full(batch.num_rows, "all", dtype=object), pa.string()),
+                # constant group key as int64 zeros: 8 B/row and no
+                # per-row Python-object build (vs a constant string col)
+                "g": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
                 "v": pa.array(-np.asarray(q["quality_ppm"], dtype=np.int64)),
                 "w": pa.array(np.asarray(q["n_tokens"], dtype=np.int64)),
             }
@@ -424,23 +417,34 @@ def corpus_token_budget_cut(sf_dir: str, budget_tokens: int = TOKEN_BUDGET):
             ("tokens_kept", pa.int64()),
         ]
     )
-    if narrow.count() == 0:
-        return schema.empty_table()
-
-    total = narrow.aggregate(Sum("w"), Max("v"))
-    total_tokens = int(total["sum(w)"])
-    if budget_tokens >= total_tokens:
+    # one stats pass serves branch choice, fallback cutoff AND the
+    # narrowing kernel's seed (weighted stats = Min/Max/Sum(w))
+    stats_rows = (
+        narrow.groupby("g").aggregate(Min("v"), Max("v"), Sum("w"), Count()).take_all()
+    )
+    if not stats_rows:
+        # oracle shape on an empty corpus: the ungrouped aggregate still
+        # emits one row — (NULL, 0, NULL)
+        return pa.Table.from_pylist(
+            [{"cutoff_quality_ppm": None, "n_docs_kept": 0, "tokens_kept": None}],
+            schema=schema,
+        )
+    total_tokens = int(stats_rows[0]["sum(w)"])
+    if budget_tokens > total_tokens:
         # budget exceeds the corpus: keep everything — cutoff is the global
-        # min quality (oracle's COALESCE fallback), matched exactly
-        cutoff = -int(total["max(v)"])
+        # min quality (oracle's COALESCE fallback), matched exactly; at
+        # budget == total the narrowing branch below agrees with the
+        # oracle's `cum >= B` filter (strictly `>` here, pinned by test)
+        cutoff = -int(stats_rows[0]["max(v)"])
     else:
         cut = grouped_quantile(
             lambda: narrow,
             0,
             rank_fn=lambda _w: budget_tokens,
             weighted=True,
+            _stats_rows=stats_rows,
         )
-        cutoff = -int(cut["all"])
+        cutoff = -int(cut[0])
 
     def keep_partial(b: pa.Table) -> pa.Table:
         v = b["v"].to_numpy(zero_copy_only=False)
@@ -448,7 +452,7 @@ def corpus_token_budget_cut(sf_dir: str, budget_tokens: int = TOKEN_BUDGET):
         m = v <= -cutoff
         return pa.table(
             {
-                "g": pa.array(["all"], pa.string()),
+                "g": pa.array([0], pa.int64()),
                 "n": pa.array([int(m.sum())], pa.int64()),
                 "tok": pa.array([int(w[m].sum())], pa.int64()),
             }

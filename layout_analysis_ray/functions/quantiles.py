@@ -376,7 +376,9 @@ def grouped_quantile(
 
         groups = sorted(state)
         g_idx = {g: i for i, g in enumerate(groups)}
-        group_arr = pa.array(groups, pa.string())
+        # type-inferred: group keys are strings for the per-key queries,
+        # a constant int64 for single-group weighted callers
+        group_arr = pa.array(groups)
         lo_arr = np.array([state[g][0] for g in groups], dtype=np.int64)
         hi_arr = np.array([state[g][1] for g in groups], dtype=np.int64)
         w_arr = np.maximum(1, -((-(hi_arr - lo_arr + 1)) // N_BUCKETS))

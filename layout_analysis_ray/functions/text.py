@@ -84,6 +84,23 @@ def _flat_tokens(col) -> tuple[np.ndarray, np.ndarray, int]:
     return parent, flat.to_numpy(zero_copy_only=False), n
 
 
+def normalized_flat_tokens(text_col):
+    """The shared quality-prep preamble: normalize the batch's text column
+    (chunks combined, NULL -> '' — the oracle's ``COALESCE(text, '')``)
+    and run the ONE tokenizer pass every quality-scoring prep starts
+    from.  Returns ``(parent, toks, n_rows, text_col)``.  Lives here
+    exactly once so the oracle-pinned quality path cannot fork between
+    its call sites (source_quality_report / source_quality_floor_keep /
+    corpus_token_budget_cut)."""
+    import pyarrow.compute as pc
+
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    text_col = pc.fill_null(text_col, "")
+    parent, toks, n = _flat_tokens(text_col)
+    return parent, toks, n, text_col
+
+
 def flat_shingles(col) -> tuple[np.ndarray, pa.Array, np.ndarray]:
     """``shingles_from_tokens`` over a fresh tokenize of ``col`` — see that
     function for the contract."""

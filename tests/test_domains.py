@@ -219,3 +219,77 @@ def test_corpus_token_budget_cut_branches(ray_session):
     assert row2["cutoff_quality_ppm"] == minq
     assert row2["tokens_kept"] == int(total)
     assert row2["n_docs_kept"] == 500
+
+
+def test_corpus_token_budget_cut_boundary_and_empty(ray_session, tmp_path):
+    """budget == total tokens takes the NARROWING branch (cum >= B is
+    satisfiable) and must match the oracle exactly even with zero-token
+    docs below the cut; an empty corpus returns the oracle's
+    ungrouped-aggregate shape — one (NULL, 0, NULL) row."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.domains import corpus_token_budget_cut
+
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["the quick brown fox", "of to in", "!!!"]),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["s"] * 3),
+                "n_chars": pa.array([19, 8, 3], pa.int64()),
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    total = 7  # 4 + 3 + 0 tokens
+    row = corpus_token_budget_cut(sf, budget_tokens=total).to_pylist()[0]
+    exp = duckdb.sql(f"""
+        WITH qc AS (
+          SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+            len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                w -> w IN ('the','a','and','of','to','in','is','on','for','with'))) AS n_stop,
+            length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+            length(text) AS n_chars
+          FROM read_parquet('{sf}/documents.parquet')),
+        q AS (SELECT n_tokens,
+            (4 * least(n_tokens * 10000, 1000000)
+             + 3 * (CASE WHEN n_tokens > 0 THEN (n_stop * 1000000) // n_tokens ELSE 0 END)
+             + 3 * (CASE WHEN n_chars > 0 THEN (n_alpha * 1000000) // n_chars ELSE 0 END)) // 10
+              AS quality_ppm FROM qc),
+        lv AS (SELECT quality_ppm, SUM(n_tokens) AS tok FROM q GROUP BY quality_ppm),
+        cum AS (SELECT quality_ppm, SUM(tok) OVER (ORDER BY quality_ppm DESC) AS c FROM lv),
+        cut AS (SELECT coalesce(MAX(quality_ppm) FILTER (WHERE c >= {total}),
+                                (SELECT MIN(quality_ppm) FROM q)) AS cq FROM cum)
+        SELECT CAST((SELECT cq FROM cut) AS BIGINT) AS cutoff_quality_ppm,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+               CAST(SUM(q.n_tokens) AS BIGINT) AS tokens_kept
+        FROM q WHERE q.quality_ppm >= (SELECT cq FROM cut)
+    """).df().to_dict("records")[0]
+    assert row == {k: int(v) for k, v in exp.items()}
+    # the zero-token doc ('!!!', quality 0) sits below the cut: kept < 3
+    assert row["n_docs_kept"] < 3
+
+    # empty corpus: one typed (NULL, 0, NULL) row
+    sfe = str(tmp_path / "sfe")
+    (tmp_path / "sfe").mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        ),
+        f"{sfe}/documents.parquet",
+    )
+    erow = corpus_token_budget_cut(sfe).to_pylist()
+    assert erow == [
+        {"cutoff_quality_ppm": None, "n_docs_kept": 0, "tokens_kept": None}
+    ]
