@@ -342,6 +342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_report": domains.source_quality_report,
         "source_quality_floor_keep": domains.source_quality_floor_keep,
         "corpus_token_budget_cut": domains.corpus_token_budget_cut,
+        "source_token_weighted_median_quality": domains.source_token_weighted_median_quality,
+        "events_transition_counts": windows.transition_counts,
         "cap_docs_per_source": domains.cap_docs_per_source,
         "domain_mix_sample": domains.domain_mix_sample,
         "domain_mix_repeat": domains.domain_mix_repeat,
@@ -1619,6 +1621,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
                    CAST(SUM(q.n_tokens) AS BIGINT) AS tokens_kept
             FROM q WHERE q.quality_ppm >= (SELECT cq FROM cut)
+        """,
+        "source_token_weighted_median_quality": f"""
+            -- per-source token-weighted median quality: smallest quality
+            -- whose cumulative token mass reaches ceil(W/2); an all-zero-
+            -- token source resolves at its first value (cum >= 0)
+            WITH qc AS (
+              SELECT d.source, len({_TOKS}) AS n_tokens,
+                len(list_filter({_TOKS}, w -> w IN {_STOPS})) AS n_stop,
+                length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+                length(text) AS n_chars
+              FROM documents d),
+            q AS (
+              SELECT source, n_tokens,
+                (4 * least(n_tokens * 10000, 1000000)
+                 + 3 * (CASE WHEN n_tokens > 0
+                        THEN (n_stop * 1000000) // n_tokens ELSE 0 END)
+                 + 3 * (CASE WHEN n_chars > 0
+                        THEN (n_alpha * 1000000) // n_chars ELSE 0 END)) // 10
+                  AS quality_ppm
+              FROM qc),
+            t AS (SELECT source, SUM(n_tokens) AS tw FROM q GROUP BY source),
+            c AS (SELECT source, quality_ppm AS v, SUM(n_tokens) AS wv
+                  FROM q GROUP BY source, quality_ppm),
+            r AS (SELECT source, v,
+                         SUM(wv) OVER (PARTITION BY source ORDER BY v) AS cum
+                  FROM c)
+            SELECT r.source,
+                   CAST(MIN(r.v) AS BIGINT) AS wmedian_quality_ppm,
+                   CAST(MIN(t.tw) AS BIGINT) AS n_tokens
+            FROM r JOIN t USING (source)
+            WHERE r.cum >= (500000 * t.tw + 999999) // 1000000
+            GROUP BY r.source ORDER BY r.source
+        """,
+        "events_transition_counts": """
+            -- Markov edges over per-user event sequences ordered by
+            -- (ts, event_id); first events have no predecessor
+            WITH s AS (
+              SELECT event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_type
+              FROM events)
+            SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+            ORDER BY prev_type, event_type
         """,
         "cap_docs_per_source": """
             WITH h AS (

@@ -472,3 +472,50 @@ def corpus_token_budget_cut(sf_dir: str, budget_tokens: int = TOKEN_BUDGET):
         ],
         schema=schema,
     )
+
+
+def source_token_weighted_median_quality(sf_dir: str):
+    """Per-source TOKEN-weighted median quality: the smallest quality_ppm
+    whose cumulative token mass reaches half the source's total tokens —
+    the curation metric that answers "what quality does the median TOKEN
+    (not the median doc) of this domain have", which is what a mixing
+    recipe actually samples.  Multi-group exercise of the weighted
+    narrowing kernel (all sources advance per pass).
+
+    Scale shape: tokenize once into a materialized (source, quality,
+    n_tokens) narrow table; weighted grouped histogram narrowing; a
+    source whose docs carry zero tokens resolves to its min quality
+    (the SQL ``cum >= 0`` contract, handled inside the kernel)."""
+    from .quantiles import grouped_quantile
+    from .text import normalized_flat_tokens, quality_from_tokens
+
+    def prep(batch: pa.Table) -> pa.Table:
+        parent, toks, n, text_col = normalized_flat_tokens(batch["text"])
+        q = quality_from_tokens(parent, toks, n, text_col)
+        return pa.table(
+            {
+                "g": batch["source"],
+                "v": pa.array(np.asarray(q["quality_ppm"], dtype=np.int64)),
+                "w": pa.array(np.asarray(q["n_tokens"], dtype=np.int64)),
+            }
+        )
+
+    narrow = (
+        _read_docs(sf_dir, ["source", "text"])
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()
+    )
+
+    med = grouped_quantile(
+        lambda: narrow, 500_000, weighted=True, return_counts=True
+    )
+    keys = sorted(med)
+    return pa.table(
+        {
+            "source": pa.array(keys, pa.string()),
+            "wmedian_quality_ppm": pa.array(
+                [int(med[k][0]) for k in keys], pa.int64()
+            ),
+            "n_tokens": pa.array([int(med[k][1]) for k in keys], pa.int64()),
+        }
+    )

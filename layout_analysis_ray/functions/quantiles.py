@@ -361,7 +361,13 @@ def grouped_quantile(
         n = int(r["sum(w)"] if weighted else r["count()"])
         counts_by_g[r["g"]] = n
         k = rank_fn(n) if rank_fn is not None else (q_ppm * n + 999_999) // 1_000_000
-        state[r["g"]] = (int(r["min(v)"]), int(r["max(v)"]), 0, k)
+        if weighted and n == 0:
+            # all-zero-weight group: the SQL threshold `cum >= 0` is met at
+            # the group's first value, so it resolves to min(v) with no
+            # histogram pass (the weighted hist would never emit its bins)
+            state[r["g"]] = (int(r["min(v)"]), int(r["min(v)"]), 0, k)
+        else:
+            state[r["g"]] = (int(r["min(v)"]), int(r["max(v)"]), 0, k)
     resolved: dict[str, int] = {}
 
     while True:

@@ -1573,3 +1573,53 @@ def funnel_counts(sf_dir: str):
             "n_users": pa.array(totals, pa.int64()),
         }
     )
+
+
+_TRANSITION_SCHEMA = pa.schema(
+    [("prev_type", pa.string()), ("event_type", pa.string()), ("n", pa.int64())]
+)
+
+
+def transition_counts(sf_dir: str):
+    """Markov-edge mining over user event sequences: global counts of
+    consecutive (prev_type -> event_type) transitions, each user's events
+    ordered by (ts, event_id); a user's first event has no predecessor
+    and contributes nothing.
+
+    Scale shape: the coarse user-hash exchange every exact per-user
+    window uses (all of a user's rows in one partition); inside each
+    partition ONE vectorized sort + shifted same-user mask builds the
+    pairs and a C-level pandas groupby collapses them to per-partition
+    (prev, cur, n) partials — the final exchange moves at most
+    |type alphabet|^2 rows per partition, never events."""
+    from .core import partial_then_global as _partial_then_global
+
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id", "event_type"]).map_batches(
+        _add_user_part, batch_format="pyarrow"
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        pairs = pd.DataFrame(
+            {"prev_type": et[:-1][same], "event_type": et[1:][same]}
+        )
+        # dropna=False: a NULL event_type still forms a pair in SQL GROUP BY
+        out = (
+            pairs.groupby(["prev_type", "event_type"], sort=False, dropna=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return _ensure_schema(
+        _partial_then_global(
+            ds.groupby("__upart").map_groups(per_part, batch_format="pandas"),
+            ["prev_type", "event_type"],
+            ["n"],
+        ),
+        _TRANSITION_SCHEMA,
+    )

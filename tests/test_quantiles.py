@@ -319,3 +319,23 @@ def test_grouped_weighted_quantile_overflow_guard(ray_session):
     with pytest.raises((ValueError, Exception)) as ei:
         grouped_quantile(lambda: rd.from_arrow(tbl), 500_000, weighted=True)
     assert "2^53" in str(ei.value) or "2^53" in repr(ei.value)
+
+
+def test_grouped_weighted_quantile_zero_weight_group(ray_session):
+    """An all-zero-weight group resolves to its min value (the SQL
+    `cum >= 0` contract) without a histogram pass, alongside groups with
+    real weight."""
+    import ray.data as rd
+
+    from layout_analysis_ray.functions.quantiles import grouped_quantile
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["z", "z", "a", "a", "a"], pa.string()),
+            "v": pa.array([9, 4, 1, 2, 3], pa.int64()),
+            "w": pa.array([0, 0, 1, 1, 2], pa.int64()),
+        }
+    )
+    got = grouped_quantile(lambda: rd.from_arrow(tbl), 500_000, weighted=True)
+    # 'a': W=4, k=2 -> cum(1)=1 < 2, cum(2)=2 -> median 2; 'z': min v = 4
+    assert got == {"a": 2, "z": 4}
