@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_token_budget_cut": domains.corpus_token_budget_cut,
         "source_token_weighted_median_quality": domains.source_token_weighted_median_quality,
         "events_transition_counts": windows.transition_counts,
+        "embedding_label_quality": similarity.embedding_label_quality,
         "cap_docs_per_source": domains.cap_docs_per_source,
         "domain_mix_sample": domains.domain_mix_sample,
         "domain_mix_repeat": domains.domain_mix_repeat,
@@ -1653,6 +1654,31 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN t USING (source)
             WHERE r.cum >= (500000 * t.tw + 999999) // 1000000
             GROUP BY r.source ORDER BY r.source
+        """,
+        "embedding_label_quality": f"""
+            -- cross-modal join: text quality of the docs behind each
+            -- embedding label; integer mean (quality non-negative)
+            WITH qc AS (
+              SELECT doc_id, len({_TOKS}) AS n_tokens,
+                len(list_filter({_TOKS}, w -> w IN {_STOPS})) AS n_stop,
+                length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+                length(text) AS n_chars
+              FROM documents),
+            q AS (
+              SELECT doc_id,
+                (4 * least(n_tokens * 10000, 1000000)
+                 + 3 * (CASE WHEN n_tokens > 0
+                        THEN (n_stop * 1000000) // n_tokens ELSE 0 END)
+                 + 3 * (CASE WHEN n_chars > 0
+                        THEN (n_alpha * 1000000) // n_chars ELSE 0 END)) // 10
+                  AS quality_ppm
+              FROM qc)
+            SELECT CAST(e.label AS BIGINT) AS label,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(q.quality_ppm) // COUNT(*) AS BIGINT)
+                     AS avg_quality_ppm
+            FROM embeddings e JOIN q ON e.vec_id = q.doc_id
+            GROUP BY e.label ORDER BY label
         """,
         "events_transition_counts": """
             -- Markov edges over per-user event sequences ordered by

@@ -632,3 +632,101 @@ def centroid_confusion(sf_dir: str):
             ]
         ),
     )
+
+
+def embedding_label_quality(sf_dir: str):
+    """Cross-modal fact-fact join: documents (text quality) x embeddings
+    (label) on vec_id == doc_id, rolled up to per-label doc count and
+    integer mean quality — the "how good is the text behind each
+    embedding cluster" eval a curation loop runs after clustering.
+
+    Scale shape: BOTH sides are corpus-sized, so this is a hash-partition
+    ``Dataset.join`` — each side is shrunk map-side to a narrow table
+    first (docs -> (doc_id, quality_ppm), embeddings -> (vec_id, label));
+    the label rollup runs as per-batch partials after the join.  Empty
+    inputs are guarded from parquet METADATA (driver-knowable, no scan)
+    because Ray 2.49's join raises when either side delivers zero rows."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .core import partial_then_global
+    from .schema import ensure_schema
+    from .text import normalized_flat_tokens, quality_from_tokens
+
+    schema = pa.schema(
+        [
+            ("label", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("avg_quality_ppm", pa.int64()),
+        ]
+    )
+    n_docs_meta = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_emb_meta = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    if n_docs_meta == 0 or n_emb_meta == 0:
+        return schema.empty_table()
+
+    def doc_prep(batch: pa.Table) -> pa.Table:
+        parent, toks, n, text_col = normalized_flat_tokens(batch["text"])
+        q = quality_from_tokens(parent, toks, n, text_col)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "quality_ppm": pa.array(
+                    np.asarray(q["quality_ppm"], dtype=np.int64)
+                ),
+            }
+        )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(doc_prep, batch_format="pyarrow")
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "vec_id": pc.cast(b["vec_id"], pa.int64()),
+                "label": pc.cast(b["label"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = emb.join(
+        docs,
+        "inner",
+        num_partitions=16,
+        on=("vec_id",),
+        right_on=("doc_id",),
+    )
+
+    def to_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": b["label"],
+                "sum_q": b["quality_ppm"],
+                "n_docs": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    agg = partial_then_global(
+        joined.map_batches(to_partial, batch_format="pyarrow"),
+        ["label"],
+        ["sum_q", "n_docs"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        sq = b["sum_q"].to_numpy(zero_copy_only=False)
+        n = b["n_docs"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "label": pc.cast(b["label"], pa.int64()),
+                "n_docs": pa.array(n.astype(np.int64)),
+                # quality is non-negative: // == trunc here
+                "avg_quality_ppm": pa.array((sq // n).astype(np.int64)),
+            }
+        )
+
+    return ensure_schema(agg.map_batches(finish, batch_format="pyarrow"), schema)

@@ -444,3 +444,37 @@ def test_q21_tiers_agree(ray_session):
     b = rel.q21_waiting_suppliers(sf, broadcast_max_orders=0).to_pandas()
     assert a.equals(b)
     assert len(a) > 0
+
+
+def test_embedding_label_quality_empty_sides_guarded(ray_session, tmp_path):
+    """Ray 2.49 Dataset.join raises on an all-empty side; the cross-modal
+    join guards both sides from parquet metadata (driver-knowable, no
+    scan) and returns the typed empty table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.similarity import embedding_label_quality
+
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([1], pa.int64()),
+                "embedding": pa.array([[0.1, 0.2]], pa.list_(pa.float32())),
+                "label": pa.array([0], pa.int32()),
+            }
+        ),
+        f"{sf}/embeddings.parquet",
+    )
+    out = embedding_label_quality(sf)
+    assert out.num_rows == 0
+    assert out.schema.names == ["label", "n_docs", "avg_quality_ppm"]
