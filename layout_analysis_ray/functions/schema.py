@@ -23,6 +23,16 @@ import pyarrow as pa
 
 
 def ensure_schema(ds, schema: pa.Schema):
+    """Cast every non-empty block to ``schema`` and union a typed empty
+    seed table in front.
+
+    WARNING (Ray 2.49): the typed seed does NOT survive
+    ``to_pandas()``/``take_all()`` when the whole Dataset is empty — a
+    fully-empty result still comes back schema-less.  For DRIVER-BOUNDED
+    results that can legitimately be empty, do not rely on this wrapper:
+    end with ``take_all()`` + ``pa.Table.from_pylist(rows, schema=...)``
+    (the CLAUDE.md typed-empty invariant; see events_funnel_counts /
+    events_transition_counts / embedding_label_quality)."""
     import ray.data as rd
 
     def norm(b: pa.Table) -> pa.Table:

@@ -651,7 +651,6 @@ def embedding_label_quality(sf_dir: str):
     import ray.data as rd
 
     from .core import partial_then_global
-    from .schema import ensure_schema
     from .text import normalized_flat_tokens, quality_from_tokens
 
     schema = pa.schema(
@@ -717,16 +716,21 @@ def embedding_label_quality(sf_dir: str):
         ["sum_q", "n_docs"],
     )
 
-    def finish(b: pa.Table) -> pa.Table:
-        sq = b["sum_q"].to_numpy(zero_copy_only=False)
-        n = b["n_docs"].to_numpy(zero_copy_only=False)
-        return pa.table(
+    # the result is driver-bounded (label cardinality) and can be
+    # legitimately EMPTY from non-empty inputs (disjoint ids); an
+    # all-empty Dataset loses its schema in to_pandas/take_all, so the
+    # bounded result is a typed pa.Table (CLAUDE.md invariant)
+    rows = agg.take_all()
+    rows.sort(key=lambda r: int(r["label"]))
+    return pa.Table.from_pylist(
+        [
             {
-                "label": pc.cast(b["label"], pa.int64()),
-                "n_docs": pa.array(n.astype(np.int64)),
+                "label": int(r["label"]),
+                "n_docs": int(r["n_docs"]),
                 # quality is non-negative: // == trunc here
-                "avg_quality_ppm": pa.array((sq // n).astype(np.int64)),
+                "avg_quality_ppm": int(r["sum_q"]) // int(r["n_docs"]),
             }
-        )
-
-    return ensure_schema(agg.map_batches(finish, batch_format="pyarrow"), schema)
+            for r in rows
+        ],
+        schema=schema,
+    )

@@ -1575,6 +1575,8 @@ def funnel_counts(sf_dir: str):
     )
 
 
+_NULL_TYPE_SENTINEL = "\x00null"
+
 _TRANSITION_SCHEMA = pa.schema(
     [("prev_type", pa.string()), ("event_type", pa.string()), ("n", pa.int64())]
 )
@@ -1602,24 +1604,40 @@ def transition_counts(sf_dir: str):
         g = g.sort_values(["user_id", "ts", "event_id"])
         u = g["user_id"].to_numpy()
         et = g["event_type"].to_numpy()
-        same = u[1:] == u[:-1]
+        # oracle contract: WHERE prev_type IS NOT NULL drops NULL-prev
+        # pairs, but a NULL CURRENT type is kept as a GROUP BY key
+        keep = (u[1:] == u[:-1]) & pd.notna(et[:-1])
         pairs = pd.DataFrame(
-            {"prev_type": et[:-1][same], "event_type": et[1:][same]}
+            {"prev_type": et[:-1][keep], "event_type": et[1:][keep]}
         )
-        # dropna=False: a NULL event_type still forms a pair in SQL GROUP BY
         out = (
             pairs.groupby(["prev_type", "event_type"], sort=False, dropna=False)
             .size()
             .reset_index(name="n")
         )
         out["n"] = out["n"].astype(np.int64)
+        # Ray 2.49's sort-based groupby cannot shuffle a None key: a NULL
+        # current type (kept by SQL GROUP BY) rides the exchange as a
+        # sentinel and is decoded after take_all ("\x00" cannot occur in
+        # a real event type)
+        out["event_type"] = out["event_type"].where(
+            out["event_type"].notna(), _NULL_TYPE_SENTINEL
+        )
         return out
 
-    return _ensure_schema(
-        _partial_then_global(
-            ds.groupby("__upart").map_groups(per_part, batch_format="pandas"),
-            ["prev_type", "event_type"],
-            ["n"],
-        ),
-        _TRANSITION_SCHEMA,
+    agg = _partial_then_global(
+        ds.groupby("__upart").map_groups(per_part, batch_format="pandas"),
+        ["prev_type", "event_type"],
+        ["n"],
     )
+    # the result is driver-bounded (<= |type alphabet|^2 rows) and can be
+    # legitimately EMPTY from non-empty input (every user has one event);
+    # an all-empty Dataset loses its schema in to_pandas/take_all, so the
+    # bounded result is returned as a typed pa.Table (CLAUDE.md invariant)
+    rows = agg.take_all()
+    for r in rows:
+        if r["event_type"] == _NULL_TYPE_SENTINEL:
+            r["event_type"] = None
+    rows.sort(key=lambda r: (r["prev_type"],
+                             r["event_type"] is None, r["event_type"] or ""))
+    return pa.Table.from_pylist(rows, schema=_TRANSITION_SCHEMA)

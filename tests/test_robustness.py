@@ -478,3 +478,83 @@ def test_embedding_label_quality_empty_sides_guarded(ray_session, tmp_path):
     out = embedding_label_quality(sf)
     assert out.num_rows == 0
     assert out.schema.names == ["label", "n_docs", "avg_quality_ppm"]
+
+
+def _write_events(path, user_ids, event_types):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(user_ids)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "ts": pa.array(
+                    np.arange(n, dtype=np.int64).astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array(np.asarray(user_ids, dtype=np.int64)),
+                "event_type": pa.array(event_types, pa.string()),
+            }
+        ),
+        f"{path}/events.parquet",
+    )
+
+
+def test_transition_counts_empty_from_nonempty_is_typed(ray_session, tmp_path):
+    """Every user has exactly one event -> zero transition pairs from a
+    NON-empty input; the driver-bounded result must keep its schema."""
+    from layout_analysis_ray.functions.windows import transition_counts
+
+    _write_events(tmp_path, [1, 2, 3], ["a", "b", "c"])
+    out = transition_counts(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.schema.names == ["prev_type", "event_type", "n"]
+
+
+def test_transition_counts_null_prev_matches_oracle(ray_session, tmp_path):
+    """SQL contract: WHERE prev_type IS NOT NULL drops NULL-prev pairs,
+    but a NULL CURRENT event_type is kept as a GROUP BY key."""
+    from layout_analysis_ray.functions.windows import transition_counts
+
+    _write_events(tmp_path, [7, 7, 7], [None, "click", None])
+    rows = transition_counts(str(tmp_path)).to_pylist()
+    # (NULL -> click) dropped; (click -> NULL) kept
+    assert rows == [{"prev_type": "click", "event_type": None, "n": 1}]
+
+
+def test_embedding_label_quality_disjoint_ids_is_typed(ray_session, tmp_path):
+    """Non-empty sides whose ids never match -> empty join output; the
+    label-bounded result must keep its schema (Ray 2.49 drops the schema
+    of an all-empty Dataset)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.similarity import embedding_label_quality
+
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["hello world", "more text"], pa.string()),
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([100, 200], pa.int64()),
+                "embedding": pa.array(
+                    [[0.1, 0.2], [0.3, 0.4]], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0, 1], pa.int32()),
+            }
+        ),
+        f"{sf}/embeddings.parquet",
+    )
+    out = embedding_label_quality(sf)
+    assert out.num_rows == 0
+    assert out.schema.names == ["label", "n_docs", "avg_quality_ppm"]
