@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": rel.revenue_rollup,
         "revenue_cube": rel.revenue_cube,
         "part_skyline_by_brand": rel.part_skyline_by_brand,
+        "part_pairs_top": rel.part_pairs_top,
         "orders_pivot_by_year": rel.orders_pivot_by_year,
         "orders_above_cust_avg": rel.orders_above_cust_avg,
         "q18_large_orders": rel.q18_large_orders,
@@ -798,6 +799,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cents) AS BIGINT) AS revenue_cents,
                    CAST(COUNT(*) AS BIGINT) AS n_orders
             FROM j GROUP BY CUBE(seg, yr)
+        """,
+        "part_pairs_top": """
+            -- market-basket co-occurrence: top-20 part pairs bought in the
+            -- same order (distinct parts per order; unordered pair a < b)
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM d a JOIN d b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            ORDER BY n_orders DESC, part_a, part_b
+            LIMIT 20
         """,
         "part_skyline_by_brand": """
             -- per-brand Pareto frontier on (price minimize, size maximize):

@@ -179,6 +179,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "part_skyline_by_brand": rel.part_skyline_by_brand,
         "lineitem_weighted_median_price": quantiles.lineitem_weighted_median_price,
         "corpus_token_budget_cut": domains.corpus_token_budget_cut,
+        "part_pairs_top": rel.part_pairs_top,
     }
     # One timed run per query, then a targeted second run for cold-start
     # outliers only: the first execution of a plan right after the 1M-doc

@@ -2732,3 +2732,143 @@ def revenue_cube(sf_dir: str):
     member of the shared grouping-sets plan (the rollup plus the
     (ALL, year) column totals)."""
     return _segment_year_grouping_sets(sf_dir, _CUBE_SETS)
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence mining (frequent part pairs)
+# ---------------------------------------------------------------------------
+
+PAIR_TOPK = 20
+PAIR_PARTITIONS = 64
+
+
+def part_pairs_top(sf_dir: str, k: int = PAIR_TOPK):
+    """Top-k most frequent part PAIRS bought in the same order (the
+    co-occurrence / frequent-itemset-of-size-2 mining shape): for every
+    order's distinct part set, count each unordered pair (a < b) across
+    all orders; top-k by (count desc, part_a, part_b).
+
+    Scale shape: ONE coarse orderkey-hash exchange of distinct
+    (orderkey, partkey) rows (all of an order's parts land in one
+    partition); inside each partition a fully vectorized expansion
+    enumerates each order's pairs (repeat/offset arithmetic, no Python
+    loop — pair count per order is C(s,2) with s bounded by order size)
+    and a C-level pandas groupby collapses them to per-partition pair
+    partials; a keyed groupby sums partials and a per-block partial
+    top-k cuts to k rows.  Result is driver-bounded (k rows) -> typed
+    pa.Table."""
+    schema = pa.schema(
+        [("part_a", pa.int64()), ("part_b", pa.int64()), ("n_orders", pa.int64())]
+    )
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = ok * np.uint64(0x9E3779B97F4A7C15)
+        key ^= key >> np.uint64(29)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+                "l_partkey": pc.cast(batch["l_partkey"], pa.int64()),
+                "__opart": pa.array(
+                    (key % np.uint64(PAIR_PARTITIONS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def per_part(g) -> "object":
+        import pandas as pd
+
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"]).sort_values(
+            ["l_orderkey", "l_partkey"]
+        )
+        okv = g["l_orderkey"].to_numpy()
+        pkv = g["l_partkey"].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {"part_a": pd.Series([], dtype=np.int64),
+                 "part_b": pd.Series([], dtype=np.int64),
+                 "n_orders": pd.Series([], dtype=np.int64)}
+            )
+        new_ok = np.empty(n, dtype=bool)
+        new_ok[0] = True
+        new_ok[1:] = okv[1:] != okv[:-1]
+        grp_id = np.cumsum(new_ok) - 1
+        starts = np.flatnonzero(new_ok)
+        sizes = np.diff(np.append(starts, n))
+        local = np.arange(n, dtype=np.int64) - starts[grp_id]
+        # row i (local j of a group of s) pairs forward with s-1-j rows
+        fan = sizes[grp_id] - 1 - local
+        total = int(fan.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"part_a": pd.Series([], dtype=np.int64),
+                 "part_b": pd.Series([], dtype=np.int64),
+                 "n_orders": pd.Series([], dtype=np.int64)}
+            )
+        a_idx = np.repeat(np.arange(n, dtype=np.int64), fan)
+        off0 = np.concatenate(([0], np.cumsum(fan)[:-1]))
+        b_idx = np.arange(total, dtype=np.int64) - np.repeat(off0, fan) + a_idx + 1
+        pairs = pd.DataFrame({"part_a": pkv[a_idx], "part_b": pkv[b_idx]})
+        out = (
+            pairs.groupby(["part_a", "part_b"], sort=False)
+            .size()
+            .reset_index(name="n_orders")
+        )
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return out
+
+    def add_pair_part(batch: pa.Table) -> pa.Table:
+        # second coarse exchange key: hash of the PAIR, so each partition
+        # owns complete totals for its pairs.  A multi-key Ray groupby
+        # over ~all-distinct pair keys measured 17 s at sf0.01 vs ~2 s for
+        # a coarse int-key exchange — the boundary sort on high-distinct
+        # keys is the cost, not the data.
+        a = batch["part_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["part_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            b * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
+        key ^= key >> np.uint64(29)
+        return batch.append_column(
+            "__ppart", pa.array((key % np.uint64(PAIR_PARTITIONS)).astype(np.int64))
+        )
+
+    def pair_topk(g) -> "object":
+        import pandas as pd  # noqa: F401
+
+        tot = (
+            g.groupby(["part_a", "part_b"], sort=False)["n_orders"]
+            .sum()
+            .reset_index()
+        )
+        tot["n_orders"] = tot["n_orders"].astype(np.int64)
+        return tot.sort_values(
+            ["n_orders", "part_a", "part_b"], ascending=[False, True, True]
+        ).head(k)
+
+    topk_parts = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__opart")
+        .map_groups(per_part, batch_format="pandas")
+        .map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("__ppart")
+        .map_groups(pair_topk, batch_format="pandas")
+    )
+    # <= PAIR_PARTITIONS x k candidate rows reach the driver; final merge
+    rows = topk_parts.take_all()
+    rows.sort(key=lambda r: (-int(r["n_orders"]), int(r["part_a"]), int(r["part_b"])))
+    # driver-bounded k rows; typed pa.Table per the empty-schema invariant
+    return pa.Table.from_pylist(
+        [
+            {
+                "part_a": int(r["part_a"]),
+                "part_b": int(r["part_b"]),
+                "n_orders": int(r["n_orders"]),
+            }
+            for r in rows[:k]
+        ],
+        schema=schema,
+    )

@@ -558,3 +558,27 @@ def test_embedding_label_quality_disjoint_ids_is_typed(ray_session, tmp_path):
     out = embedding_label_quality(sf)
     assert out.num_rows == 0
     assert out.schema.names == ["label", "n_docs", "avg_quality_ppm"]
+
+
+def test_part_pairs_top_no_multiitem_orders_is_typed(ray_session, tmp_path):
+    """Every order has a single (or duplicate-only) part -> zero pairs from
+    a NON-empty input; the driver-bounded top-k result keeps its schema.
+    Duplicate partkeys inside one order must not pair with themselves."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.pipelines.relational import part_pairs_top
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+                "l_partkey": pa.array([7, 7, 9], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/lineitem.parquet",
+    )
+    out = part_pairs_top(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.schema.names == ["part_a", "part_b", "n_orders"]
