@@ -72,3 +72,15 @@ def partial_topk(ds, sort_cols: list[str], ascending: list[bool], k: int,
         .repartition(1)
         .map_batches(final, batch_format="pyarrow")
     )
+
+
+def coarse_int_partition(arr, n_parts: int):
+    """Coarse hash partition id for an int64 numpy array: the engine-wide
+    splitmix-style mixer (multiply by the golden-ratio constant, xor-shift)
+    so sequential keys don't skew.  The same math appears nested in the
+    window family and q18/q21 closures — new code should call this."""
+    import numpy as np
+
+    key = np.asarray(arr).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    key ^= key >> np.uint64(29)
+    return (key % np.uint64(n_parts)).astype(np.int64)

@@ -2748,33 +2748,37 @@ def part_pairs_top(sf_dir: str, k: int = PAIR_TOPK):
     order's distinct part set, count each unordered pair (a < b) across
     all orders; top-k by (count desc, part_a, part_b).
 
-    Scale shape: ONE coarse orderkey-hash exchange of distinct
-    (orderkey, partkey) rows (all of an order's parts land in one
-    partition); inside each partition a fully vectorized expansion
+    Scale shape: TWO coarse int-key hash exchanges.  (1) orderkey-hash
+    co-locates each basket (rows pre-deduped per batch map-side, fully
+    deduped per partition); inside each partition a vectorized expansion
     enumerates each order's pairs (repeat/offset arithmetic, no Python
     loop — pair count per order is C(s,2) with s bounded by order size)
     and a C-level pandas groupby collapses them to per-partition pair
-    partials; a keyed groupby sums partials and a per-block partial
-    top-k cuts to k rows.  Result is driver-bounded (k rows) -> typed
-    pa.Table."""
+    partials.  (2) pair-hash co-locates each pair's partials so every
+    partition holds COMPLETE totals for its pairs and emits a local
+    top-k; the driver merges <= partitions x k candidates.  Result is
+    driver-bounded (k rows) -> typed pa.Table."""
     schema = pa.schema(
         [("part_a", pa.int64()), ("part_b", pa.int64()), ("n_orders", pa.int64())]
     )
 
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
 
+    from ..functions.core import coarse_int_partition
+
     def add_part(batch: pa.Table) -> pa.Table:
-        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        key = ok * np.uint64(0x9E3779B97F4A7C15)
-        key ^= key >> np.uint64(29)
-        return pa.table(
+        # per-batch pre-dedup shrinks the first exchange (lineitem arrives
+        # clustered by orderkey, so in-batch duplicates are the common
+        # case); the per-partition kernel still dedups globally
+        batch = pa.table(
             {
                 "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
                 "l_partkey": pc.cast(batch["l_partkey"], pa.int64()),
-                "__opart": pa.array(
-                    (key % np.uint64(PAIR_PARTITIONS)).astype(np.int64)
-                ),
             }
+        ).group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__opart", pa.array(coarse_int_partition(ok, PAIR_PARTITIONS))
         )
 
     def per_part(g) -> "object":
@@ -2828,17 +2832,13 @@ def part_pairs_top(sf_dir: str, k: int = PAIR_TOPK):
         # keys is the cost, not the data.
         a = batch["part_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = batch["part_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        key = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (
-            b * np.uint64(0xC2B2AE3D27D4EB4F)
-        )
-        key ^= key >> np.uint64(29)
+        mixed = a ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
         return batch.append_column(
-            "__ppart", pa.array((key % np.uint64(PAIR_PARTITIONS)).astype(np.int64))
+            "__ppart",
+            pa.array(coarse_int_partition(mixed.astype(np.int64), PAIR_PARTITIONS)),
         )
 
     def pair_topk(g) -> "object":
-        import pandas as pd  # noqa: F401
-
         tot = (
             g.groupby(["part_a", "part_b"], sort=False)["n_orders"]
             .sum()

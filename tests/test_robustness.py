@@ -564,7 +564,6 @@ def test_part_pairs_top_no_multiitem_orders_is_typed(ray_session, tmp_path):
     """Every order has a single (or duplicate-only) part -> zero pairs from
     a NON-empty input; the driver-bounded top-k result keeps its schema.
     Duplicate partkeys inside one order must not pair with themselves."""
-    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
