@@ -74,6 +74,52 @@ def partial_topk(ds, sort_cols: list[str], ascending: list[bool], k: int,
     )
 
 
+def bucket_rank_offsets(agg_ds, part_cols: list[str], bucket_col: str,
+                        cnt_col: str = "cnt"):
+    """Driver-side offset stitch over RANKING-PARTITION totals — the
+    ``pack_sequences_global`` pattern generalized for windowed ranks.
+
+    ``agg_ds`` must hold ONE row per nonempty (part_cols..., bucket_col)
+    ranking partition (the output of :func:`partial_then_global` over
+    coarse value buckets), so the driver materializes exactly one row per
+    ``map_groups`` partition — partition-count-sized, never value- or
+    row-proportional.  Bucket ids must be FLOOR-divided from the ordering
+    value (floor is monotone for negatives; trunc is not), so every row in
+    bucket ``b`` ranks after every row in buckets ``< b`` and a local sort
+    inside the bucket plus this exclusive start offset yields the exact
+    global rank.
+
+    Returns ``(offsets, totals)``: ``offsets[(p1, ..., bucket)]`` is the
+    exclusive rank start of that partition within its part;
+    ``totals[(p1, ...)]`` is the part's total row count (key ``()`` when
+    ``part_cols`` is empty).  Both dicts ride task closures / ``ray.put``.
+    """
+    import numpy as np
+
+    df = agg_ds.to_pandas()
+    if len(df) == 0:
+        return {}, {}
+    order_cols = list(part_cols) + [bucket_col]
+    df = df.sort_values(order_cols).reset_index(drop=True)
+    cnt = df[cnt_col].to_numpy().astype(np.int64)
+    if part_cols:
+        grp = df.groupby(list(part_cols), sort=False)
+        base = grp[cnt_col].cumsum().to_numpy().astype(np.int64) - cnt
+        totals = {
+            (k if isinstance(k, tuple) else (k,)): int(v)
+            for k, v in grp[cnt_col].sum().items()
+        }
+    else:
+        base = np.cumsum(cnt) - cnt
+        totals = {(): int(cnt.sum())}
+    key_cols = [df[c].to_numpy() for c in order_cols]
+    offsets = {
+        tuple(col[i] for col in key_cols): int(base[i])
+        for i in range(len(df))
+    }
+    return offsets, totals
+
+
 def coarse_int_partition(arr, n_parts: int):
     """Coarse hash partition id for an int64 numpy array: the engine-wide
     splitmix-style mixer (multiply by the golden-ratio constant, xor-shift)

@@ -919,6 +919,7 @@ def source_token_jaccard(sf_dir: str):
 
 
 NTILE_TILES = 4
+NTILE_CHARS_BUCKET = 64  # coarse ranking-bucket width (chars)
 
 
 def ntile_by_chars(sf_dir: str, tiles: int = NTILE_TILES):
@@ -926,17 +927,15 @@ def ntile_by_chars(sf_dir: str, tiles: int = NTILE_TILES):
     (n_chars, doc_id) — SQL's ``row_number()`` / ``ntile(k)`` window over
     the whole corpus, WITHOUT a global row sort.
 
-    Scale shape: a per-value histogram (one partial+global groupby over
-    distinct n_chars values — bounded by value cardinality, not rows) is
-    pulled to the driver, turned into cumulative rank offsets, and
-    broadcast; each n_chars group then ranks its own docs locally
-    (groupby(n_chars).map_groups, sort by doc_id inside the group) and
-    adds its offset.  The only exchange is the value-keyed groupby; no
-    stage ever holds more than one value-group of rows.  Partitioning
-    assumption: distinct n_chars cardinality fits on the driver (it is a
-    histogram domain; bucket the key first if values are unbounded
-    floats) and no single value dominates the corpus (salt ties if one
-    does).
+    Scale shape: the ``bucket_rank_offsets`` offset stitch — the ranking
+    pass groups by ``n_chars // NTILE_CHARS_BUCKET`` (coarse floor
+    buckets) and the only thing the driver materializes is one (bucket,
+    count) row per nonempty ranking partition; prefix-summed exclusive
+    starts ride the task closure.  Each bucket kernel lexsorts its own
+    docs by (n_chars, doc_id) and adds its start — exact global
+    row_number with no per-value state anywhere.  Partitioning
+    assumption: no single bucket dominates the corpus (shrink
+    NTILE_CHARS_BUCKET if one does).
 
     Tile assignment matches SQL NTILE exactly: with n rows and k tiles,
     the first n % k tiles take ceil(n/k) rows.  Reads ONLY the
@@ -944,36 +943,36 @@ def ntile_by_chars(sf_dir: str, tiles: int = NTILE_TILES):
     """
     import pandas as pd
 
+    from .core import bucket_rank_offsets as _bucket_rank_offsets
     from .core import partial_then_global as _partial_then_global
     from .schema import ensure_schema
 
-    def val_counts(batch: pa.Table) -> pa.Table:
+    def bucket_counts(batch: pa.Table) -> pa.Table:
         v = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
         import pandas as _pd
 
-        codes, uniq = _pd.factorize(v)
+        codes, uniq = _pd.factorize(v // NTILE_CHARS_BUCKET)
         return pa.table(
             {
-                "n_chars": pa.array(uniq.astype(np.int64)),
+                "bucket": pa.array(uniq.astype(np.int64)),
                 "cnt": pa.array(np.bincount(codes).astype(np.int64)),
             }
         )
 
     # histogram pass scans ONLY n_chars; the ranking pass re-reads with
     # doc_id (two pruned scans beat dragging doc_id through the first)
-    hist = _partial_then_global(
-        _read_docs(sf_dir, ["n_chars"]).map_batches(
-            val_counts, batch_format="pyarrow"
+    offsets, totals = _bucket_rank_offsets(
+        _partial_then_global(
+            _read_docs(sf_dir, ["n_chars"]).map_batches(
+                bucket_counts, batch_format="pyarrow"
+            ),
+            ["bucket"],
+            ["cnt"],
         ),
-        ["n_chars"],
-        ["cnt"],
-    ).take_all()
-    docs = _read_docs(sf_dir, ["doc_id", "n_chars"])
-    hist.sort(key=lambda r: r["n_chars"])
-    vals = np.array([r["n_chars"] for r in hist], dtype=np.int64)
-    cnts = np.array([r["cnt"] for r in hist], dtype=np.int64)
-    offsets = dict(zip(vals.tolist(), (np.cumsum(cnts) - cnts).tolist()))
-    n_total = int(cnts.sum())
+        [],
+        "bucket",
+    )
+    n_total = totals.get((), 0)
     _out_schema = pa.schema(
         [
             ("doc_id", pa.int64()),
@@ -988,9 +987,22 @@ def ntile_by_chars(sf_dir: str, tiles: int = NTILE_TILES):
         return _out_schema.empty_table()
     q, r = divmod(n_total, tiles)
 
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_chars": pa.array(v),
+                "bucket": pa.array(v // NTILE_CHARS_BUCKET),
+            }
+        )
+
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").reset_index(drop=True)
-        base = offsets[int(g["n_chars"].iloc[0])]
+        nc = g["n_chars"].to_numpy(dtype=np.int64)
+        did = g["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((did, nc))
+        nc_s, did_s = nc[order], did[order]
+        base = offsets[(int(g["bucket"].iloc[0]),)]
         rank = base + np.arange(1, len(g) + 1, dtype=np.int64)
         if q == 0:
             tile = rank
@@ -1003,15 +1015,18 @@ def ntile_by_chars(sf_dir: str, tiles: int = NTILE_TILES):
             ).astype(np.int64)
         return pd.DataFrame(
             {
-                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
-                "n_chars": g["n_chars"].to_numpy(dtype=np.int64),
+                "doc_id": did_s,
+                "n_chars": nc_s,
                 "rank": rank,
                 "tile": tile,
             }
         )
 
     return ensure_schema(
-        docs.groupby("n_chars").map_groups(rank_group, batch_format="pandas"),
+        _read_docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_group, batch_format="pandas"),
         _out_schema,
     )
 

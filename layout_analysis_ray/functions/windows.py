@@ -1371,55 +1371,55 @@ def percent_rank_by_type(sf_dir: str):
     event_id) — the full grouped-window rank, emitted for EVERY row
     without a global (or even per-partition) row sort.
 
-    Scale shape: same histogram-offset technique as doc_ntile_by_chars,
-    generalized per partition — a (type, cents) value-count histogram
-    (one partial+global groupby, bounded by type x cents-domain
-    cardinality, not rows) is pulled to the driver, turned into per-type
-    cumulative rank offsets, and rides the task closure.  The ranking
-    pass groups by (type, cents // PRANK_CENTS_BUCKET) — a COARSE bucket,
-    not the near-unique raw cents value, so the group-stage kernel runs
-    once per bucket and ranks every cents run inside it with one lexsort
-    + run-position fold (no per-value Python call).  Partitioning
-    assumption: distinct (type, cents) cardinality fits the driver (it
-    is a histogram domain) and no single cents bucket dominates (shrink
-    PRANK_CENTS_BUCKET if one does).
+    Scale shape: the ``bucket_rank_offsets`` offset stitch (the
+    ``pack_sequences_global`` pattern) — the ranking pass groups by
+    (type, cents // PRANK_CENTS_BUCKET), a COARSE floor-divided bucket,
+    and the ONLY thing the driver materializes is one (type, bucket,
+    count) row per nonempty ranking partition.  Those partition totals
+    are prefix-summed into exclusive rank starts per type and ride the
+    task closure; each bucket kernel lexsorts its own rows by
+    (cents, event_id) and adds its bucket's start — exact global
+    row_number with no per-value state anywhere.  Partitioning
+    assumption: no single cents bucket dominates (shrink
+    PRANK_CENTS_BUCKET if one does; the driver dict scales as
+    n_buckets, so the knob trades driver rows for kernel size).
 
     ``prank_ppm`` is exact integer: ``(rank - 1) * 10^6 // (n_type - 1)``
     (0 for single-row partitions, matching SQL PERCENT_RANK)."""
+    from .core import bucket_rank_offsets as _bucket_rank_offsets
     from .core import partial_then_global as _partial_then_global
 
-    def val_counts(batch: pa.Table) -> pa.Table:
+    def bucket_counts(batch: pa.Table) -> pa.Table:
         t = batch["event_type"].to_numpy(zero_copy_only=False)
         vc = cents_arrow(batch["value"]).to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({"event_type": t, "value_cents": vc})
-        g = df.groupby(["event_type", "value_cents"], sort=False).size()
+        # floor division (numpy //), NOT trunc: floor is monotone over
+        # negative cents so bucket order == value order
+        df = pd.DataFrame(
+            {"event_type": t, "bucket": vc // PRANK_CENTS_BUCKET}
+        )
+        g = df.groupby(["event_type", "bucket"], sort=False).size()
         out = g.rename("cnt").reset_index()
         return pa.Table.from_pandas(out, preserve_index=False).cast(
             pa.schema(
                 [
                     ("event_type", pa.string()),
-                    ("value_cents", pa.int64()),
+                    ("bucket", pa.int64()),
                     ("cnt", pa.int64()),
                 ]
             )
         )
 
-    hist = _partial_then_global(
-        _read_events(sf_dir, ["event_type", "value"]).map_batches(
-            val_counts, batch_format="pyarrow"
+    offsets, totals = _bucket_rank_offsets(
+        _partial_then_global(
+            _read_events(sf_dir, ["event_type", "value"]).map_batches(
+                bucket_counts, batch_format="pyarrow"
+            ),
+            ["event_type", "bucket"],
+            ["cnt"],
         ),
-        ["event_type", "value_cents"],
-        ["cnt"],
-    ).take_all()
-    hist.sort(key=lambda r: (r["event_type"], r["value_cents"]))
-    off_vals: dict[str, dict[int, int]] = {}
-    totals: dict[str, int] = {}
-    for r in hist:
-        t = r["event_type"]
-        off_vals.setdefault(t, {})[r["value_cents"]] = totals.get(t, 0)
-        totals[t] = totals.get(t, 0) + r["cnt"]
-    # per-type offset Series: one vectorized reindex per group, no per-row dict hits
-    off_by_type = {t: pd.Series(d, dtype=np.int64) for t, d in off_vals.items()}
+        ["event_type"],
+        "bucket",
+    )
 
     _out_schema = pa.schema(
         [
@@ -1430,14 +1430,12 @@ def percent_rank_by_type(sf_dir: str):
             ("prank_ppm", pa.int64()),
         ]
     )
-    if not hist:
+    if not offsets:
         return _out_schema.empty_table()
 
     def prep(batch: pa.Table) -> pa.Table:
         vc = cents_arrow(batch["value"])
-        bucket = trunc_div_np(
-            vc.to_numpy(zero_copy_only=False), PRANK_CENTS_BUCKET
-        )
+        bucket = vc.to_numpy(zero_copy_only=False) // PRANK_CENTS_BUCKET
         return pa.table(
             {
                 "event_id": pc.cast(batch["event_id"], pa.int64()),
@@ -1453,15 +1451,10 @@ def percent_rank_by_type(sf_dir: str):
         eid = g["event_id"].to_numpy(dtype=np.int64)
         order = np.lexsort((eid, vc))
         vc_s, eid_s = vc[order], eid[order]
-        # position within each equal-cents run (one fold, no per-value call)
-        run_starts = np.flatnonzero(np.r_[True, vc_s[1:] != vc_s[:-1]])
-        run_lengths = np.diff(np.r_[run_starts, len(vc_s)])
-        pos = np.arange(len(vc_s), dtype=np.int64) - np.repeat(
-            run_starts, run_lengths
-        )
-        base = off_by_type[t].reindex(vc_s).to_numpy(dtype=np.int64)
-        rank = base + pos + 1
-        n_t = totals[t]
+        # global rank == bucket's exclusive start + local (cents, eid) order
+        base = offsets[(t, int(g["bucket"].iloc[0]))]
+        rank = base + np.arange(1, len(g) + 1, dtype=np.int64)
+        n_t = totals[(t,)]
         prank = (
             (rank - 1) * np.int64(1_000_000) // (n_t - 1)
             if n_t > 1

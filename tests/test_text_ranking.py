@@ -285,3 +285,55 @@ def test_vocab_freq_spectrum_empty_corpus_typed(ray_session, tmp_path):
     got = vocab_freq_spectrum(str(tmp_path)).to_pandas()
     assert got.columns.tolist() == ["occurrences", "n_tokens"]
     assert len(got) == 0
+
+
+def test_bucket_rank_offsets_stitch_and_driver_bound(ray_session):
+    """The rank-offset stitch (VERDICT r4 finding 1): the driver dict holds
+    ONE entry per nonempty ranking partition — never per distinct value —
+    and the prefix sums are exclusive starts within each part.  Negative
+    buckets must sort before positive ones (floor-division bucketing keeps
+    value order; trunc would not)."""
+    import ray.data as rd
+
+    from layout_analysis_ray.functions.core import bucket_rank_offsets
+
+    agg = rd.from_arrow(
+        pa.table(
+            {
+                "part": ["a", "a", "a", "b", "b"],
+                "bucket": [2, -1, 0, 5, -3],
+                "cnt": [4, 2, 3, 1, 7],
+            }
+        )
+    )
+    offsets, totals = bucket_rank_offsets(agg, ["part"], "bucket")
+    # one driver entry per (part, bucket) partition row, nothing per value
+    assert len(offsets) == 5
+    assert offsets == {
+        ("a", -1): 0,
+        ("a", 0): 2,
+        ("a", 2): 5,
+        ("b", -3): 0,
+        ("b", 5): 7,
+    }
+    assert totals == {("a",): 9, ("b",): 8}
+
+
+def test_bucket_rank_offsets_no_parts_and_empty(ray_session):
+    import ray.data as rd
+
+    from layout_analysis_ray.functions.core import bucket_rank_offsets
+
+    agg = rd.from_arrow(pa.table({"bucket": [3, 1], "cnt": [2, 5]}))
+    offsets, totals = bucket_rank_offsets(agg, [], "bucket")
+    assert offsets == {(1,): 0, (3,): 5}
+    assert totals == {(): 7}
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    )
+    assert bucket_rank_offsets(empty, [], "bucket") == ({}, {})
