@@ -179,15 +179,44 @@ class MediaFeaturizer:
             raw[i] = np.asarray(img.resize((8, 4)), dtype=np.uint8).reshape(32)
         return raw, meta
 
+    def _decode_real_isolated(
+        self, payloads: list
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batch decode with per-payload quarantine: try the whole batch
+        first (zero overhead on the clean path), and only if it raises,
+        retry item-by-item so ONE poison payload yields one error row
+        instead of killing the task — the ``extract_error_docs`` pattern
+        (``stages/assemble.py``), matching the reference's
+        retry-with-replacement precedent
+        (``src/train_detector.py:149,173-174``).  One bad object in
+        100 TB of media must quarantine, not fail the stage."""
+        n = len(payloads)
+        try:
+            raw, meta = self._decode_real(payloads)
+            return raw, meta, np.ones(n, dtype=bool)
+        except Exception:
+            pass
+        raw = np.zeros((n, 32), dtype=np.uint8)
+        meta = np.full((n, 3), -1, dtype=np.int32)
+        ok = np.zeros(n, dtype=bool)
+        for i, p in enumerate(payloads):
+            try:
+                r1, m1 = self._decode_real([p])
+                raw[i], meta[i], ok[i] = r1[0], m1[0][:3], True
+            except Exception:
+                pass
+        return raw, meta, ok
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
         ids = batch.column("doc_id")
         if self.decode_mode == "real":
-            raw, meta = self._decode_real(
+            raw, meta, ok = self._decode_real_isolated(
                 batch.column(self._source_col).to_pylist()
             )
         else:
             raw, meta = self._decode_stub(refs)
+            ok = np.ones(len(refs), dtype=bool)
 
         width = meta[:, 0].astype(np.int32)
         height = meta[:, 1].astype(np.int32)
@@ -196,6 +225,9 @@ class MediaFeaturizer:
         feats = (raw.astype(np.float32) / 255.0) @ self._proj
         norms = np.linalg.norm(feats, axis=1, keepdims=True)
         feats = feats / np.maximum(norms, 1e-9)
+        # quarantined rows: decode_mode "error", meta -1, zero embedding
+        feats[~ok] = 0.0
+        mode = [self.decode_mode if o else "error" for o in ok]
 
         return pa.table(
             {
@@ -204,7 +236,7 @@ class MediaFeaturizer:
                 "width": pa.array(width, pa.int32()),
                 "height": pa.array(height, pa.int32()),
                 "n_frames": pa.array(n_frames, pa.int32()),
-                "decode_mode": pa.array([self.decode_mode] * len(refs), pa.string()),
+                "decode_mode": pa.array(mode, pa.string()),
                 "embedding": pa.FixedSizeListArray.from_arrays(
                     pa.array(feats.reshape(-1), pa.float32()), FEAT_DIM
                 ),
@@ -288,7 +320,8 @@ def frame_sample(sf_dir: str, k: int = 4, **feat_kwargs):
 
     def expand(batch: pa.Table) -> pa.Table:
         nf = batch.column("n_frames").to_numpy(zero_copy_only=False).astype(np.int64)
-        take = np.minimum(nf, k)
+        # quarantined decode rows carry n_frames == -1: sample zero frames
+        take = np.minimum(np.maximum(nf, 0), k)
         total = int(take.sum())
         row = np.repeat(np.arange(len(nf)), take)
         # j-th sampled frame of item i: floor(j * n_frames[i] / take[i])

@@ -162,8 +162,16 @@ class MediaDeskewer:
         from .media import parse_raw8
 
         for i, (p, xml) in enumerate(zip(payloads, xmls)):
-            w, h, _f, plane = parse_raw8(p)
-            lines = page_xml_baselines(xml)
+            try:
+                w, h, _f, plane = parse_raw8(p)
+                lines = page_xml_baselines(xml)
+            except Exception:
+                # poison payload/sidecar: quarantine as a marked row
+                # (width/height/n_baselines == -1, the extract_error_docs
+                # pattern) instead of failing the whole task
+                width[i] = height[i] = nlines[i] = -1
+                skew[i] = crc[i] = l0y[i] = l0x[i] = 0
+                continue
             ang = estimate_skew(lines)
             rotated = rotate_plane(plane, ang)
             # +ang: points ride the same rotation as the plane, so the

@@ -43,3 +43,87 @@ def test_media_features_pipeline(ray_session):
     assert tbl.schema.equals(MEDIA_SCHEMA)
     refs = tbl.column("media_ref").to_pylist()
     assert all(r.startswith("media://") for r in refs)
+
+
+def test_poison_payload_quarantines_not_raises():
+    """VERDICT r4 item 3: a truncated/mis-sized RAW8 payload must emit a
+    marked error row (decode_mode 'error', meta -1, zero embedding) while
+    every other row in the batch decodes normally — never a task failure."""
+    from layout_analysis_ray.stages.media import (
+        demo_bytes_decoder,
+        encode_demo_payloads,
+    )
+
+    batch = _batch(4)
+    payloads = encode_demo_payloads(batch.column("media_ref").to_pylist())
+    payloads[1] = payloads[1][:3]  # truncated header
+    payloads[2] = payloads[2][:-5]  # length mismatch vs header
+    poisoned = batch.append_column(
+        "media_bytes", pa.array(payloads, pa.binary())
+    )
+    f = MediaFeaturizer(decoder=demo_bytes_decoder, source_col="media_bytes")
+    out = f(poisoned)
+    assert out.num_rows == 4
+    modes = out.column("decode_mode").to_pylist()
+    assert modes == ["real", "error", "error", "real"]
+    assert out.column("width").to_pylist()[1] == -1
+    assert out.column("n_frames").to_pylist()[2] == -1
+    emb = np.array(out.column("embedding").to_pylist(), dtype=np.float32)
+    assert np.allclose(emb[1], 0.0) and np.allclose(emb[2], 0.0)
+    # clean rows are bit-identical to an unpoisoned decode of the same refs
+    clean = MediaFeaturizer(
+        decoder=demo_bytes_decoder, source_col="media_bytes"
+    )(
+        batch.append_column(
+            "media_bytes",
+            pa.array(
+                encode_demo_payloads(batch.column("media_ref").to_pylist()),
+                pa.binary(),
+            ),
+        )
+    )
+    assert out.slice(0, 1).equals(clean.slice(0, 1))
+    assert out.slice(3, 1).equals(clean.slice(3, 1))
+
+
+def test_poison_payload_frame_sample_zero_frames():
+    """Quarantined rows (n_frames == -1) must sample zero frames, not crash
+    the vectorized expansion."""
+    import numpy as np
+
+    nf = np.array([3, -1, 1], dtype=np.int64)
+    take = np.minimum(np.maximum(nf, 0), 4)
+    assert take.tolist() == [3, 0, 1]
+
+
+def test_poison_deskew_quarantines_row():
+    """Same contract for the deskew actor: bad payload -> width/height/
+    n_baselines == -1 row, good rows unchanged."""
+    from layout_analysis_ray.functions.pagexml import doc_to_page_xml
+    from layout_analysis_ray.stages.media import encode_demo_payloads, parse_raw8
+    from layout_analysis_ray.stages.raster import (
+        MediaDeskewer,
+        _planted_baselines,
+    )
+
+    refs = ["media://a/0", "media://b/0"]
+    payloads = encode_demo_payloads(refs)
+    xmls = []
+    for r, p in zip(refs, payloads):
+        w, h, _f, _pl = parse_raw8(p)
+        lines, _ = _planted_baselines(r, w, h)
+        xmls.append(doc_to_page_xml(r, [], width=w, height=h, baselines=lines))
+    payloads[0] = b"\x01"  # poison
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"]),
+            "media_ref": pa.array(refs),
+            "media_bytes": pa.array(payloads, pa.binary()),
+            "sidecar_xml": pa.array(xmls),
+        }
+    )
+    out = MediaDeskewer()(batch)
+    assert out.num_rows == 2
+    assert out.column("width").to_pylist() == [-1, parse_raw8(encode_demo_payloads(refs)[1])[0]]
+    assert out.column("n_baselines").to_pylist()[0] == -1
+    assert out.column("n_baselines").to_pylist()[1] > 0
