@@ -2133,20 +2133,39 @@ Q7_NATION_A = "NATION_3"
 Q7_NATION_B = "NATION_7"
 Q7_LO = "1996-01-01"
 Q7_HI = "1998-01-01"
+# broadcast-tier bound: 9 B per 2-nation order (key + int8 code); 10M
+# orders ~ 90 MB in the object store, read once per task
+Q7_BROADCAST_MAX_ORDERS = 10_000_000
 
 
-def q7_volume_shipping(sf_dir: str):
+def q7_volume_shipping(sf_dir: str, broadcast_max_orders: int | None = None):
     """TPC-H Q7 shape: revenue between two nations, split by direction
     (supplier nation -> customer nation) and ship year.
 
-    Scale shape: the five-table join collapses to ONE fact-fact exchange.
-    supplier->nation and customer->nation fold into two broadcast int8
-    nation-code lookups (A/B/other), and both fact sides are pre-filtered
-    map-side to the two nations BEFORE the orderkey shuffle — only ~2/25 of
-    each table's rows enter the exchange.  The ship-year window is pushed
-    into the parquet scan; the (supp_nation, cust_nation, year) rollup is
-    a partial-then-global over at most 2 x 2 x years keys."""
+    Scale shape: supplier->nation and customer->nation fold into two
+    broadcast int8 nation-code lookups (A/B/other), and both fact sides
+    are pre-filtered map-side to the two nations — only ~2/25 of each
+    table's rows survive.  The surviving order subset is dimension-like,
+    so (the q21 pattern) a MEASURED streaming count picks one of two
+    equality-pinned tiers:
+
+    - broadcast tier (2-nation orders <= ``Q7_BROADCAST_MAX_ORDERS``):
+      the (o_orderkey, cust_code) pairs ride the object store once as
+      sorted arrays (9 B/order); the lineitem scan resolves its order's
+      customer nation map-side via searchsorted, so there is NO fact-fact
+      exchange at all — the only shuffle is the 2 x 2 x years rollup
+      partials.
+    - distributed tier (above the bound): the orderkey hash join of the
+      two pre-filtered fact sides — the 100-TB fallback when even the
+      filtered order subset outgrows a broadcast.
+
+    The ship-year window is pushed into the parquet scan; the
+    (supp_nation, cust_nation, year) rollup is a partial-then-global over
+    at most 2 x 2 x years keys."""
     import ray
+
+    if broadcast_max_orders is None:
+        broadcast_max_orders = Q7_BROADCAST_MAX_ORDERS
 
     nation = _read_dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     code_by_nk = {}
@@ -2248,13 +2267,49 @@ def q7_volume_shipping(sf_dir: str):
             }
         )
 
-    joined = li.map_batches(lprep, batch_format="pyarrow").join(
-        orders.map_batches(oprep, batch_format="pyarrow"),
-        "inner",
-        num_partitions=16,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
+    def _o_prepped():
+        return orders.map_batches(oprep, batch_format="pyarrow")
+
+    # cutover probe: a cheap streaming count of the pre-filtered order
+    # subset — nothing is pinned until the volume is known to fit
+    n_o = _o_prepped().count()
+
+    if n_o <= broadcast_max_orders:
+        od = _o_prepped().to_pandas().sort_values("o_orderkey")
+        ok_ref = ray.put(
+            (
+                od["o_orderkey"].to_numpy(dtype=np.int64),
+                od["cust_code"].to_numpy(dtype=np.int8),
+            )
+        )
+
+        def resolve(b: pa.Table) -> pa.Table:
+            okeys, ccodes = ray.get(ok_ref)
+            probe = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            if len(okeys):
+                idx = np.minimum(np.searchsorted(okeys, probe), len(okeys) - 1)
+                hit = okeys[idx] == probe
+            else:
+                hit = np.zeros(len(probe), dtype=bool)
+            b = b.filter(pa.array(hit))
+            code = ccodes[idx[hit]] if len(okeys) else np.zeros(0, np.int8)
+            return b.append_column(
+                "cust_code", pa.array(code.astype(np.int64))
+            )
+
+        joined = li.map_batches(lprep, batch_format="pyarrow").map_batches(
+            resolve, batch_format="pyarrow"
+        )
+    else:
+        joined = li.map_batches(lprep, batch_format="pyarrow").join(
+            _o_prepped(),
+            "inner",
+            num_partitions=16,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
 
     def vol_partial(b: pa.Table) -> pa.Table:
         # cross-nation rows only: (A->B) or (B->A)

@@ -433,6 +433,21 @@ def test_new_join_shapes_survive_degenerate_predicates(ray_session, monkeypatch,
     assert len(t) == 0
 
 
+def test_q7_tiers_agree(ray_session):
+    """The broadcast cutover tier and the distributed join tier of Q7
+    must produce identical rows (the q21 path-agreement pattern)."""
+    import layout_analysis_ray.pipelines.relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    a = rel.q7_volume_shipping(sf).to_pandas()
+    b = rel.q7_volume_shipping(sf, broadcast_max_orders=0).to_pandas()
+    cols = ["supp_nation", "cust_nation", "l_year"]
+    a = a.sort_values(cols).reset_index(drop=True)
+    b = b.sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0
+
+
 def test_q21_tiers_agree(ray_session):
     """The broadcast cutover tier and the distributed join tier of Q21
     must produce identical rows (the dedup_minhash_groups path-agreement
