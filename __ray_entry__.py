@@ -139,6 +139,34 @@ def _media_features_demo(sf_dir: str):
     )
 
 
+def _media_features_png(sf_dir: str):
+    """media_features decoding REAL COMPRESSED IMAGE BYTES: the fetch
+    stage materializes grayscale PNGs (same deterministic planes as the
+    RAW8 payloads) and the actor pool inflates + un-filters them with the
+    pure-Python codec (``functions/png.py``) — the reference's
+    image-file-read input path (``src/DocumentAnalyzer.py:105-109``)
+    exercised end to end in-sandbox.  Golden-pinned."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from layout_analysis_ray.stages.media import (
+        encode_png_payloads,
+        media_features,
+        png_bytes_decoder,
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        e0 = pc.list_element(b.column("embedding"), 0)
+        return b.drop_columns(["embedding"]).append_column(
+            "e0_ppm",
+            pc.cast(pc.floor(pc.multiply(pc.cast(e0, pa.float64()), 1e6)), pa.int64()),
+        )
+
+    return media_features(
+        sf_dir, decoder=png_bytes_decoder, fetch=encode_png_payloads
+    ).map_batches(proj, batch_format="pyarrow")
+
+
 def _media_deskew(sf_dir: str):
     """Raster skew normalization over decoded RAW8 planes: sidecar
     PAGE-XML baselines -> reference A2 angle estimate -> G5 plane
@@ -233,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans_flood_order": _extract_spans_flood_order,
         "media_features": _media_features,
         "media_features_demo": _media_features_demo,
+        "media_features_png": _media_features_png,
         "media_deskew": _media_deskew,
         "media_frame_sample": _media_frame_sample,
         "media_overlay": _media_overlay,

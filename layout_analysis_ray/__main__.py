@@ -136,20 +136,32 @@ def cmd_compact(args) -> int:
 def cmd_media(args) -> int:
     """Media featurize / frame-sample pipeline -> parquet.
 
-    ``--decoder demo`` injects ``demo_bytes_decoder`` so the end-to-end
-    ``decode_mode == "real"`` path — payload fetch into a ``media_bytes``
-    binary column, actual byte parse (RAW8 header + pixel resample) in
-    the actor pool — is reachable from the CLI, not just pytest; the
-    default uses the deterministic stub (no media libs in this
-    sandbox)."""
+    ``--decoder demo`` injects ``demo_bytes_decoder`` and ``--decoder
+    png`` injects the pure-Python compressed-PNG kernel, so the
+    end-to-end ``decode_mode == "real"`` path — payload fetch into a
+    ``media_bytes`` binary column, actual byte decode (RAW8 header parse
+    or PNG inflate + un-filter) in the actor pool — is reachable from
+    the CLI, not just pytest; the default uses the deterministic stub
+    (no media libs in this sandbox)."""
     _ensure_ray()
-    from .stages.media import demo_bytes_decoder, frame_sample, media_features
+    from .stages.media import (
+        demo_bytes_decoder,
+        encode_png_payloads,
+        frame_sample,
+        media_features,
+        png_bytes_decoder,
+    )
 
-    decoder = demo_bytes_decoder if args.decoder == "demo" else None
+    decoder = {"demo": demo_bytes_decoder, "png": png_bytes_decoder}.get(
+        args.decoder
+    )
+    kwargs = {"decoder": decoder}
+    if args.decoder == "png":
+        kwargs["fetch"] = encode_png_payloads
     if args.frames:
-        ds = frame_sample(args.sf_dir, k=args.frames, decoder=decoder)
+        ds = frame_sample(args.sf_dir, k=args.frames, **kwargs)
     else:
-        ds = media_features(args.sf_dir, decoder=decoder)
+        ds = media_features(args.sf_dir, **kwargs)
     ds.write_parquet(args.out)
     import ray.data as rd
 
@@ -232,8 +244,9 @@ def main(argv=None) -> int:
     pm.add_argument(
         "--decoder",
         default="stub",
-        choices=["stub", "demo"],
-        help="'demo' injects the demo real-decode kernel (decode_mode=real)",
+        choices=["stub", "demo", "png"],
+        help="'demo' injects the RAW8 real-decode kernel, 'png' the "
+        "pure-Python compressed-PNG one (both decode_mode=real)",
     )
     pm.add_argument(
         "--frames",

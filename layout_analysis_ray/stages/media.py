@@ -124,6 +124,40 @@ def demo_bytes_decoder(payloads: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     return raw, meta
 
 
+def encode_png_payloads(refs: list[str]) -> list[bytes]:
+    """PNG variant of the object-storage fetch stand-in: the SAME
+    deterministic first-frame plane as the RAW8 payload for each ref
+    (parse_raw8 of ``encode_demo_payloads``), compressed as a real
+    grayscale PNG.  Pixel-identical planes across codecs make the PNG
+    decode path directly comparable to the RAW8 path (pinned by test)."""
+    from ..functions.png import encode_png_gray
+
+    return [
+        encode_png_gray(parse_raw8(p)[3]) for p in encode_demo_payloads(refs)
+    ]
+
+
+def png_bytes_decoder(payloads: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """REAL decode of compressed PNG bytes (pure-Python inflate +
+    un-filtering, ``functions/png.py``): grayscale plane -> 32
+    uniform-stride samples, same contract as ``demo_bytes_decoder``.
+    PNG is single-frame, so n_frames is 1.  Malformed payloads raise
+    (CRC-checked), which the featurizer quarantines per row."""
+    from ..functions.png import decode_png_gray
+
+    n = len(payloads)
+    raw = np.empty((n, 32), dtype=np.uint8)
+    meta = np.empty((n, 3), dtype=np.int32)
+    idx32 = np.arange(32, dtype=np.int64)
+    for i, p in enumerate(payloads):
+        plane = decode_png_gray(p)
+        h, w = plane.shape
+        flat = plane.reshape(-1)
+        raw[i] = flat[(idx32 * (w * h)) // 32]
+        meta[i] = (w, h, 1)
+    return raw, meta
+
+
 class MediaFeaturizer:
     """map_batches actor: media_ref -> (dims, frames, embedding).
 

@@ -30,6 +30,7 @@ GOLDEN_QUERIES = [
     "ann_ivf_assign",
     "media_features",
     "media_features_demo",
+    "media_features_png",
     "media_deskew",
     "media_frame_sample",
     "media_overlay",
