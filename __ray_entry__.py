@@ -224,6 +224,21 @@ def _extract_error_docs(sf_dir: str):
     )
 
 
+def _dedup_neardup_incremental_ingest(sf_dir: str):
+    """Incremental NEAR-dup (MinHash-band) dedup against the shared
+    mutable band-sharded index: day-1 docs build the index, the returned
+    rows are day 2's survivors — neither intra-day near-dup
+    non-representatives nor band matches of anything day 1 admitted.
+    Stateful actors + LSH, not SQL-expressible; pytest-gated (batch
+    equivalence, planted cross-increment near-dup, shard invariance,
+    replay idempotence)."""
+    from layout_analysis_ray.state.dedup_index import (
+        dedup_neardup_incremental_ingest,
+    )
+
+    return dedup_neardup_incremental_ingest(sf_dir)
+
+
 def _dedup_incremental_ingest(sf_dir: str):
     """Incremental exact dedup against the shared mutable shard-actor
     index (raw-actor tier): day-1 docs (id-hash digit < 8) build the
@@ -361,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_chain_groups": graph.ngram_chain_groups,
         "dedup_minhash_groups": graph.dedup_minhash_groups,
         "dedup_incremental_ingest": _dedup_incremental_ingest,
+        "dedup_neardup_incremental_ingest": _dedup_neardup_incremental_ingest,
         "dedup_lines": dedup.dedup_lines,
         "events_value_hour_cov_by_type": stats.events_value_hour_cov_by_type,
         "events_value_mad_by_type": quantiles.events_value_mad_by_type,

@@ -188,3 +188,84 @@ def test_decontaminate_ngrams_planted(ray_session, tmp_path):
             .reset_index(drop=True)
         )
         assert dict(zip(out["doc_id"], out["n_shared"])) == want, max_keys
+
+
+# ---------------------------------------------------------------------------
+# NearDupIndex (incremental MinHash-band index, VERDICT r4 item 6)
+# ---------------------------------------------------------------------------
+
+_BASE = "the quick brown fox jumps over the lazy dog again and again " * 15
+_VARIANT = _BASE + "plus one extra trailing clause"
+_OTHER = "completely different prose about streaming ray data pipelines " * 15
+_FRESH = "yet another unrelated document mentioning arrow tables and actors " * 15
+
+
+def test_neardup_one_increment_equals_batch_groups(ray_session):
+    """A single ingest over the whole corpus must keep exactly the batch
+    pipeline's keep set: isolated docs + each LSH cluster's min doc_id."""
+    from layout_analysis_ray.functions.dedup import _read_docs
+    from layout_analysis_ray.functions.graph import dedup_minhash_groups
+    from layout_analysis_ray.state.dedup_index import NearDupIndex
+
+    got = set(
+        NearDupIndex(num_shards=4)
+        .ingest(_read_docs(SF, ["doc_id", "text"]))
+        .to_pandas()["doc_id"]
+    )
+    groups = dedup_minhash_groups(SF).to_pandas()
+    dropped = set(groups.loc[~groups["keep"], "doc_id"])
+    all_ids = set(_read_docs(SF, ["doc_id"]).to_pandas()["doc_id"])
+    assert got == all_ids - dropped
+    assert dropped  # the fixture really has near-dup clusters
+
+
+def test_neardup_cross_increment_planted(ray_session):
+    from layout_analysis_ray.state.dedup_index import NearDupIndex
+
+    idx = NearDupIndex(num_shards=3)
+    day1 = idx.ingest(_ds([(1, _BASE), (2, _OTHER)])).to_pandas()
+    assert set(day1["doc_id"]) == {1, 2}
+    # day 2: the near-dup of day-1's doc 1 is dropped, fresh content kept
+    day2 = idx.ingest(_ds([(10, _VARIANT), (11, _FRESH)])).to_pandas()
+    assert set(day2["doc_id"]) == {11}
+
+
+def test_neardup_within_increment_keeper_is_min(ray_session):
+    from layout_analysis_ray.state.dedup_index import NearDupIndex
+
+    out = (
+        NearDupIndex(num_shards=2)
+        .ingest(_ds([(42, _BASE), (7, _VARIANT), (99, _OTHER)]))
+        .to_pandas()
+    )
+    assert set(out["doc_id"]) == {7, 99}
+
+
+@pytest.mark.parametrize("nsh", [1, 5])
+def test_neardup_shard_count_invariance(ray_session, nsh):
+    from layout_analysis_ray.state.dedup_index import (
+        dedup_neardup_incremental_ingest,
+    )
+
+    out = dedup_neardup_incremental_ingest(SF, num_shards=nsh).to_pandas()
+    outs = sorted(out["doc_id"].tolist())
+    ref = sorted(
+        dedup_neardup_incremental_ingest(SF, num_shards=2)
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    assert outs == ref
+    assert len(outs) > 0
+
+
+def test_neardup_replay_is_idempotent(ray_session):
+    from layout_analysis_ray.state.dedup_index import NearDupIndex
+
+    idx = NearDupIndex(num_shards=3)
+    idx.ingest(_ds([(1, _BASE)])).count()
+    second = idx.ingest(_ds([(5, _VARIANT), (6, _FRESH)]))
+    a = sorted(second.to_pandas()["doc_id"].tolist())
+    # consuming the SAME lazy ingest Dataset again re-probes identical
+    # (key, epoch) pairs and must repeat the verdicts
+    b = sorted(second.to_pandas()["doc_id"].tolist())
+    assert a == b == [6]
