@@ -997,6 +997,19 @@ _LINE_SCHEMA = pa.schema(
 )
 
 
+def _guard_i32_offsets(n_flat: int, where: str) -> None:
+    """int32 ListArray offsets overflow (loudly, via pyarrow) once a
+    kernel input holds > 2^31 flat elements — reachable only when a
+    coarse partition of the distributed tier grows that large.  Raise a
+    clear error naming the knob instead of an opaque offset overflow."""
+    if n_flat > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"{where} holds {n_flat} flat elements, overflowing int32 "
+            "list offsets; raise LINE_PARTS (or lower the block size) so "
+            "partitions shrink"
+        )
+
+
 def _line_chunks(batch: pa.Table):
     """Fixed-size token chunks for every doc of a batch, fully vectorized.
 
@@ -1026,6 +1039,7 @@ def _line_chunks(batch: pa.Table):
     pos = np.arange(len(parent), dtype=np.int64) - starts[parent]
     is_start = pos % LINE_CHUNK_TOKENS == 0
     offsets = np.append(np.nonzero(is_start)[0], len(parent))
+    _guard_i32_offsets(len(parent), "_line_chunks token batch")
     lists = pa.ListArray.from_arrays(
         pa.array(offsets, pa.int32()), flat.combine_chunks()
         if isinstance(flat, pa.ChunkedArray) else flat
@@ -1087,12 +1101,18 @@ def dedup_lines(sf_dir: str, broadcast_max_chunks: int = LINE_BROADCAST_MAX_CHUN
             }
         )
 
-    rows = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        chunk_rows, batch_format="pyarrow"
+    # ONE tokenize+md5 scan: the 40-byte chunk rows are materialized, so
+    # the count probe is block metadata and the winners groupby reuses
+    # the same blocks (ADVICE r4: the probe + groupby used to re-run the
+    # chunk scan).  Above the cutover the materialized slim rows are a
+    # transient the object store frees (spilling if it must) before the
+    # distributed tier re-derives what it needs — the probe itself was
+    # always a full scan, so this costs bytes, not passes.
+    rows = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(chunk_rows, batch_format="pyarrow")
+        .materialize()
     )
-    # streaming probe: map-only row count, nothing pinned; chunk rows
-    # bound winner rows from above, so fitting here implies the winner
-    # array fits the object store
     n_chunk_rows = rows.count()
     if n_chunk_rows == 0:
         # typed empty short-circuit (a fully-empty Ray Dataset loses its
@@ -1127,6 +1147,7 @@ def dedup_lines(sf_dir: str, broadcast_max_chunks: int = LINE_BROADCAST_MAX_CHUN
         # already in (doc, chunk_idx) order within the batch)
         doc_off = np.zeros(len(ids) + 1, dtype=np.int64)
         np.cumsum(n_kept, out=doc_off[1:])
+        _guard_i32_offsets(int(doc_off[-1]), "dedup_lines rebuild batch")
         lists = pa.ListArray.from_arrays(
             pa.array(doc_off, pa.int32()), chunks.filter(pa.array(hit))
         )
@@ -1257,6 +1278,7 @@ def _dedup_lines_distributed(sf_dir: str):
         keep_mask = ~is_marker
         off = np.zeros(n_docs + 1, dtype=np.int64)
         np.cumsum(n_kept, out=off[1:])
+        _guard_i32_offsets(int(off[-1]), "dedup_lines reassemble partition")
         if isinstance(chunks, pa.ChunkedArray):
             chunks = chunks.combine_chunks()
         lists = pa.ListArray.from_arrays(

@@ -68,12 +68,13 @@ WINDOW_PARTITIONS = 64
 def _add_user_part(batch: pa.Table) -> pa.Table:
     """Coarse hash partition on user_id: all events of a user land in one
     partition, ~WINDOW_PARTITIONS Python calls total instead of one per
-    user (mixed hash so sequential user ids don't skew)."""
-    u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    key = u * np.uint64(0x9E3779B97F4A7C15)
-    key ^= key >> np.uint64(29)
+    user (the shared engine-wide mixer, so sequential user ids don't
+    skew)."""
+    from .core import coarse_int_partition
+
+    u = batch["user_id"].to_numpy(zero_copy_only=False)
     return batch.append_column(
-        "__upart", pa.array((key % np.uint64(WINDOW_PARTITIONS)).astype(np.int64))
+        "__upart", pa.array(coarse_int_partition(u, WINDOW_PARTITIONS))
     )
 
 

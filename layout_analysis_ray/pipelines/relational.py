@@ -31,6 +31,7 @@ import pyarrow.dataset as pads
 # shared streaming primitives live in functions.core (promoted there so the
 # functions layer never imports pipeline-private helpers); these aliases
 # keep this module's call sites and docstrings unchanged
+from ..functions.core import coarse_int_partition  # noqa: E402
 from ..functions.core import partial_then_global as _partial_then_global  # noqa: E402
 from ..functions.core import read_table as _read  # noqa: E402
 
@@ -2036,11 +2037,9 @@ def q21_waiting_suppliers(sf_dir: str, broadcast_max_orders: int | None = None):
         triples = joined.map_batches(jflag, batch_format="pyarrow")
 
     def add_part(b: pa.Table) -> pa.Table:
-        ok = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        key = ok * np.uint64(0x9E3779B97F4A7C15)
-        key ^= key >> np.uint64(29)
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
         return b.append_column(
-            "__opart", pa.array((key % np.uint64(Q21_PARTITIONS)).astype(np.int64))
+            "__opart", pa.array(coarse_int_partition(ok, Q21_PARTITIONS))
         )
 
     import pandas as pd
