@@ -25,7 +25,12 @@ def test_every_oracle_backed_query_matches(ray_session):
     old_cwd = os.getcwd()
     os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     try:
-        failures = cp.run_parity("/root/testdata/sf0.001", oracle_only=True)
+        # workers=4: the gate's wall time is per-query fixed overhead
+        # (plan + tiny execute), so overlapping four queries fills the
+        # 4-CPU test session instead of leaving it idle between plans
+        failures = cp.run_parity(
+            "/root/testdata/sf0.001", oracle_only=True, workers=4
+        )
     finally:
         os.chdir(old_cwd)
     assert failures == []

@@ -38,47 +38,46 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def run_parity(
-    sf_dir: str, only=None, oracle_only: bool = False
+    sf_dir: str, only=None, oracle_only: bool = False, workers: int = 1
 ) -> list[str]:
     """Run queries() vs oracle_sql() for ``only`` (or all) queries at
     ``sf_dir``; returns the failing query names.  Ray must already be
     initialized (the CLI main below owns a session; the pytest suite
     reuses its session fixture).  ``oracle_only`` skips queries with no
-    SQL oracle (the all-64 CI gate)."""
+    SQL oracle (the all-oracles CI gate).  ``workers`` > 1 checks that
+    many queries concurrently from driver threads — each tiny query
+    underutilizes the session, so overlapping them fills it (the CI
+    gate's wall time is per-query fixed overhead, not compute); each
+    worker task opens its own DuckDB connection."""
     only = set(only) if only else set()
 
     sys.path.insert(0, ".")
     import __ray_entry__ as entrymod
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    failures = []
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        if oracle_only and name not in oracles:
-            continue
+    names = [
+        n
+        for n in qs
+        if (not only or n in only) and (not oracle_only or n in oracles)
+    ]
+
+    def check(name: str) -> tuple[str, bool, list[str]]:
         try:
-            got = canon(to_pandas(fn(sf_dir)))
+            got = canon(to_pandas(qs[name](sf_dir)))
         except Exception as exc:  # noqa: BLE001
-            failures.append(name)
-            print(f"[ERR ] {name}: ray side raised: {exc!r}")
-            continue
+            return name, True, [f"[ERR ] {name}: ray side raised: {exc!r}"]
         if name not in oracles:
-            print(f"[rows] {name}: {len(got)} rows (no SQL oracle)")
-            continue
+            return name, False, [f"[rows] {name}: {len(got)} rows (no SQL oracle)"]
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
         try:
             exp = canon(con.sql(oracles[name]).df())
         except Exception as exc:  # noqa: BLE001
-            failures.append(name)
-            print(f"[ERR ] {name}: oracle SQL raised: {exc!r}")
-            continue
+            return name, True, [f"[ERR ] {name}: oracle SQL raised: {exc!r}"]
         ok_cols = list(got.columns) == list(exp.columns)
         ok_rows = len(got) == len(exp)
         ok_vals = ok_dtypes = False
@@ -98,21 +97,40 @@ def run_parity(
                     )
             except Exception:
                 ok_vals = False
-        status = "OK  " if (ok_cols and ok_rows and ok_vals and ok_dtypes) else "FAIL"
-        if status == "FAIL":
-            failures.append(name)
-        print(
+        fail = not (ok_cols and ok_rows and ok_vals and ok_dtypes)
+        status = "FAIL" if fail else "OK  "
+        lines = [
             f"[{status}] {name}: rows {len(got)}/{len(exp)} cols_ok={ok_cols}"
             f" vals_ok={ok_vals} dtypes_ok={ok_dtypes}"
-        )
-        if status == "FAIL" and ok_cols and ok_rows and not ok_dtypes:
-            print("  got dtypes:", dict(got.dtypes.astype(str)))
-            print("  exp dtypes:", dict(exp.dtypes.astype(str)))
-        if status == "FAIL" and ok_cols and ok_rows and ok_dtypes:
+        ]
+        if fail and ok_cols and ok_rows and not ok_dtypes:
+            lines.append(f"  got dtypes: {dict(got.dtypes.astype(str))}")
+            lines.append(f"  exp dtypes: {dict(exp.dtypes.astype(str))}")
+        if fail and ok_cols and ok_rows and ok_dtypes:
             diff = (got != exp).any(axis=1)
-            print("  first diffs:\n", got[diff].head(3), "\n  vs\n", exp[diff].head(3))
-        elif status == "FAIL":
-            print("  got cols:", list(got.columns), "exp cols:", list(exp.columns))
+            lines.append(
+                f"  first diffs:\n {got[diff].head(3)} \n  vs\n {exp[diff].head(3)}"
+            )
+        elif fail:
+            lines.append(
+                f"  got cols: {list(got.columns)} exp cols: {list(exp.columns)}"
+            )
+        return name, fail, lines
+
+    if workers <= 1:
+        results = [check(n) for n in names]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(workers) as ex:
+            results = list(ex.map(check, names))
+
+    failures = []
+    for name, fail, lines in results:
+        for line in lines:
+            print(line)
+        if fail:
+            failures.append(name)
     print("FAILURES:", failures or "none")
     return failures
 
