@@ -167,6 +167,33 @@ def _media_features_png(sf_dir: str):
     ).map_batches(proj, batch_format="pyarrow")
 
 
+def _media_features_jpeg(sf_dir: str):
+    """media_features decoding baseline-JPEG bytes: Huffman entropy decode
+    + vectorized IDCT in the actor pool (``functions/jpeg.py``), restart
+    markers exercised on every fixture — the reference's .jpg input
+    branch (S2 extension filter, ``src/detect_paragraphs.py:26``) run on
+    real entropy-coded bytes.  Golden-pinned."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from layout_analysis_ray.stages.media import (
+        encode_jpeg_payloads,
+        jpeg_bytes_decoder,
+        media_features,
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        e0 = pc.list_element(b.column("embedding"), 0)
+        return b.drop_columns(["embedding"]).append_column(
+            "e0_ppm",
+            pc.cast(pc.floor(pc.multiply(pc.cast(e0, pa.float64()), 1e6)), pa.int64()),
+        )
+
+    return media_features(
+        sf_dir, decoder=jpeg_bytes_decoder, fetch=encode_jpeg_payloads
+    ).map_batches(proj, batch_format="pyarrow")
+
+
 def _media_deskew(sf_dir: str):
     """Raster skew normalization over decoded RAW8 planes: sidecar
     PAGE-XML baselines -> reference A2 angle estimate -> G5 plane
@@ -277,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "media_features_demo": _media_features_demo,
         "media_features_png": _media_features_png,
+        "media_features_jpeg": _media_features_jpeg,
         "media_deskew": _media_deskew,
         "media_frame_sample": _media_frame_sample,
         "media_overlay": _media_overlay,

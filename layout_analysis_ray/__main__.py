@@ -136,28 +136,34 @@ def cmd_compact(args) -> int:
 def cmd_media(args) -> int:
     """Media featurize / frame-sample pipeline -> parquet.
 
-    ``--decoder demo`` injects ``demo_bytes_decoder`` and ``--decoder
-    png`` injects the pure-Python compressed-PNG kernel, so the
+    ``--decoder demo|png|jpeg`` injects a real byte-decode kernel so the
     end-to-end ``decode_mode == "real"`` path — payload fetch into a
-    ``media_bytes`` binary column, actual byte decode (RAW8 header parse
-    or PNG inflate + un-filter) in the actor pool — is reachable from
-    the CLI, not just pytest; the default uses the deterministic stub
-    (no media libs in this sandbox)."""
+    ``media_bytes`` binary column, actual byte decode (RAW8 header
+    parse, PNG inflate + un-filter, or JPEG Huffman + IDCT) in the
+    actor pool — is reachable from the CLI, not just pytest; the
+    default uses the deterministic stub (no media libs in this
+    sandbox)."""
     _ensure_ray()
     from .stages.media import (
         demo_bytes_decoder,
+        encode_jpeg_payloads,
         encode_png_payloads,
         frame_sample,
+        jpeg_bytes_decoder,
         media_features,
         png_bytes_decoder,
     )
 
-    decoder = {"demo": demo_bytes_decoder, "png": png_bytes_decoder}.get(
-        args.decoder
-    )
+    decoder = {
+        "demo": demo_bytes_decoder,
+        "png": png_bytes_decoder,
+        "jpeg": jpeg_bytes_decoder,
+    }.get(args.decoder)
     kwargs = {"decoder": decoder}
     if args.decoder == "png":
         kwargs["fetch"] = encode_png_payloads
+    elif args.decoder == "jpeg":
+        kwargs["fetch"] = encode_jpeg_payloads
     if args.frames:
         ds = frame_sample(args.sf_dir, k=args.frames, **kwargs)
     else:
@@ -244,9 +250,9 @@ def main(argv=None) -> int:
     pm.add_argument(
         "--decoder",
         default="stub",
-        choices=["stub", "demo", "png"],
-        help="'demo' injects the RAW8 real-decode kernel, 'png' the "
-        "pure-Python compressed-PNG one (both decode_mode=real)",
+        choices=["stub", "demo", "png", "jpeg"],
+        help="'demo' injects the RAW8 real-decode kernel; 'png'/'jpeg' "
+        "the pure-Python compressed-image ones (all decode_mode=real)",
     )
     pm.add_argument(
         "--frames",

@@ -137,6 +137,41 @@ def encode_png_payloads(refs: list[str]) -> list[bytes]:
     ]
 
 
+def encode_jpeg_payloads(refs: list[str]) -> list[bytes]:
+    """Baseline-JPEG variant of the fetch stand-in: the same deterministic
+    RAW8 first-frame plane per ref, entropy-coded as a real grayscale
+    JPEG (quality 90, restart markers every 4 MCUs so the decoder's
+    resync path runs on every fixture)."""
+    from ..functions.jpeg import encode_jpeg_gray
+
+    return [
+        encode_jpeg_gray(parse_raw8(p)[3], quality=90, restart_interval=4)
+        for p in encode_demo_payloads(refs)
+    ]
+
+
+def jpeg_bytes_decoder(payloads: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """REAL decode of baseline JPEG bytes (pure-Python Huffman entropy
+    decode + vectorized IDCT, ``functions/jpeg.py``): luma plane -> 32
+    uniform-stride samples, same contract as ``demo_bytes_decoder``;
+    n_frames is 1.  JPEG is lossy, so samples approximate the RAW8
+    plane within quantization error (tolerance-pinned by test) while
+    dims match exactly.  Malformed payloads raise -> quarantine."""
+    from ..functions.jpeg import decode_jpeg_gray
+
+    n = len(payloads)
+    raw = np.empty((n, 32), dtype=np.uint8)
+    meta = np.empty((n, 3), dtype=np.int32)
+    idx32 = np.arange(32, dtype=np.int64)
+    for i, p in enumerate(payloads):
+        plane = decode_jpeg_gray(p)
+        h, w = plane.shape
+        flat = plane.reshape(-1)
+        raw[i] = flat[(idx32 * (w * h)) // 32]
+        meta[i] = (w, h, 1)
+    return raw, meta
+
+
 def png_bytes_decoder(payloads: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     """REAL decode of compressed PNG bytes (pure-Python inflate +
     un-filtering, ``functions/png.py``): grayscale plane -> 32

@@ -31,6 +31,7 @@ GOLDEN_QUERIES = [
     "media_features",
     "media_features_demo",
     "media_features_png",
+    "media_features_jpeg",
     "media_deskew",
     "media_frame_sample",
     "media_overlay",
