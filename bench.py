@@ -180,7 +180,19 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "lineitem_weighted_median_price": quantiles.lineitem_weighted_median_price,
         "corpus_token_budget_cut": domains.corpus_token_budget_cut,
         "part_pairs_top": rel.part_pairs_top,
+        "dedup_lines": dedup.dedup_lines,
+        "dedup_neardup_incremental_ingest": (
+            dedup_index.dedup_neardup_incremental_ingest
+        ),
     }
+    # round-5 real-codec media paths (PNG inflate+unfilter, baseline JPEG
+    # Huffman+IDCT in the actor pool) — entry wrappers carry the projection
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as _entry
+
+    _q = _entry.queries()
+    others["media_features_png"] = _q["media_features_png"]
+    others["media_features_jpeg"] = _q["media_features_jpeg"]
     # One timed run per query, then a targeted second run for cold-start
     # outliers only: the first execution of a plan right after the 1M-doc
     # headline pays one-off costs (worker respawn after the actor pool,

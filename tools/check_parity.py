@@ -52,6 +52,9 @@ def run_parity(
     only = set(only) if only else set()
 
     sys.path.insert(0, ".")
+    # fsspec-http import-race stub must be in place before worker threads
+    # build datasets concurrently (see layout_analysis_ray._stub_fsspec_http)
+    import layout_analysis_ray  # noqa: F401
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
