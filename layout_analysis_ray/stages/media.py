@@ -314,13 +314,24 @@ class MediaFeaturizer:
         )
 
 
+def media_pool_size(num_cpus: int) -> int:
+    """Featurizer actor count for a session with ``num_cpus``: decode
+    dominates the real-codec paths (~5/8 of the pipeline's CPU demand,
+    measured on the JPEG Huffman+IDCT kernel vs the fetch/encode task
+    stage), always leaving headroom so the read/fetch task ops never
+    starve — a pool == num_cpus deadlocks the pipeline (the
+    ``scorer_pool_size`` invariant, ``pipelines/extract.py:30``)."""
+    return max(1, min(max(4, round(num_cpus * 5 / 8)), num_cpus - 1))
+
+
 def media_features(
     sf_dir: str,
     *,
-    concurrency=(1, 4),
+    concurrency=None,
     batch_size: int = 256,
     decoder=None,
     fetch=encode_demo_payloads,
+    sample_mod: int | None = None,
 ):
     """Extract media spans from the interleaved corpus and featurize them.
 
@@ -334,17 +345,42 @@ def media_features(
     object-storage GET per ref on a real deployment), any callable to
     substitute a real fetch, or ``None`` to skip the fetch stage and
     hand the decoder the ``media_ref`` strings so it can fetch itself.
+
+    ``concurrency=None`` (default) sizes the actor pool to the live
+    session via ``media_pool_size`` — at 32 CPUs the decode stage gets
+    ~20 actors instead of a fixed 4; pass an explicit tuple to override.
+
+    ``sample_mod`` decodes a deterministic 1/mod sample of the media
+    spans (md5-hash of ``media_ref`` — process-independent, the QA
+    convention for expensive codecs over a huge corpus): the filter runs
+    BEFORE the fetch stage so undecoded payload bytes never move.
     """
     import pyarrow.compute as pc
 
     from ..pipelines.extract import explode, extract_pipeline
     from ..sources.synth import docs_from_parquet
 
+    if concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = (1, media_pool_size(cpus))
+
     spans = explode(extract_pipeline(docs_from_parquet(sf_dir)))
     media = spans.map_batches(
         lambda b: b.filter(pc.not_equal(b.column("media_ref"), "")),
         batch_format="pyarrow",
     )
+    if sample_mod is not None and sample_mod > 1:
+        from ..functions.hashing import str_hash_u60
+
+        mod = int(sample_mod)
+
+        def keep_sample(b: pa.Table) -> pa.Table:
+            h = str_hash_u60(b.column("media_ref"))
+            return b.filter(pa.array(h % mod == 0))
+
+        media = media.map_batches(keep_sample, batch_format="pyarrow")
     kwargs = {}
     if decoder is not None:
         if fetch is not None:

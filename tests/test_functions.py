@@ -231,6 +231,9 @@ def test_queries_oracle_keys_consistent():
         "extract_spans_flood_order",
         "media_features",
         "media_features_demo",
+        "media_features_png",
+        "media_features_jpeg",
+        "dedup_neardup_incremental_ingest",
         "media_deskew",
         "media_frame_sample",
         "media_overlay",
