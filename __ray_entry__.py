@@ -343,6 +343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q10_returned_top_customers": rel.q10_returned_top_customers,
         "q8_market_share": rel.q8_market_share,
+        "q12_priority_by_returnflag": rel.q12_priority_by_returnflag,
+        "lineitem_unpivot": rel.lineitem_unpivot,
         # stream-shaped windows
         "events_tumbling_1h": windows.tumbling_hourly,
         "events_sessionize": windows.sessionize,
@@ -363,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_sum_1h": windows.range_sum_1h,
         "events_user_retention_hourly": windows.user_retention_hourly,
         "events_percent_rank_by_type": windows.percent_rank_by_type,
+        "events_dense_rank_by_type": windows.dense_rank_by_type,
         "events_asof_last_purchase": windows.asof_last_purchase,
         "events_range_join_purchase": windows.range_join_after_purchase,
         # time-range-salted variants (hot-key path): same results, bounded
@@ -1567,6 +1570,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n AS BIGINT) AS occurrences,
                    CAST(COUNT(*) AS BIGINT) AS n_tokens
             FROM c GROUP BY 1
+        """,
+        "q12_priority_by_returnflag": """
+            -- TPC-H Q12 shape over this schema (no l_shipmode): line
+            -- counts by order priority class per returnflag
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_n,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-01-01'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "lineitem_unpivot": """
+            -- UNPIVOT (melt): the four lineitem measures as long rows
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   'quantity' AS measure,
+                   CAST(round(l_quantity*100) AS BIGINT) AS value_cents
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+                   'extendedprice',
+                   CAST(round(l_extendedprice*100) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+                   'discount',
+                   CAST(round(l_discount*100) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+                   'tax',
+                   CAST(round(l_tax*100) AS BIGINT)
+            FROM lineitem
+        """,
+        "events_dense_rank_by_type": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(round(value*100) AS BIGINT) AS value_cents
+              FROM events)
+            SELECT event_id, event_type, value_cents,
+                   CAST(DENSE_RANK() OVER (PARTITION BY event_type
+                                           ORDER BY value_cents) AS BIGINT)
+                     AS drank
+            FROM c
         """,
         "events_percent_rank_by_type": """
             WITH c AS (

@@ -184,6 +184,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "dedup_neardup_incremental_ingest": (
             dedup_index.dedup_neardup_incremental_ingest
         ),
+        "q12_priority_by_returnflag": rel.q12_priority_by_returnflag,
+        "lineitem_unpivot": lambda sf: rel.lineitem_unpivot(sf).count(),
+        "events_dense_rank_by_type": windows.dense_rank_by_type,
     }
     # round-5 real-codec media paths (PNG inflate+unfilter, baseline JPEG
     # Huffman+IDCT in the actor pool).  PNG runs the FULL media corpus;

@@ -1480,6 +1480,116 @@ def percent_rank_by_type(sf_dir: str):
     )
 
 
+def dense_rank_by_type(sf_dir: str):
+    """Per-partition ``dense_rank()`` over every event, partitioned by
+    event_type and ordered by value_cents — ties share a rank and ranks
+    stay consecutive, so the offsets must count DISTINCT values, not
+    rows.
+
+    Scale shape: two stages of the ``percent_rank_by_type`` pattern with
+    a distinct-counting front.  (1) per-batch Arrow group_by dedupes
+    (type, bucket, cents) triples BEFORE the shuffle, one native groupby
+    over unique triples (the exchange moves distinct values, never
+    events), then partial+global collapses to one (type, bucket,
+    n_distinct) row per nonempty bucket — the ONLY thing the driver
+    materializes (``bucket_rank_offsets``, partition-count-sized).
+    (2) the ranking pass groups rows by the same floor-divided bucket;
+    each kernel takes ``np.unique`` of its own cents and adds its
+    bucket's exclusive distinct-count start — exact global dense rank
+    with no per-value state anywhere."""
+    from ray.data.aggregate import Count
+
+    from .core import bucket_rank_offsets as _bucket_rank_offsets
+    from .core import partial_then_global as _partial_then_global
+
+    def triples(batch: pa.Table) -> pa.Table:
+        vc = cents_arrow(batch["value"])
+        bucket = vc.to_numpy(zero_copy_only=False) // PRANK_CENTS_BUCKET
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "bucket": pa.array(bucket, pa.int64()),
+                "value_cents": vc,
+            }
+        )
+        # map-side dedupe: unique (type, bucket, cents) only cross the wire
+        return t.group_by(["event_type", "bucket", "value_cents"]).aggregate([])
+
+    uniq = (
+        _read_events(sf_dir, ["event_type", "value"])
+        .map_batches(triples, batch_format="pyarrow")
+        .groupby(["event_type", "bucket", "value_cents"])
+        .aggregate(Count())
+    )
+
+    def one(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "bucket": batch["bucket"],
+                "cnt": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    offsets, _totals = _bucket_rank_offsets(
+        _partial_then_global(
+            uniq.map_batches(one, batch_format="pyarrow"),
+            ["event_type", "bucket"],
+            ["cnt"],
+        ),
+        ["event_type"],
+        "bucket",
+    )
+
+    _out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value_cents", pa.int64()),
+            ("drank", pa.int64()),
+        ]
+    )
+    if not offsets:
+        return _out_schema.empty_table()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        vc = cents_arrow(batch["value"])
+        bucket = vc.to_numpy(zero_copy_only=False) // PRANK_CENTS_BUCKET
+        return pa.table(
+            {
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "event_type": batch["event_type"],
+                "value_cents": vc,
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["event_type"].iloc[0]
+        vc = g["value_cents"].to_numpy(dtype=np.int64)
+        base = offsets[(t, int(g["bucket"].iloc[0]))]
+        # dense rank inside the bucket: position among the bucket's
+        # DISTINCT sorted cents (+1), shifted by the lower buckets'
+        # distinct-value count
+        _, inv = np.unique(vc, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "event_type": t,
+                "value_cents": vc,
+                "drank": base + inv.astype(np.int64) + 1,
+            }
+        )
+
+    return _ensure_schema(
+        _read_events(sf_dir, ["event_id", "event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .map_groups(rank_bucket, batch_format="pandas"),
+        _out_schema,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Ordered funnel conversion (view -> click -> purchase)
 # ---------------------------------------------------------------------------

@@ -2926,3 +2926,225 @@ def part_pairs_top(sf_dir: str, k: int = PAIR_TOPK):
         ],
         schema=schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt: wide measure columns -> long (measure, value) rows
+# ---------------------------------------------------------------------------
+
+UNPIVOT_MEASURES = ("quantity", "extendedprice", "discount", "tax")
+
+
+def lineitem_unpivot(sf_dir: str):
+    """UNPIVOT (melt) of lineitem's four money/qty measures into long
+    ``(l_orderkey, l_linenumber, measure, value_cents)`` rows — the
+    inverse of ``orders_pivot_by_year`` and the standard wide->long
+    reshape a feature-extraction pipeline runs before a grouped
+    aggregate over heterogeneous measures.
+
+    Scale shape: pure map — each Arrow batch of n rows emits one 4n-row
+    batch built from four zero-copy column projections stacked with
+    ``pa.concat_tables`` (the measure name is a dictionary-encoded-sized
+    constant column per slice).  No shuffle, no driver materialization;
+    output order is irrelevant to the driver's sorted value-hash."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ],
+    )
+
+    def melt(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"]
+        ln = pc.cast(b["l_linenumber"], pa.int64())
+        slices = []
+        for m in UNPIVOT_MEASURES:
+            slices.append(
+                pa.table(
+                    {
+                        "l_orderkey": ok,
+                        "l_linenumber": ln,
+                        "measure": pa.array(
+                            np.full(b.num_rows, m, dtype=object), pa.string()
+                        ),
+                        "value_cents": _cents(b[f"l_{m}"]),
+                    }
+                )
+            )
+        return pa.concat_tables(slices)
+
+    from ..functions.schema import ensure_schema
+
+    return ensure_schema(
+        ds.map_batches(melt, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_linenumber", pa.int64()),
+                ("measure", pa.string()),
+                ("value_cents", pa.int64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12-style: line counts by order priority class (fact-fact 1-bit decorate)
+# ---------------------------------------------------------------------------
+
+Q12_LO = "1995-01-01"
+Q12_HI = "1996-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+Q12_BROADCAST_MAX_ORDERS = 20_000_000
+
+
+def q12_priority_by_returnflag(sf_dir: str, broadcast_max_orders: int | None = None):
+    """TPC-H Q12 shape (this schema carries no l_shipmode, so the lineitem
+    grouping key is l_returnflag): for lineitems shipped inside a year
+    window, count lines whose ORDER is high-priority (1-URGENT / 2-HIGH)
+    vs low, per returnflag.  The defining property is a fact-fact join
+    where the probe side only needs ONE BIT per order.
+
+    Scale shape (the q7/q21 measured-cutover pattern): the orders scan
+    reduces to (o_orderkey, is_high int8) — 9 B/order.  A cheap parquet
+    metadata count picks the tier:
+
+    - broadcast tier (orders <= ``Q12_BROADCAST_MAX_ORDERS``): the
+      sorted (orderkey, bit) arrays ride the object store once; each
+      pre-filtered lineitem batch resolves its order's bit map-side via
+      searchsorted and collapses to (returnflag, high_n, low_n)
+      partials — zero fact exchange.
+    - distributed tier (above the bound): Dataset.join of the projected
+      fact sides on orderkey, partials after — the 100-TB fallback.
+
+    Tiers are equality-pinned by ``tests/test_robustness.py``."""
+    import ray
+
+    if broadcast_max_orders is None:
+        broadcast_max_orders = Q12_BROADCAST_MAX_ORDERS
+
+    lo = np.datetime64(Q12_LO, "us")
+    hi = np.datetime64(Q12_HI, "us")
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+        row_filter=(
+            (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)
+        ),
+    )
+
+    def lprep(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                pc.less(b["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"], "l_returnflag": b["l_returnflag"]}
+        )
+
+    def oprep(b: pa.Table) -> pa.Table:
+        is_high = pc.is_in(
+            b["o_orderpriority"], value_set=pa.array(Q12_HIGH, pa.string())
+        )
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "is_high": pc.cast(is_high, pa.int8()),
+            }
+        )
+
+    schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("high_n", pa.int64()),
+            ("low_n", pa.int64()),
+        ]
+    )
+
+    orders_path = f"{sf_dir}/orders.parquet"
+    n_orders = pads.dataset(orders_path).count_rows()  # metadata-only probe
+    if n_orders == 0:
+        # inner-join contract on an empty orders table; also keeps the
+        # broadcast searchsorted from probing an empty key array
+        return schema.empty_table()
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    if n_orders <= broadcast_max_orders:
+        od = (
+            orders.map_batches(oprep, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("o_orderkey")
+        )
+        ok_ref = ray.put(
+            (
+                od["o_orderkey"].to_numpy(dtype=np.int64),
+                od["is_high"].to_numpy(dtype=np.int8),
+            )
+        )
+
+        def resolve(b: pa.Table) -> pa.Table:
+            okeys, bits = ray.get(ok_ref)
+            probe = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(okeys, probe)  # every line's order exists
+            return b.append_column(
+                "is_high", pa.array(bits[idx].astype(np.int64))
+            )
+
+        joined = li.map_batches(lprep, batch_format="pyarrow").map_batches(
+            resolve, batch_format="pyarrow"
+        )
+    else:
+        # Ray 2.49 Dataset.join raises when a side delivers zero rows; the
+        # lineitem emptiness is not driver-knowable (pushed date window), so
+        # the distributed tier pays one streaming count of the pre-filtered
+        # 2-column projection — negligible next to the join it guards
+        li_prepped = li.map_batches(lprep, batch_format="pyarrow")
+        if li_prepped.count() == 0:
+            return schema.empty_table()
+        joined = li_prepped.join(
+            orders.map_batches(oprep, batch_format="pyarrow"),
+            "inner",
+            num_partitions=16,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        hi_bits = pc.cast(b["is_high"], pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "high_n": hi_bits,
+                "low_n": pc.subtract(pa.scalar(1, pa.int64()), hi_bits),
+            }
+        )
+
+    out = _partial_then_global(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag"],
+        ["high_n", "low_n"],
+    )
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["l_returnflag"])
+    # driver-bounded (<= distinct returnflags); typed per the empty-schema
+    # invariant
+    return pa.Table.from_pylist(
+        [
+            {
+                "l_returnflag": r["l_returnflag"],
+                "high_n": int(r["high_n"]),
+                "low_n": int(r["low_n"]),
+            }
+            for r in rows
+        ],
+        schema=schema,
+    )

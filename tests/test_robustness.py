@@ -461,6 +461,81 @@ def test_q21_tiers_agree(ray_session):
     assert len(a) > 0
 
 
+def test_new_r5_queries_survive_degenerate_inputs(ray_session, monkeypatch, tmp_path):
+    """dense_rank / unpivot / q12 on empty or filter-missing inputs must
+    return their TYPED empty results (the empty-Dataset schema-loss
+    quirk), and the q12 distributed tier must not hit the Ray 2.49
+    empty-side join crash."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import layout_analysis_ray.pipelines.relational as rel
+    from layout_analysis_ray.functions.windows import dense_rank_by_type
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("ts", pa.timestamp("us")),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        ).empty_table(),
+        str(empty / "events.parquet"),
+    )
+    t = dense_rank_by_type(str(empty))
+    assert t.num_rows == 0
+    assert t.schema.names == ["event_id", "event_type", "value_cents", "drank"]
+
+    li_schema = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("l_partkey", pa.int64()),
+            ("l_suppkey", pa.int64()),
+            ("l_linenumber", pa.int32()),
+            ("l_quantity", pa.float64()),
+            ("l_extendedprice", pa.float64()),
+            ("l_discount", pa.float64()),
+            ("l_tax", pa.float64()),
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("l_shipdate", pa.timestamp("us")),
+        ]
+    )
+    pq.write_table(li_schema.empty_table(), str(empty / "lineitem.parquet"))
+    up = rel.lineitem_unpivot(str(empty))
+    assert up.count() == 0
+    assert up.schema().names == [
+        "l_orderkey", "l_linenumber", "measure", "value_cents",
+    ]
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(rel, "Q12_LO", "2990-01-01")
+    monkeypatch.setattr(rel, "Q12_HI", "2991-01-01")
+    for bound in (None, 0):  # broadcast tier AND distributed tier
+        t = rel.q12_priority_by_returnflag(sf, broadcast_max_orders=bound)
+        assert t.to_pandas().empty
+        assert t.schema.names == ["l_returnflag", "high_n", "low_n"]
+
+
+def test_q12_tiers_agree(ray_session):
+    """The broadcast-bitmap tier and the distributed join tier of the Q12
+    shape must produce identical rows (the q7/q21 path-agreement
+    pattern)."""
+    import layout_analysis_ray.pipelines.relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    a = rel.q12_priority_by_returnflag(sf).to_pandas()
+    b = rel.q12_priority_by_returnflag(sf, broadcast_max_orders=0).to_pandas()
+    assert a.equals(b)
+    assert len(a) == 3  # A / N / R
+    assert (a["high_n"] + a["low_n"] > 0).all()
+
+
 def test_embedding_label_quality_empty_sides_guarded(ray_session, tmp_path):
     """Ray 2.49 Dataset.join raises on an all-empty side; the cross-modal
     join guards both sides from parquet metadata (driver-knowable, no
