@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental_ingest": _dedup_incremental_ingest,
         "dedup_neardup_incremental_ingest": _dedup_neardup_incremental_ingest,
         "dedup_lines": dedup.dedup_lines,
+        "dedup_editdistance_pairs": dedup.dedup_editdistance_pairs,
         "events_value_hour_cov_by_type": stats.events_value_hour_cov_by_type,
         "events_value_mad_by_type": quantiles.events_value_mad_by_type,
         "lineitem_weighted_median_price": quantiles.lineitem_weighted_median_price,
@@ -1307,6 +1308,21 @@ def oracle_sql() -> dict[str, str]:
                    ELSE CAST((n*sxy - sx*sy) * 1000000 // (n*syy - sy*sy)
                              AS BIGINT) END AS slope_ppm
             FROM m ORDER BY event_type
+        """,
+        "dedup_editdistance_pairs": """
+            -- typo-grade near-dup pairs: same lang + same first-8-chars
+            -- block, UTF-8-byte levenshtein <= 8 (blocking identical to
+            -- the engine; edits inside the prefix are out of scope on
+            -- BOTH sides by design)
+            WITH b AS (
+              SELECT doc_id, text, lang, substr(text, 1, 8) AS pfx
+              FROM documents
+              WHERE lang IS NOT NULL AND text IS NOT NULL)
+            SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                   CAST(levenshtein(a.text, c.text) AS BIGINT) AS edit_dist
+            FROM b a JOIN b c
+              ON a.lang = c.lang AND a.pfx = c.pfx AND a.doc_id < c.doc_id
+            WHERE levenshtein(a.text, c.text) <= 8
         """,
         "dedup_lines": """
             -- C4-style global line dedup: a "line" is a fixed 16-token

@@ -1299,3 +1299,260 @@ def _dedup_lines_distributed(sf_dir: str):
         .map_groups(reassemble, batch_format="pyarrow")
     )
     return ensure_schema(out, _LINE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Character-level near-dup: banded edit-distance pairs (typo-grade dups)
+# ---------------------------------------------------------------------------
+
+EDITDIST_MAX = 8  # emit pairs with levenshtein <= this (UTF-8 bytes)
+EDITDIST_PREFIX = 8  # blocking: exact first-N-chars + same lang
+EDITDIST_PARTS = 64
+EDITDIST_BROADCAST_MAX_KEYS = 8_000_000  # ~16 B/key broadcast bound
+
+
+def banded_edit_distances(a_texts, b_texts, k: int = EDITDIST_MAX) -> np.ndarray:
+    """Exact Levenshtein distance over UTF-8 BYTES for every (a, b) pair,
+    clamped to ``k + 1`` when the true distance exceeds ``k`` (Ukkonen's
+    band) — byte semantics match DuckDB's ``levenshtein``.
+
+    Vectorized ACROSS pairs: the DP walks ``max_len`` rows x ``2k+1``
+    band positions in Python, but every cell update is one numpy op over
+    ALL pairs at once, so the Python iteration count is independent of
+    the pair count (the part_pairs_top amortization pattern)."""
+    P = len(a_texts)
+    out = np.full(P, k + 1, dtype=np.int64)
+    if P == 0:
+        return out
+    INF = np.int32(k + 1)
+    A, B = [], []
+    m = np.empty(P, dtype=np.int64)
+    n = np.empty(P, dtype=np.int64)
+    for i, (a, b) in enumerate(zip(a_texts, b_texts)):
+        ab, bb = (a or "").encode("utf-8"), (b or "").encode("utf-8")
+        if len(ab) > len(bb):
+            ab, bb = bb, ab  # distance is symmetric; keep m <= n
+        A.append(ab)
+        B.append(bb)
+        m[i], n[i] = len(ab), len(bb)
+    live = (n - m) <= k  # length gap alone already exceeds the band
+    out[(m == 0) & (n <= k)] = n[(m == 0) & (n <= k)]
+    mmax = int(m.max())
+    if mmax == 0 or not live.any():
+        return out
+    nmax = int(n.max())
+    # padded byte matrices with DISTINCT pads so padding never matches
+    Amat = np.full((P, mmax), -1, dtype=np.int16)
+    Bmat = np.full((P, nmax), -2, dtype=np.int16)
+    for i in range(P):
+        if m[i]:
+            Amat[i, : m[i]] = np.frombuffer(A[i], dtype=np.uint8)
+        if n[i]:
+            Bmat[i, : n[i]] = np.frombuffer(B[i], dtype=np.uint8)
+    w = 2 * k + 1  # band position b <-> column j = i + b - k
+    dp = np.full((P, w), INF, dtype=np.int32)
+    for b in range(k, w):  # row 0: D[0][j] = j for j <= min(k, n)
+        j = b - k
+        dp[:, b] = np.where(j <= n, np.int32(j), INF)
+    for i in range(1, mmax + 1):
+        ai = Amat[:, i - 1]
+        new = np.full((P, w), INF, dtype=np.int32)
+        for b in range(w):
+            j = i + b - k
+            if j < 0 or j > nmax:
+                continue
+            # D[i-1][j-1] is band b of the previous row; D[i-1][j] is
+            # band b+1; D[i][j-1] is band b-1 of THIS row (sequential in
+            # b — the band is only 2k+1 wide, so this inner loop is 17
+            # numpy ops, not a per-pair loop)
+            if j >= 1:
+                diag = dp[:, b] + (ai != Bmat[:, j - 1]).astype(np.int32)
+            else:
+                diag = np.full(P, INF, dtype=np.int32)
+            up = dp[:, b + 1] + 1 if b + 1 < w else np.full(P, INF, np.int32)
+            left = new[:, b - 1] + 1 if b >= 1 else np.full(P, INF, np.int32)
+            v = np.minimum(np.minimum(diag, up), np.minimum(left, INF))
+            new[:, b] = np.where(j <= n, v, INF)
+        dp = new
+        done = live & (m == i)
+        if done.any():
+            bidx = (n - i + k).astype(np.int64)  # band index of j = n
+            ok = done & (bidx >= 0) & (bidx < w)
+            out[ok] = dp[ok, bidx[ok]].astype(np.int64)
+    return out
+
+
+def _editdist_key_hash(lang, pfx) -> np.ndarray:
+    """Deterministic uint64 of the (lang, pfx) blocking key, process- and
+    ARRAY-CONTEXT-independent.
+
+    The two parts are hashed separately and mixed — never joined with a
+    separator — because (a) a separator that can occur in ``pfx`` would
+    alias distinct keys, and (b) pandas ``hash_array``'s default
+    categorize=True path silently corrupts hashes of strings with
+    EMBEDDED NUL bytes (same string hashes differently across arrays,
+    distinct strings collide); ``categorize=False`` uses the stable
+    elementwise sip-hash path, which is value-identical for NUL-free
+    input (fuzz-verified, tests/test_hashing.py)."""
+    hl = pd.util.hash_array(np.asarray(list(lang), dtype=object), categorize=False)
+    hp = pd.util.hash_array(np.asarray(list(pfx), dtype=object), categorize=False)
+    h = hl * np.uint64(0x9E3779B97F4A7C15) ^ hp
+    h ^= h >> np.uint64(29)
+    return h * np.uint64(0xBF58476D1CE4E5B9)
+
+
+def dedup_editdistance_pairs(sf_dir: str, broadcast_max_keys: int | None = None):
+    """Character-level near-duplicate pairs: documents whose UTF-8-byte
+    Levenshtein distance is <= ``EDITDIST_MAX`` — the typo/boilerplate-
+    edit grade of duplication that token-level MinHash under-weighs.
+    Blocking (both the engine and the SQL oracle, identically): same
+    ``lang`` and same first ``EDITDIST_PREFIX`` characters; like any
+    LSH-style banding, edits INSIDE the prefix move a pair out of scope
+    (documented recall tradeoff, the simhash-banding precedent).
+
+    Scale shape (the dedup_lines measured-cutover pattern):
+    1. (lang, pfx, cnt) count partials -> tiny global groupby -> keys
+       with cnt > 1 are the only blocks that can pair.  A streaming
+       count probes that key set; under ``EDITDIST_BROADCAST_MAX_KEYS``
+       the keys broadcast as ONE sorted uint64 hash array and the doc
+       scan drops singleton-block docs MAP-SIDE — only docs inside
+       multi-member blocks (the near-dup candidates, a vanishing
+       fraction) ever ride the exchange.  Above the bound the filter is
+       skipped and every doc shuffles once (documented fallback).
+    2. ONE coarse key-hash exchange (``EDITDIST_PARTS``); inside each
+       partition the kernel expands within-block pairs with repeat/
+       offset arithmetic (no Python pair loop), prunes on byte-length
+       gap, and runs ONE banded DP vectorized across all of the
+       partition's pairs (`banded_edit_distances`).
+
+    In-block pairing is quadratic in block size — blocks are exact
+    (lang, 8-char-prefix) collisions, so a hot block means genuinely
+    duplicated content (the simhash hot-bucket caveat applies)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .core import partial_then_global as _partial_then_global
+    from .schema import ensure_schema
+
+    if broadcast_max_keys is None:
+        broadcast_max_keys = EDITDIST_BROADCAST_MAX_KEYS
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch["lang"]), pc.is_valid(batch["text"])
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": batch["text"],
+                "lang": batch["lang"],
+                "pfx": pc.utf8_slice_codeunits(batch["text"], 0, EDITDIST_PREFIX),
+            }
+        )
+
+    def docs():
+        return _read_docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+            prep, batch_format="pyarrow"
+        )
+
+    def key_counts(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch["lang"], "pfx": batch["pfx"]})
+        g = t.group_by(["lang", "pfx"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "pfx": g["pfx"],
+                "cnt": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    multi = _partial_then_global(
+        docs().map_batches(key_counts, batch_format="pyarrow"),
+        ["lang", "pfx"],
+        ["cnt"],
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b["cnt"], pa.scalar(1, pa.int64()))),
+        batch_format="pyarrow",
+    )
+
+    candidates = docs()
+    n_multi = multi.count()  # streaming probe, nothing pinned yet
+    if n_multi <= broadcast_max_keys:
+        mk = multi.to_pandas()
+        key_hashes = (
+            np.sort(_editdist_key_hash(mk["lang"], mk["pfx"]))
+            if len(mk)
+            else np.empty(0, dtype=np.uint64)
+        )
+        keys_ref = ray.put(key_hashes)
+
+        def keep_multi(b: pa.Table) -> pa.Table:
+            kh = ray.get(keys_ref)
+            if b.num_rows == 0 or len(kh) == 0:
+                return b.slice(0, 0)
+            h = _editdist_key_hash(
+                b["lang"].to_pylist(), b["pfx"].to_pylist()
+            )
+            idx = np.minimum(np.searchsorted(kh, h), len(kh) - 1)
+            return b.filter(pa.array(kh[idx] == h))
+
+        candidates = candidates.map_batches(keep_multi, batch_format="pyarrow")
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = _editdist_key_hash(b["lang"].to_pylist(), b["pfx"].to_pylist())
+        return b.append_column(
+            "__part", pa.array((h % EDITDIST_PARTS).astype(np.int64))
+        )
+
+    def pairs_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "pfx", "doc_id"]).reset_index(drop=True)
+        codes, _ = pd.factorize(g["lang"] + "\x00" + g["pfx"], sort=False)
+        counts = np.bincount(codes)
+        starts = np.cumsum(counts) - counts
+        pos = np.arange(len(g)) - starts[codes]
+        second = np.repeat(np.arange(len(g)), pos)
+        if len(second) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_a": np.empty(0, np.int64),
+                    "doc_b": np.empty(0, np.int64),
+                    "edit_dist": np.empty(0, np.int64),
+                }
+            )
+        offsets = np.concatenate(([0], np.cumsum(pos)))
+        first = np.arange(len(second)) - offsets[second] + starts[codes][second]
+        texts = g["text"].to_numpy()
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        # byte-length gap > k cannot be within k edits: prune before the DP
+        blen = np.fromiter(
+            (len(t.encode("utf-8")) for t in texts), np.int64, len(texts)
+        )
+        keep = np.abs(blen[first] - blen[second]) <= EDITDIST_MAX
+        first, second = first[keep], second[keep]
+        d = banded_edit_distances(
+            list(texts[first]), list(texts[second]), EDITDIST_MAX
+        )
+        hit = d <= EDITDIST_MAX
+        return pd.DataFrame(
+            {
+                "doc_a": ids[first[hit]],  # block-sorted by doc_id: a < b
+                "doc_b": ids[second[hit]],
+                "edit_dist": d[hit],
+            }
+        )
+
+    schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("edit_dist", pa.int64()),
+        ]
+    )
+    return ensure_schema(
+        candidates.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pairs_kernel, batch_format="pandas"),
+        schema,
+    )

@@ -85,3 +85,44 @@ def test_dedup_lines_pack_guard(ray_session, tmp_path):
     sf = _write_docs(tmp_path, [(1 << 43, "alpha beta")])
     with pytest.raises(Exception):
         dedup_lines(sf).to_pandas()
+
+
+def test_dedup_editdistance_tiers_agree_and_degenerate(ray_session, tmp_path):
+    """Broadcast pre-filter tier and full-shuffle fallback must produce
+    identical pair sets; an empty corpus returns the typed empty table."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.dedup import dedup_editdistance_pairs
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["doc_a", "doc_b", "edit_dist"]
+    a = dedup_editdistance_pairs(sf).to_pandas().sort_values(cols).reset_index(drop=True)
+    b = (
+        dedup_editdistance_pairs(sf, broadcast_max_keys=0)
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(a) == 8  # planted near-dup pairs at sf0.001
+    assert (a["doc_a"] < a["doc_b"]).all()
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        ).empty_table(),
+        str(empty / "documents.parquet"),
+    )
+    out = dedup_editdistance_pairs(str(empty))
+    assert out.count() == 0
+    assert out.schema().names == cols

@@ -99,3 +99,104 @@ def test_str_hash_u60_duckdb_vs_fallback_and_known():
     finally:
         H._duckdb = H._duckdb_saved
     np.testing.assert_array_equal(got, slow)
+
+
+def test_hash_array_categorize_nul_quirk_pinned():
+    """pandas hash_array's default categorize=True path corrupts hashes of
+    strings with EMBEDDED NUL bytes (the same string hashes differently
+    depending on the containing array; distinct strings collide), while
+    for NUL-free strings it is value-identical to the stable
+    categorize=False path.  Pinned because every partition-routing hash
+    in the engine relies on cross-array element stability
+    (_editdist_key_hash hashes key parts separately with
+    categorize=False for exactly this reason)."""
+    import numpy as np
+    import pandas as pd
+
+    vals = np.asarray(
+        [f"k{i % 37} word {i % 11}" for i in range(1000)], dtype=object
+    )
+    assert (
+        pd.util.hash_array(vals)
+        == pd.util.hash_array(vals, categorize=False)
+    ).all()
+    nul = np.asarray([f"a{i % 5}\x00b{i % 97}" for i in range(1000)], dtype=object)
+    stable = pd.util.hash_array(nul, categorize=False)
+    assert (
+        np.concatenate(
+            [
+                pd.util.hash_array(nul[:300], categorize=False),
+                pd.util.hash_array(nul[300:], categorize=False),
+            ]
+        )
+        == stable
+    ).all()
+
+
+def test_editdist_key_hash_context_independent():
+    from layout_analysis_ray.functions.dedup import _editdist_key_hash
+    import numpy as np
+
+    langs = [f"l{i % 7}" for i in range(500)]
+    pfxs = [f"prefix {i % 43}\x00x" for i in range(500)]  # NULs allowed in text
+    full = _editdist_key_hash(langs, pfxs)
+    parts = np.concatenate(
+        [
+            _editdist_key_hash(langs[:123], pfxs[:123]),
+            _editdist_key_hash(langs[123:], pfxs[123:]),
+        ]
+    )
+    assert (full == parts).all()
+    # no separator aliasing: ("ab", "c...") != ("a", "bc...")
+    a = _editdist_key_hash(["ab"], ["cdefghij"])
+    b = _editdist_key_hash(["a"], ["bcdefghij"])
+    assert a[0] != b[0]
+
+
+def test_banded_edit_distances_exact_vs_reference():
+    """The vectorized banded DP must equal a classic full DP (clamped at
+    k+1) over byte strings — fuzzed, including unicode multi-byte and
+    empty strings."""
+    import random
+
+    import numpy as np
+
+    from layout_analysis_ray.functions.dedup import banded_edit_distances
+
+    def ref_lev(a: bytes, b: bytes) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j - 1] + (ca != cb), prev[j] + 1, cur[-1] + 1)
+                )
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(11)
+    alpha = "ab cdé日"
+    pairs = []
+    for _ in range(300):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 25)))
+        b = list(a)
+        for _ in range(rng.randint(0, 12)):
+            op = rng.choice(["i", "d", "s"])
+            if op == "i" or not b:
+                b.insert(rng.randint(0, len(b)), rng.choice(alpha))
+            elif op == "d":
+                b.pop(rng.randrange(len(b)))
+            else:
+                b[rng.randrange(len(b))] = rng.choice(alpha)
+        pairs.append((a, "".join(b)))
+    pairs += [("", ""), ("", "abc"), ("samesame", "samesame")]
+    for k in (3, 8):
+        got = banded_edit_distances([p[0] for p in pairs], [p[1] for p in pairs], k)
+        want = np.array(
+            [
+                min(ref_lev(a.encode(), b.encode()), k + 1)
+                for a, b in pairs
+            ],
+            dtype=np.int64,
+        )
+        assert (got == want).all()
