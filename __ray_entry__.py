@@ -410,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_neardup_incremental_ingest": _dedup_neardup_incremental_ingest,
         "dedup_lines": dedup.dedup_lines,
         "dedup_editdistance_pairs": dedup.dedup_editdistance_pairs,
+        "corpus_filter_funnel": corpus.corpus_filter_funnel,
         "events_value_hour_cov_by_type": stats.events_value_hour_cov_by_type,
         "events_value_mad_by_type": quantiles.events_value_mad_by_type,
         "lineitem_weighted_median_price": quantiles.lineitem_weighted_median_price,
@@ -1308,6 +1309,60 @@ def oracle_sql() -> dict[str, str]:
                    ELSE CAST((n*sxy - sx*sy) * 1000000 // (n*syy - sy*sy)
                              AS BIGINT) END AS slope_ppm
             FROM m ORDER BY event_type
+        """,
+        "corpus_filter_funnel": """
+            -- cumulative filter-cascade survivor counts (stage 4 is the
+            -- keeper count an exact dedup of stage-3 survivors retains)
+            WITH lc AS (
+              SELECT doc_id,
+                len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w IN ('the','and','of'))) AS en,
+                len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w IN ('el','la','los'))) AS es,
+                len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w IN ('der','und','das'))) AS de,
+                len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w IN ('le','les','des'))) AS fr
+              FROM documents),
+            l AS (
+              SELECT doc_id, CASE
+                WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                WHEN en = greatest(en, es, de, fr) THEN 'en'
+                WHEN es = greatest(en, es, de, fr) THEN 'es'
+                WHEN de = greatest(en, es, de, fr) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+              FROM lc),
+            qc AS (
+              SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+                len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w IN ('the','a','and','of','to','in','is','on','for','with'))) AS n_stop,
+                length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+                length(text) AS n_chars
+              FROM documents),
+            q AS (
+              SELECT doc_id,
+                (4 * least(n_tokens * 10000, 1000000)
+                 + 3 * (CASE WHEN n_tokens > 0
+                        THEN (n_stop * 1000000) // n_tokens ELSE 0 END)
+                 + 3 * (CASE WHEN n_chars > 0
+                        THEN (n_alpha * 1000000) // n_chars ELSE 0 END)) // 10
+                  AS quality_ppm
+              FROM qc),
+            s AS (
+              SELECT d.text,
+                     (d.n_chars >= 64) AS m_min,
+                     (d.n_chars >= 64 AND l.lang_pred = 'en') AS m_lang,
+                     (d.n_chars >= 64 AND l.lang_pred = 'en'
+                      AND q.quality_ppm >= 500000) AS m_qual
+              FROM documents d
+              JOIN l ON l.doc_id = d.doc_id
+              JOIN q ON q.doc_id = d.doc_id)
+            SELECT CAST(0 AS BIGINT) AS stage_idx, 'all' AS stage,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs FROM s
+            UNION ALL SELECT 1, 'min_chars',
+                   CAST(SUM(CASE WHEN m_min THEN 1 ELSE 0 END) AS BIGINT) FROM s
+            UNION ALL SELECT 2, 'lang_en',
+                   CAST(SUM(CASE WHEN m_lang THEN 1 ELSE 0 END) AS BIGINT) FROM s
+            UNION ALL SELECT 3, 'quality',
+                   CAST(SUM(CASE WHEN m_qual THEN 1 ELSE 0 END) AS BIGINT) FROM s
+            UNION ALL SELECT 4, 'unique',
+                   CAST(COUNT(DISTINCT CASE WHEN m_qual THEN text END) AS BIGINT) FROM s
+            ORDER BY stage_idx
         """,
         "dedup_editdistance_pairs": """
             -- typo-grade near-dup pairs: same lang + same first-8-chars

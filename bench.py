@@ -186,6 +186,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ),
         "q12_priority_by_returnflag": rel.q12_priority_by_returnflag,
         "dedup_editdistance_pairs": dedup.dedup_editdistance_pairs,
+        "corpus_filter_funnel": corpus.corpus_filter_funnel,
         "lineitem_unpivot": lambda sf: rel.lineitem_unpivot(sf).count(),
         "events_dense_rank_by_type": windows.dense_rank_by_type,
     }

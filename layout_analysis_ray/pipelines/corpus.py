@@ -606,3 +606,121 @@ def corpus_prepare_resumable(
         "packed": stage2,
         "n_docs_input": total,
     }
+
+
+# ---------------------------------------------------------------------------
+# Filter-cascade funnel: cumulative survivor counts per cleaning stage
+# ---------------------------------------------------------------------------
+
+FUNNEL_MIN_CHARS = 64
+FUNNEL_STAGES = ("all", "min_chars", "lang_en", "quality", "unique")
+
+
+def corpus_filter_funnel(sf_dir: str):
+    """Observability for the cleaning cascade: how many docs survive each
+    stage CUMULATIVELY — all -> n_chars >= FUNNEL_MIN_CHARS -> predicted
+    lang == CLEAN_LANG -> quality >= CLEAN_MIN_QUALITY_PPM -> distinct
+    content (the keeper count an exact dedup would retain).  The standard
+    per-stage rejection report a pretraining pipeline publishes before
+    committing a recipe.
+
+    Scale shape: ONE corpus scan computes every stage mask per batch
+    (the corpus_clean_keep fused-kernel pattern); each batch emits its
+    map-side-UNIQUE survivor hashes plus one 32-byte counter row (hash
+    sentinel "", unreachable: real hashes are 32 hex chars).  One
+    hash-keyed exchange merges duplicates across batches; a tiny
+    partial+global fold then reduces that to ONE row — the driver sees
+    five typed rows, never corpus-proportional data."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..functions.core import partial_then_global as _partial_then_global
+    from ..functions.hashing import md5_hex
+    from ..functions.text import lang_id_batch, quality_batch
+
+    # doc_id rides only because lang_id_batch's output schema carries it
+    ds = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        lang = lang_id_batch(batch)["lang_pred"]
+        qual = quality_batch(batch)["quality_ppm"]
+        m_min = pc.greater_equal(
+            batch["n_chars"], pa.scalar(FUNNEL_MIN_CHARS, pa.int64())
+        )
+        m_lang = pc.and_(m_min, pc.equal(lang, CLEAN_LANG))
+        m_qual = pc.and_(
+            m_lang,
+            pc.greater_equal(
+                qual, pa.scalar(CLEAN_MIN_QUALITY_PPM, pa.int64())
+            ),
+        )
+        uniq = pc.unique(md5_hex(batch.filter(m_qual)["text"]))
+        zeros = np.zeros(len(uniq), dtype=np.int64)
+
+        def _n(mask) -> int:
+            return int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+
+        return pa.table(
+            {
+                "content_hash": pa.concat_arrays(
+                    [uniq.combine_chunks() if isinstance(uniq, pa.ChunkedArray) else uniq,
+                     pa.array([""], pa.string())]
+                ),
+                "n_all": pa.array(
+                    np.concatenate([zeros, [batch.num_rows]]), pa.int64()
+                ),
+                "n_min": pa.array(np.concatenate([zeros, [_n(m_min)]]), pa.int64()),
+                "n_lang": pa.array(np.concatenate([zeros, [_n(m_lang)]]), pa.int64()),
+                "n_qual": pa.array(np.concatenate([zeros, [_n(m_qual)]]), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Sum("n_all"), Sum("n_min"), Sum("n_lang"), Sum("n_qual"))
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        ctr = pc.equal(batch["content_hash"], "")
+        n_ctr_rows = pc.sum(pc.cast(ctr, pa.int64())).as_py() or 0
+
+        def _s(col) -> int:
+            return int(
+                pc.sum(pc.filter(batch[col], ctr)).as_py() or 0
+            )
+
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n_all": pa.array([_s("sum(n_all)")], pa.int64()),
+                "n_min": pa.array([_s("sum(n_min)")], pa.int64()),
+                "n_lang": pa.array([_s("sum(n_lang)")], pa.int64()),
+                "n_qual": pa.array([_s("sum(n_qual)")], pa.int64()),
+                "n_unique": pa.array(
+                    [batch.num_rows - n_ctr_rows], pa.int64()
+                ),
+            }
+        )
+
+    rows = _partial_then_global(
+        agg.map_batches(fold, batch_format="pyarrow"),
+        ["k"],
+        ["n_all", "n_min", "n_lang", "n_qual", "n_unique"],
+    ).take_all()
+    tot = rows[0] if rows else {}
+    counts = [
+        int(tot.get("n_all", 0) or 0),
+        int(tot.get("n_min", 0) or 0),
+        int(tot.get("n_lang", 0) or 0),
+        int(tot.get("n_qual", 0) or 0),
+        int(tot.get("n_unique", 0) or 0),
+    ]
+    # driver-bounded 5 rows; typed per the empty-schema invariant
+    return pa.table(
+        {
+            "stage_idx": pa.array(range(len(FUNNEL_STAGES)), pa.int64()),
+            "stage": pa.array(list(FUNNEL_STAGES), pa.string()),
+            "n_docs": pa.array(counts, pa.int64()),
+        }
+    )

@@ -126,3 +126,39 @@ def test_dedup_editdistance_tiers_agree_and_degenerate(ray_session, tmp_path):
     out = dedup_editdistance_pairs(str(empty))
     assert out.count() == 0
     assert out.schema().names == cols
+
+
+def test_corpus_filter_funnel_shape_and_empty(ray_session, tmp_path):
+    """Funnel counts are monotone non-increasing through the cascade and
+    an empty corpus yields the typed 5-row zero report."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.pipelines.corpus import (
+        FUNNEL_STAGES,
+        corpus_filter_funnel,
+    )
+
+    t = corpus_filter_funnel("/root/testdata/sf0.001").to_pandas()
+    assert list(t["stage"]) == list(FUNNEL_STAGES)
+    n = t["n_docs"].tolist()
+    assert n[0] == 500 and all(a >= b for a, b in zip(n, n[1:]))
+    assert n[4] > 0  # some unique survivors
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        ).empty_table(),
+        str(empty / "documents.parquet"),
+    )
+    t0 = corpus_filter_funnel(str(empty)).to_pandas()
+    assert list(t0["stage"]) == list(FUNNEL_STAGES)
+    assert t0["n_docs"].tolist() == [0, 0, 0, 0, 0]
