@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_retention_hourly": windows.user_retention_hourly,
         "events_percent_rank_by_type": windows.percent_rank_by_type,
         "events_dense_rank_by_type": windows.dense_rank_by_type,
+        "events_cume_dist_by_type": windows.cume_dist_by_type,
         "events_asof_last_purchase": windows.asof_last_purchase,
         "events_range_join_purchase": windows.range_join_after_purchase,
         # time-range-salted variants (hot-key path): same results, bounded
@@ -1677,6 +1678,21 @@ def oracle_sql() -> dict[str, str]:
                    'tax',
                    CAST(round(l_tax*100) AS BIGINT)
             FROM lineitem
+        """,
+        "events_cume_dist_by_type": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(round(value*100) AS BIGINT) AS value_cents
+              FROM events),
+            r AS (
+              SELECT event_id, event_type, value_cents,
+                     COUNT(*) OVER (PARTITION BY event_type
+                                    ORDER BY value_cents) AS cum_le,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM c)
+            SELECT event_id, event_type, value_cents,
+                   CAST((cum_le * 1000000) // n AS BIGINT) AS cume_ppm
+            FROM r
         """,
         "events_dense_rank_by_type": """
             WITH c AS (

@@ -1480,6 +1480,100 @@ def percent_rank_by_type(sf_dir: str):
     )
 
 
+def cume_dist_by_type(sf_dir: str):
+    """Per-partition ``cume_dist()`` over every event (rows-with-value-<=
+    -mine / partition size, ties sharing the count through the LAST tie)
+    — completes the no-sort ranking family (row_number / percent_rank /
+    dense_rank / ntile / cume_dist) on the same machinery.
+
+    Scale shape: identical to ``percent_rank_by_type`` — ROW-count
+    bucket offsets via the ``bucket_rank_offsets`` stitch; each bucket
+    kernel sorts its own cents, takes the last-occurrence position of
+    each tie group (``np.searchsorted(..., side="right")``), and adds
+    its bucket's exclusive start.  ``cume_ppm`` is exact integer:
+    ``cum_le * 10^6 // n_type`` (matches SQL
+    ``COUNT(*) OVER (... ORDER BY value_cents)`` RANGE-frame tie
+    semantics, scaled and floor-divided)."""
+    from .core import bucket_rank_offsets as _bucket_rank_offsets
+    from .core import partial_then_global as _partial_then_global
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        t = batch["event_type"].to_numpy(zero_copy_only=False)
+        vc = cents_arrow(batch["value"]).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": t, "bucket": vc // PRANK_CENTS_BUCKET})
+        g = df.groupby(["event_type", "bucket"], sort=False).size()
+        out = g.rename("cnt").reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("bucket", pa.int64()),
+                    ("cnt", pa.int64()),
+                ]
+            )
+        )
+
+    offsets, totals = _bucket_rank_offsets(
+        _partial_then_global(
+            _read_events(sf_dir, ["event_type", "value"]).map_batches(
+                bucket_counts, batch_format="pyarrow"
+            ),
+            ["event_type", "bucket"],
+            ["cnt"],
+        ),
+        ["event_type"],
+        "bucket",
+    )
+
+    _out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value_cents", pa.int64()),
+            ("cume_ppm", pa.int64()),
+        ]
+    )
+    if not offsets:
+        return _out_schema.empty_table()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        vc = cents_arrow(batch["value"])
+        bucket = vc.to_numpy(zero_copy_only=False) // PRANK_CENTS_BUCKET
+        return pa.table(
+            {
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "event_type": batch["event_type"],
+                "value_cents": vc,
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["event_type"].iloc[0]
+        vc = g["value_cents"].to_numpy(dtype=np.int64)
+        base = offsets[(t, int(g["bucket"].iloc[0]))]
+        vs = np.sort(vc)
+        # rows <= my value within the bucket == last-tie position + 1
+        cum_le = base + np.searchsorted(vs, vc, side="right")
+        n_t = totals[(t,)]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "event_type": t,
+                "value_cents": vc,
+                "cume_ppm": cum_le * np.int64(1_000_000) // n_t,
+            }
+        )
+
+    return _ensure_schema(
+        _read_events(sf_dir, ["event_id", "event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .map_groups(rank_bucket, batch_format="pandas"),
+        _out_schema,
+    )
+
+
 def dense_rank_by_type(sf_dir: str):
     """Per-partition ``dense_rank()`` over every event, partitioned by
     event_type and ordered by value_cents — ties share a rank and ranks

@@ -337,3 +337,47 @@ def test_bucket_rank_offsets_no_parts_and_empty(ray_session):
         )
     )
     assert bucket_rank_offsets(empty, [], "bucket") == ({}, {})
+
+
+def test_cume_dist_degenerate_and_tie_semantics(ray_session, tmp_path):
+    """cume_dist: all-tied partition -> every row 1e6 ppm; empty events ->
+    typed empty table (the ranking-family degenerate contract)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.windows import cume_dist_by_type
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("ts", pa.timestamp("us")),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    tied = tmp_path / "tied"
+    tied.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "user_id": pa.array([1, 1, 1], pa.int64()),
+                "event_type": pa.array(["a", "a", "a"], pa.string()),
+                "ts": pa.array([0, 1, 2], pa.timestamp("us")),
+                "value": pa.array([5.0, 5.0, 5.0], pa.float64()),
+                "props": pa.array(["{}"] * 3, pa.string()),
+            }
+        ),
+        str(tied / "events.parquet"),
+    )
+    out = cume_dist_by_type(str(tied)).to_pandas()
+    assert out["cume_ppm"].tolist() == [1_000_000] * 3
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(schema.empty_table(), str(empty / "events.parquet"))
+    t = cume_dist_by_type(str(empty))
+    assert t.num_rows == 0
+    assert t.schema.names == ["event_id", "event_type", "value_cents", "cume_ppm"]
