@@ -424,6 +424,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_token_budget_cut": domains.corpus_token_budget_cut,
         "source_token_weighted_median_quality": domains.source_token_weighted_median_quality,
         "events_transition_counts": windows.transition_counts,
+        "events_user_streaks": windows.user_hour_streaks,
+        "events_user_coverage": windows.user_coverage_intervals,
         "embedding_label_quality": similarity.embedding_label_quality,
         "cap_docs_per_source": domains.cap_docs_per_source,
         "domain_mix_sample": domains.domain_mix_sample,
@@ -1915,6 +1917,60 @@ def oracle_sql() -> dict[str, str]:
             FROM s WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type
             ORDER BY prev_type, event_type
+        """,
+        "events_user_streaks": """
+            -- gaps-and-islands: maximal runs of consecutive active hours
+            -- per user (h - ROW_NUMBER() island trick)
+            WITH hours AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 3600000000 AS h
+              FROM events),
+            grp AS (
+              SELECT user_id, h,
+                     h - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY h)
+                       AS g
+              FROM hours),
+            streaks AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+              FROM grp GROUP BY user_id, g)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_streaks,
+                   CAST(MAX(len) AS BIGINT) AS max_streak_hours,
+                   CAST(SUM(len) AS BIGINT) AS active_hours
+            FROM streaks GROUP BY user_id ORDER BY user_id
+        """,
+        "events_user_coverage": """
+            -- interval union per user: event occupies [ts, ts + value sec]
+            -- (exact: cents * 10000 us); cumulative-MAX window splits
+            -- islands, merged intervals counted and length-summed
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts)
+                       + CAST(round(value * 100) AS BIGINT) * 10000 AS e
+              FROM events),
+            m AS (
+              SELECT user_id, s, e,
+                     MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pmax
+              FROM iv),
+            f AS (
+              SELECT user_id, s, e,
+                     CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+                       AS brk
+              FROM m),
+            g AS (
+              SELECT user_id, s, e,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS UNBOUNDED PRECEDING) AS gid
+              FROM f),
+            merged AS (
+              SELECT user_id, MIN(s) AS ms, MAX(e) AS me
+              FROM g GROUP BY user_id, gid)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_intervals,
+                   CAST(SUM(me - ms) AS BIGINT) AS covered_us
+            FROM merged GROUP BY user_id ORDER BY user_id
         """,
         "cap_docs_per_source": """
             WITH h AS (

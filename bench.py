@@ -190,6 +190,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "lineitem_unpivot": lambda sf: rel.lineitem_unpivot(sf).count(),
         "events_dense_rank_by_type": windows.dense_rank_by_type,
         "events_cume_dist_by_type": windows.cume_dist_by_type,
+        "events_user_streaks": windows.user_hour_streaks,
+        "events_user_coverage": windows.user_coverage_intervals,
     }
     # round-5 real-codec media paths (PNG inflate+unfilter, baseline JPEG
     # Huffman+IDCT in the actor pool).  PNG runs the FULL media corpus;

@@ -1839,3 +1839,180 @@ def transition_counts(sf_dir: str):
     rows.sort(key=lambda r: (r["prev_type"],
                              r["event_type"] is None, r["event_type"] or ""))
     return pa.Table.from_pylist(rows, schema=_TRANSITION_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands + interval coverage (the two classic contiguity shapes)
+
+_STREAKS_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("n_streaks", pa.int64()),
+        ("max_streak_hours", pa.int64()),
+        ("active_hours", pa.int64()),
+    ]
+)
+
+
+def user_hour_streaks(sf_dir: str):
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active hours per user
+    (an hour is active if the user has >= 1 event in it) — the classic
+    engagement-streak shape (SQL: h - ROW_NUMBER() island trick).
+
+    Scale shape: per-batch dedup to distinct (user, hour) pairs — only
+    those pairs cross the exchange, never events (at 100 TB the pair count
+    is bounded by users x corpus hours, orders below the event count) —
+    then the coarse user-hash partition with ONE vectorized run-length
+    kernel per partition: lexsort, cross-batch dedup mask, boundary diff,
+    bincount/reduceat segment folds.  No per-user Python loop."""
+    ds = _read_events(sf_dir, ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        h = trunc_div_np(
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False), HOUR_US
+        )
+        order = np.lexsort((h, u))
+        u, h = u[order], h[order]
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (h[1:] != h[:-1])
+        t = pa.table(
+            {
+                "user_id": pa.array(u[keep], pa.int64()),
+                "hour": pa.array(h[keep], pa.int64()),
+            }
+        )
+        return _add_user_part(t)
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        h = g["hour"].to_numpy()
+        order = np.lexsort((h, u))
+        u, h = u[order], h[order]
+        # cross-batch dedup (prep deduped within batch only)
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (h[1:] != h[:-1])
+        u, h = u[keep], h[keep]
+        if len(u) == 0:
+            return pd.DataFrame(
+                {c: np.empty(0, np.int64) for c in _STREAKS_SCHEMA.names}
+            )
+        brk = np.ones(len(u), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (h[1:] - h[:-1] != 1)
+        sid = np.cumsum(brk) - 1
+        lens = np.bincount(sid).astype(np.int64)
+        streak_user = u[brk]
+        nu = np.ones(len(streak_user), dtype=bool)
+        nu[1:] = streak_user[1:] != streak_user[:-1]
+        uid = np.cumsum(nu) - 1
+        return pd.DataFrame(
+            {
+                "user_id": streak_user[nu],
+                "n_streaks": np.bincount(uid).astype(np.int64),
+                "max_streak_hours": np.maximum.reduceat(
+                    lens, np.flatnonzero(nu)
+                ).astype(np.int64),
+                # exact int64 segment sum (bincount's float64 weights would
+                # lose exactness past 2^53)
+                "active_hours": np.add.reduceat(lens, np.flatnonzero(nu)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    return _ensure_schema(
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__upart")
+        .map_groups(
+            lambda g: kern(g.drop(columns="__upart")), batch_format="pandas"
+        ),
+        _STREAKS_SCHEMA,
+    )
+
+
+_COVERAGE_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("n_intervals", pa.int64()),
+        ("covered_us", pa.int64()),
+    ]
+)
+
+
+def _merge_intervals(u: np.ndarray, s: np.ndarray, e: np.ndarray):
+    """Merge overlapping-or-touching [s, e] intervals per user; inputs in
+    any order, outputs sorted by (user, start).  Segmented cummax/shift via
+    pandas' compiled groupby kernels — no per-user Python loop.  Touching
+    intervals (s == prev_max) merge, matching the oracle's ``s > pmax``
+    new-group test."""
+    order = np.lexsort((e, s, u))
+    u, s, e = u[order], s[order], e[order]
+    df = pd.DataFrame({"u": u, "s": s, "e": e})
+    grp = df.groupby("u", sort=False)
+    pmax = grp["e"].cummax().groupby(df["u"], sort=False).shift(1)
+    brk = pmax.isna().to_numpy() | (s > pmax.fillna(np.iinfo(np.int64).min).to_numpy())
+    mu = u[brk]
+    ms = s[brk]  # group min(s): first row of each group (sorted by s)
+    me = np.maximum.reduceat(e, np.flatnonzero(brk)).astype(np.int64)
+    return mu, ms, me
+
+
+def user_coverage_intervals(sf_dir: str):
+    """Interval union / coverage: each event occupies
+    [ts, ts + value seconds] (value in exact integer cents -> duration
+    cents * 10_000 us); overlapping-or-touching intervals per user merge,
+    and the result is one row per user with the merged-interval count and
+    the total covered microseconds — the classic utilization / uptime
+    shape (SQL: cumulative-MAX window + island sum).
+
+    Scale shape: interval union is associative, so each batch pre-merges
+    its own intervals (vectorized) and ONLY merged sub-intervals cross the
+    exchange; the coarse user-hash partition then runs the same compiled
+    merge kernel once per partition and folds per-user counts with
+    bincount.  No per-user Python loop anywhere."""
+    ds = _read_events(sf_dir, ["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        s = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dur = cents_arrow(batch["value"]).to_numpy(zero_copy_only=False) * 10_000
+        mu, ms, me = _merge_intervals(u, s, s + dur)
+        t = pa.table(
+            {
+                "user_id": pa.array(mu, pa.int64()),
+                "s": pa.array(ms, pa.int64()),
+                "e": pa.array(me, pa.int64()),
+            }
+        )
+        return _add_user_part(t)
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        mu, ms, me = _merge_intervals(
+            g["user_id"].to_numpy(), g["s"].to_numpy(), g["e"].to_numpy()
+        )
+        if len(mu) == 0:
+            return pd.DataFrame(
+                {c: np.empty(0, np.int64) for c in _COVERAGE_SCHEMA.names}
+            )
+        nu = np.ones(len(mu), dtype=bool)
+        nu[1:] = mu[1:] != mu[:-1]
+        uid = np.cumsum(nu) - 1
+        return pd.DataFrame(
+            {
+                "user_id": mu[nu],
+                "n_intervals": np.bincount(uid).astype(np.int64),
+                # exact int64 segment sum (no float64 weights)
+                "covered_us": np.add.reduceat(me - ms, np.flatnonzero(nu)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    return _ensure_schema(
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__upart")
+        .map_groups(
+            lambda g: kern(g.drop(columns="__upart")), batch_format="pandas"
+        ),
+        _COVERAGE_SCHEMA,
+    )

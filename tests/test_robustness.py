@@ -671,3 +671,89 @@ def test_part_pairs_top_no_multiitem_orders_is_typed(ray_session, tmp_path):
     out = part_pairs_top(str(tmp_path))
     assert out.num_rows == 0
     assert out.schema.names == ["part_a", "part_b", "n_orders"]
+
+
+def test_streaks_and_coverage_semantics(ray_session, tmp_path):
+    """Pins the two contiguity operators: gaps-and-islands hour streaks
+    (consecutive-hour runs split on any gap) and interval coverage
+    (overlapping AND touching intervals merge; contained intervals add
+    nothing), plus single-row and fully-empty corpora."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.windows import (
+        user_coverage_intervals,
+        user_hour_streaks,
+    )
+
+    S = 1_000_000  # one second in us
+
+    def ev(eid, uid, ts_us, value):
+        return (eid, uid, "click", ts_us, value, "{}")
+
+    rows = [
+        # user 1, hour 0: four intervals (value dollars == duration secs)
+        ev(1, 1, 0 * S, 100.0),     # [0, 100s]
+        ev(2, 1, 50 * S, 30.0),     # [50, 80s]   contained -> no new island
+        ev(3, 1, 100 * S, 50.0),    # [100, 150s] TOUCHING e1 end -> merges
+        ev(4, 1, 400 * S, 50.0),    # [400, 450s] separate island
+        # user 1, hours 1, 2, 5: streak {0,1,2} then island {5}
+        ev(5, 1, 3600 * S, 1.0),
+        ev(6, 1, 7200 * S, 1.0),
+        ev(7, 1, 18000 * S, 1.0),
+        # user 2: one event
+        ev(8, 2, 7 * 3600 * S, 2.5),
+    ]
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("ts", pa.timestamp("us")),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    cols = list(zip(*rows))
+    t = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "user_id": pa.array(cols[1], pa.int64()),
+            "event_type": pa.array(cols[2], pa.string()),
+            "ts": pa.array(cols[3], pa.timestamp("us")),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    st = (
+        user_hour_streaks(str(d))
+        .to_pandas()
+        .sort_values("user_id")
+        .to_dict("records")
+    )
+    assert st == [
+        {"user_id": 1, "n_streaks": 2, "max_streak_hours": 3, "active_hours": 4},
+        {"user_id": 2, "n_streaks": 1, "max_streak_hours": 1, "active_hours": 1},
+    ]
+
+    cov = (
+        user_coverage_intervals(str(d))
+        .to_pandas()
+        .sort_values("user_id")
+        .to_dict("records")
+    )
+    assert cov == [
+        # [0,150s] + [400,450s] + three 1s islands = 5 intervals, 203 s
+        {"user_id": 1, "n_intervals": 5, "covered_us": 203 * S},
+        {"user_id": 2, "n_intervals": 1, "covered_us": 2_500_000},
+    ]
+
+    empty = tmp_path / "empty_ev"
+    empty.mkdir()
+    pq.write_table(schema.empty_table(), str(empty / "events.parquet"))
+    assert user_hour_streaks(str(empty)).count() == 0
+    assert user_coverage_intervals(str(empty)).count() == 0
