@@ -426,6 +426,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transition_counts": windows.transition_counts,
         "events_user_streaks": windows.user_hour_streaks,
         "events_user_coverage": windows.user_coverage_intervals,
+        "events_missing_hours": windows.missing_hours_by_type,
+        "nation_revenue_share": rel.nation_revenue_share,
         "embedding_label_quality": similarity.embedding_label_quality,
         "cap_docs_per_source": domains.cap_docs_per_source,
         "domain_mix_sample": domains.domain_mix_sample,
@@ -1971,6 +1973,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_intervals,
                    CAST(SUM(me - ms) AS BIGINT) AS covered_us
             FROM merged GROUP BY user_id ORDER BY user_id
+        """,
+        "events_missing_hours": """
+            -- calendar-spine anti-join: hours in the corpus' global span
+            -- where a type logged zero events (gap / silent-sensor shape)
+            WITH b AS (
+              SELECT epoch_us(min(ts)) // 3600000000 AS lo,
+                     epoch_us(max(ts)) // 3600000000 AS hi
+              FROM events),
+            types AS (SELECT DISTINCT event_type FROM events),
+            spine AS (
+              SELECT t.event_type, CAST(u.h AS BIGINT) AS epoch_hour
+              FROM types t,
+                   (SELECT UNNEST(generate_series(lo, hi)) AS h FROM b) u),
+            present AS (
+              SELECT DISTINCT event_type,
+                     epoch_us(ts) // 3600000000 AS epoch_hour
+              FROM events)
+            SELECT s.event_type, s.epoch_hour
+            FROM spine s LEFT JOIN present p
+              ON s.event_type = p.event_type
+             AND s.epoch_hour = p.epoch_hour
+            WHERE p.epoch_hour IS NULL
+            ORDER BY s.event_type, s.epoch_hour
+        """,
+        "nation_revenue_share": """
+            -- ratio-to-report: nation revenue as exact ppm of its region
+            WITH rev AS (
+              SELECT c.c_nationkey AS nk,
+                     CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_nationkey),
+            j AS (
+              SELECT r.r_name, n.n_name, rev.cents,
+                     SUM(rev.cents) OVER (PARTITION BY r.r_name)
+                       AS region_cents
+              FROM rev JOIN nation n ON rev.nk = n.n_nationkey
+                       JOIN region r ON n.n_regionkey = r.r_regionkey)
+            SELECT r_name, n_name,
+                   CAST(cents AS BIGINT) AS revenue_cents,
+                   CAST(cents * 1000000 // region_cents AS BIGINT)
+                     AS share_ppm
+            FROM j ORDER BY r_name, n_name
         """,
         "cap_docs_per_source": """
             WITH h AS (

@@ -2016,3 +2016,68 @@ def user_coverage_intervals(sf_dir: str):
         ),
         _COVERAGE_SCHEMA,
     )
+
+
+_MISSING_HOURS_SCHEMA = pa.schema(
+    [("event_type", pa.string()), ("epoch_hour", pa.int64())]
+)
+
+
+def missing_hours_by_type(sf_dir: str):
+    """Calendar-spine anti-join (gap detection): for every event type, the
+    hours inside the corpus' global [min_hour, max_hour] span in which that
+    type logged ZERO events — the monitoring/SLA "silent sensor" shape
+    (SQL: generate_series spine CROSS JOIN types LEFT JOIN ... IS NULL).
+
+    Scale shape: per-batch dedup to distinct (type, hour) pairs, one tiny
+    partial+global exchange over those pairs, and the spine subtraction
+    runs on the DRIVER-BOUNDED present-pair table (|type alphabet| x
+    corpus hours — a few-year corpus is ~1e5 hours x a small alphabet,
+    driver-safe; the result is returned as a typed pa.Table per the
+    empty-schema invariant)."""
+    from .core import partial_then_global
+
+    ds = _read_events(sf_dir, ["event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        h = trunc_div_np(
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False), HOUR_US
+        )
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+                "epoch_hour": h,
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], pa.string()),
+                "epoch_hour": pa.array(
+                    df["epoch_hour"].to_numpy(), pa.int64()
+                ),
+                "n": pa.array(np.ones(len(df), dtype=np.int64)),
+            }
+        )
+
+    present = partial_then_global(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "epoch_hour"],
+        ["n"],
+    ).take_all()
+    if not present:
+        return _MISSING_HOURS_SCHEMA.empty_table()
+    hours = np.fromiter((r["epoch_hour"] for r in present), np.int64, len(present))
+    types = np.array([r["event_type"] for r in present])
+    lo, hi = hours.min(), hours.max()
+    span = np.arange(lo, hi + 1, dtype=np.int64)
+    out_t, out_h = [], []
+    for t in np.unique(types):
+        missing = np.setdiff1d(span, hours[types == t], assume_unique=False)
+        out_t.append(np.full(len(missing), t))
+        out_h.append(missing)
+    return pa.table(
+        {
+            "event_type": pa.array(np.concatenate(out_t), pa.string()),
+            "epoch_hour": pa.array(np.concatenate(out_h), pa.int64()),
+        }
+    ).sort_by([("event_type", "ascending"), ("epoch_hour", "ascending")])

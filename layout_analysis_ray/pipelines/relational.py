@@ -3148,3 +3148,94 @@ def q12_priority_by_returnflag(sf_dir: str, broadcast_max_orders: int | None = N
         ],
         schema=schema,
     )
+
+
+def nation_revenue_share(sf_dir: str):
+    """Ratio-to-report: each nation's customer-order revenue as an exact
+    ppm share of its REGION's total — the percent-of-total window shape
+    (SQL: SUM(x) OVER (PARTITION BY region)).
+
+    Scale shape: customer (c_custkey -> c_nationkey) broadcasts once via
+    ``ray.put`` (the q5 dimension pattern); each orders batch folds exact
+    cents partials per nationkey map-side, so the only exchange is the
+    tiny partial+global groupby over <= |nations| rows per batch.  The
+    share division runs on the driver-bounded nation table (25 rows at
+    any SF) with exact integer ppm (cents * 10^6 // region_cents)."""
+    import ray
+
+    nation = _read_dim(sf_dir, "nation").sort_values("n_nationkey")
+    region = _read_dim(sf_dir, "region")
+    customer = _read_dim(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).sort_values("c_custkey")
+    refs = ray.put(
+        (
+            customer["c_custkey"].to_numpy(dtype=np.int64),
+            customer["c_nationkey"].to_numpy(dtype=np.int64),
+        )
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ck, cv = ray.get(refs)
+        probe = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.clip(np.searchsorted(ck, probe), 0, len(ck) - 1)
+        keep = ck[idx] == probe  # orphan o_custkey rows contribute nothing
+        nat = cv[idx[keep]]
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)[keep]
+        # exact int64 segment sums (bincount's float64 weights would round
+        # past 2^53); sort-by-nation then reduceat
+        order = np.argsort(nat, kind="stable")
+        nat, cents = nat[order], cents[order]
+        b = np.ones(len(nat), dtype=bool)
+        b[1:] = nat[1:] != nat[:-1]
+        return pa.table(
+            {
+                "nk": pa.array(nat[b], pa.int64()),
+                "cents": pa.array(
+                    np.add.reduceat(cents, np.flatnonzero(b)).astype(np.int64)
+                    if len(nat)
+                    else np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    rev = _partial_then_global(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        ["nk"],
+        ["cents"],
+    ).take_all()
+
+    schema = pa.schema(
+        [
+            ("r_name", pa.string()),
+            ("n_name", pa.string()),
+            ("revenue_cents", pa.int64()),
+            ("share_ppm", pa.int64()),
+        ]
+    )
+    if not rev:
+        return schema.empty_table()
+    rnames = dict(zip(region["r_regionkey"], region["r_name"]))
+    nk2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    nk2region = {
+        k: rnames[rk]
+        for k, rk in zip(nation["n_nationkey"], nation["n_regionkey"])
+    }
+    rows = sorted(
+        (nk2region[r["nk"]], nk2name[r["nk"]], int(r["cents"])) for r in rev
+    )
+    region_tot = {}
+    for rn, _, c in rows:
+        region_tot[rn] = region_tot.get(rn, 0) + c
+    return pa.table(
+        {
+            "r_name": pa.array([r[0] for r in rows], pa.string()),
+            "n_name": pa.array([r[1] for r in rows], pa.string()),
+            "revenue_cents": pa.array([r[2] for r in rows], pa.int64()),
+            "share_ppm": pa.array(
+                [r[2] * 1_000_000 // region_tot[r[0]] for r in rows], pa.int64()
+            ),
+        }
+    )

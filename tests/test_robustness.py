@@ -757,3 +757,13 @@ def test_streaks_and_coverage_semantics(ray_session, tmp_path):
     pq.write_table(schema.empty_table(), str(empty / "events.parquet"))
     assert user_hour_streaks(str(empty)).count() == 0
     assert user_coverage_intervals(str(empty)).count() == 0
+
+    # calendar-spine gaps over the same fixtures: "click" is present in
+    # hours {0, 1, 2, 5, 7}, so the 0..7 span is missing hours 3, 4, 6
+    from layout_analysis_ray.functions.windows import missing_hours_by_type
+
+    mh = missing_hours_by_type(str(d)).to_pandas()
+    assert mh["event_type"].tolist() == ["click"] * 3
+    assert mh["epoch_hour"].tolist() == [3, 4, 6]
+    mh0 = missing_hours_by_type(str(empty))
+    assert len(mh0) == 0 and mh0.schema.names == ["event_type", "epoch_hour"]
