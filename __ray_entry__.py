@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 59 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (39) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 155 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (124) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
@@ -428,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_coverage": windows.user_coverage_intervals,
         "events_missing_hours": windows.missing_hours_by_type,
         "nation_revenue_share": rel.nation_revenue_share,
+        "cust_order_gap_histogram": rel.cust_order_gap_histogram,
         "embedding_label_quality": similarity.embedding_label_quality,
         "cap_docs_per_source": domains.cap_docs_per_source,
         "domain_mix_sample": domains.domain_mix_sample,
@@ -2016,6 +2017,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cents * 1000000 // region_cents AS BIGINT)
                      AS share_ppm
             FROM j ORDER BY r_name, n_name
+        """,
+        "cust_order_gap_histogram": """
+            -- inter-arrival cadence: days between consecutive orders of
+            -- the same customer, histogrammed corpus-wide
+            WITH d AS (
+              SELECT o_custkey,
+                     epoch_us(o_orderdate) // 86400000000 AS day,
+                     o_orderkey
+              FROM orders),
+            g AS (
+              SELECT day - lag(day) OVER
+                       (PARTITION BY o_custkey
+                        ORDER BY day, o_orderkey) AS gap_days
+              FROM d)
+            SELECT CAST(gap_days AS BIGINT) AS gap_days,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM g WHERE gap_days IS NOT NULL
+            GROUP BY gap_days ORDER BY gap_days
         """,
         "cap_docs_per_source": """
             WITH h AS (

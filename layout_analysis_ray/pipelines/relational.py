@@ -3239,3 +3239,76 @@ def nation_revenue_share(sf_dir: str):
             ),
         }
     )
+
+
+GAP_PARTITIONS = 64
+
+
+def cust_order_gap_histogram(sf_dir: str):
+    """Inter-arrival histogram: days between a customer's CONSECUTIVE
+    orders, counted across all customers — the repeat-purchase cadence
+    shape (SQL: LAG window diff + GROUP BY the gap).
+
+    Scale shape: map-side projection to 24-byte (custkey, day, orderkey)
+    rows -> ONE coarse customer-hash exchange -> per-partition vectorized
+    lag-diff (lexsort + same-customer mask) folding straight to histogram
+    partials -> tiny partial+global groupby over <= |corpus date span|
+    rows.  The gap multiset per customer depends only on the SORTED day
+    multiset, so the engine's (day, orderkey) sort and the oracle's
+    (o_orderdate, o_orderkey) window order agree even for same-day
+    orders.  Result is driver-bounded (span days) and returned typed."""
+    import pandas as pd
+
+    ds = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        days = (
+            batch["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+            // 86_400_000_000
+        )
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": pa.array(c, pa.int64()),
+                "o_orderkey": batch["o_orderkey"],
+                "day": pa.array(days, pa.int64()),
+                "__cpart": pa.array(coarse_int_partition(c, GAP_PARTITIONS)),
+            }
+        )
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["o_custkey"].to_numpy()
+        d = g["day"].to_numpy()
+        k = g["o_orderkey"].to_numpy()
+        order = np.lexsort((k, d, c))
+        c, d = c[order], d[order]
+        same = c[1:] == c[:-1]
+        u, n = np.unique((d[1:] - d[:-1])[same], return_counts=True)
+        return pd.DataFrame(
+            {"gap_days": u.astype(np.int64), "n": n.astype(np.int64)}
+        )
+
+    hist = _partial_then_global(
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__cpart")
+        .map_groups(
+            lambda g: gaps(g.drop(columns="__cpart")), batch_format="pandas"
+        ),
+        ["gap_days"],
+        ["n"],
+    )
+    schema = pa.schema([("gap_days", pa.int64()), ("n", pa.int64())])
+    rows = sorted(hist.take_all(), key=lambda r: r["gap_days"])
+    if not rows:
+        return schema.empty_table()
+    return pa.table(
+        {
+            "gap_days": pa.array([r["gap_days"] for r in rows], pa.int64()),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+        }
+    )
