@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 155 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (124) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 157 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (126) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
@@ -427,6 +427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_streaks": windows.user_hour_streaks,
         "events_user_coverage": windows.user_coverage_intervals,
         "events_missing_hours": windows.missing_hours_by_type,
+        "events_rolling_7d_users": windows.rolling_7d_users,
+        "source_fingerprint": domains.source_fingerprint,
         "nation_revenue_share": rel.nation_revenue_share,
         "cust_order_gap_histogram": rel.cust_order_gap_histogram,
         "embedding_label_quality": similarity.embedding_label_quality,
@@ -2017,6 +2019,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cents * 1000000 // region_cents AS BIGINT)
                      AS share_ppm
             FROM j ORDER BY r_name, n_name
+        """,
+        "events_rolling_7d_users": """
+            -- trailing 7-day distinct active users per day (rolling WAU):
+            -- expand each distinct (user, day) to its 7 covered window
+            -- days, clip at the corpus max day, count distinct pairs
+            WITH p AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events),
+            b AS (SELECT max(day) AS hi FROM p),
+            e AS (
+              SELECT DISTINCT p.user_id, p.day + t.i AS day
+              FROM p, generate_series(0, 6) AS t(i), b
+              WHERE p.day + t.i <= b.hi)
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM e GROUP BY day ORDER BY day
+        """,
+        "source_fingerprint": """
+            -- order-independent per-source table checksum: sum of 60-bit
+            -- full-row digests mod 2^63 (row = id|lang|source|n_chars|
+            -- md5(text), digest = first 15 hex chars of its md5)
+            SELECT COALESCE(source, '') AS source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST(('0x' || substr(md5(
+                       CAST(doc_id AS VARCHAR) || '|' ||
+                       COALESCE(lang, '') || '|' ||
+                       COALESCE(source, '') || '|' ||
+                       CAST(n_chars AS VARCHAR) || '|' ||
+                       md5(COALESCE(text, ''))
+                     ), 1, 15)) AS BIGINT))
+                     % 9223372036854775808 AS BIGINT) AS fingerprint
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         "cust_order_gap_histogram": """
             -- inter-arrival cadence: days between consecutive orders of

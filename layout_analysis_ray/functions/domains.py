@@ -519,3 +519,92 @@ def source_token_weighted_median_quality(sf_dir: str):
             "n_tokens": pa.array([int(med[k][1]) for k in keys], pa.int64()),
         }
     )
+
+
+_FP_MOD = 1 << 63
+_FP_MASK20 = (1 << 20) - 1
+
+_FINGERPRINT_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("n_docs", pa.int64()),
+        ("fingerprint", pa.int64()),
+    ]
+)
+
+
+def source_fingerprint(sf_dir: str):
+    """Order-independent per-source table checksum — the replication /
+    migration validation staple: every row reduces to a 60-bit digest of
+    its full content, and a source's fingerprint is the SUM of its row
+    digests mod 2^63.  Insensitive to row order, partitioning and
+    blocking, so two independently produced copies of the table (original
+    vs re-encoded, pre- vs post-migration) compare with one tiny
+    exchange; any single changed/dropped/duplicated row flips it.
+
+    Scale shape: map-only vectorized hashing (one DuckDB-over-Arrow md5
+    pass per batch, ``functions/hashing.py``); per-batch digest sums are
+    carried as THREE 20-bit limbs so the int64 Sum exchange stays exact
+    to ~2^43 rows (digest < 2^60; per-limb per-batch sum <= rows x 2^20);
+    one partial+global exchange over |sources| rows; the mod-2^63 fold
+    happens once on the driver in Python big ints.  Result is
+    driver-bounded (|sources|) and returned typed."""
+    import pyarrow.compute as pc
+
+    from .core import partial_then_global
+    from .hashing import md5_hex, str_hash_u60
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        src = pc.fill_null(batch["source"], "")
+        row_str = pc.binary_join_element_wise(
+            pc.cast(batch["doc_id"], pa.string()),
+            pc.fill_null(batch["lang"], ""),
+            src,
+            pc.cast(batch["n_chars"], pa.string()),
+            md5_hex(batch["text"]),
+            "|",
+        )
+        d = str_hash_u60(row_str)
+        codes, uniq = pd.factorize(src.to_numpy(zero_copy_only=False))
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        limbs = []
+        for shift in (0, 20, 40):
+            part = (d >> shift) & _FP_MASK20
+            s = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(s, codes, part)
+            limbs.append(s)
+        return pa.table(
+            {
+                "source": pa.array(uniq, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "fp_l0": pa.array(limbs[0], pa.int64()),
+                "fp_l1": pa.array(limbs[1], pa.int64()),
+                "fp_l2": pa.array(limbs[2], pa.int64()),
+            }
+        )
+
+    agg = partial_then_global(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["source"],
+        ["n", "fp_l0", "fp_l1", "fp_l2"],
+    )
+    rows = []
+    for row in agg.take_all():  # one row per source (driver-bounded)
+        total = (
+            int(row["fp_l0"])
+            + (int(row["fp_l1"]) << 20)
+            + (int(row["fp_l2"]) << 40)
+        )
+        rows.append(
+            {
+                "source": row["source"],
+                "n_docs": int(row["n"]),
+                "fingerprint": total % _FP_MOD,
+            }
+        )
+    rows.sort(key=lambda r: r["source"])
+    if not rows:
+        return _FINGERPRINT_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=_FINGERPRINT_SCHEMA)

@@ -2081,3 +2081,99 @@ def missing_hours_by_type(sf_dir: str):
             "epoch_hour": pa.array(np.concatenate(out_h), pa.int64()),
         }
     ).sort_by([("event_type", "ascending"), ("epoch_hour", "ascending")])
+
+
+DAY_US = 86_400_000_000
+ROLL_DAYS = 7
+
+_ROLLING_USERS_SCHEMA = pa.schema([("day", pa.int64()), ("n_users", pa.int64())])
+
+
+def rolling_7d_users(sf_dir: str):
+    """Trailing 7-day distinct active users per day (rolling WAU) — the
+    sliding-window COUNT DISTINCT shape no plain groupby expresses: each
+    output day counts users seen on ANY of the 7 calendar days ending
+    there (partial windows at the corpus start count as-is; days past the
+    corpus end are clipped).
+
+    Scale shape: per-batch dedup to distinct (user_id, day) pairs -> ONE
+    pair-grain partial+global exchange (the row-proportional one,
+    map-side combined); the deduped pair table is materialized (narrow:
+    16 B/row, |users| x |active days| — distributed, never on the
+    driver) so the max-day probe doesn't recompute the scan; each pair
+    then fans out to <= ROLL_DAYS (user_id, window day) rows -> a second
+    pair-grain distinct exchange (<= 7x the first) -> per-day count
+    partials.  The result is span-bounded (one row per calendar day) and
+    returned typed per the empty-schema invariant."""
+    from .core import partial_then_global
+
+    ds = _read_events(sf_dir, ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = trunc_div_np(
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False), DAY_US
+        )
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "day": d,
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+                "day": pa.array(df["day"].to_numpy(), pa.int64()),
+                "n": pa.array(np.ones(len(df), dtype=np.int64)),
+            }
+        )
+
+    pairs = partial_then_global(
+        ds.map_batches(prep, batch_format="pyarrow"), ["user_id", "day"], ["n"]
+    ).materialize()
+    if pairs.count() == 0:
+        return _ROLLING_USERS_SCHEMA.empty_table()
+    hi_day = int(pairs.max("day"))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        d = batch["day"].to_numpy(zero_copy_only=False)
+        wu = np.repeat(u, ROLL_DAYS)
+        wd = np.repeat(d, ROLL_DAYS) + np.tile(
+            np.arange(ROLL_DAYS, dtype=np.int64), len(d)
+        )
+        keep = wd <= hi_day
+        df = pd.DataFrame({"user_id": wu[keep], "day": wd[keep]}).drop_duplicates()
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+                "day": pa.array(df["day"].to_numpy(), pa.int64()),
+                "n": pa.array(np.ones(len(df), dtype=np.int64)),
+            }
+        )
+
+    win_pairs = partial_then_global(
+        pairs.map_batches(expand, batch_format="pyarrow"),
+        ["user_id", "day"],
+        ["n"],
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": batch["day"],
+                "n_users": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    counts = partial_then_global(
+        win_pairs.map_batches(count_partial, batch_format="pyarrow"),
+        ["day"],
+        ["n_users"],
+    )
+    rows = sorted(counts.take_all(), key=lambda r: r["day"])
+    return pa.table(
+        {
+            "day": pa.array([r["day"] for r in rows], pa.int64()),
+            "n_users": pa.array([r["n_users"] for r in rows], pa.int64()),
+        }
+    )

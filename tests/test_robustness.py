@@ -767,3 +767,101 @@ def test_streaks_and_coverage_semantics(ray_session, tmp_path):
     assert mh["epoch_hour"].tolist() == [3, 4, 6]
     mh0 = missing_hours_by_type(str(empty))
     assert len(mh0) == 0 and mh0.schema.names == ["event_type", "epoch_hour"]
+
+
+def test_rolling_7d_users_semantics_and_empty(ray_session, tmp_path):
+    """Pins the sliding-window COUNT DISTINCT: a user active on day d is
+    counted in window days d..d+6 (clipped at the corpus max day), a user
+    active twice in one window counts once, and the fully-empty corpus
+    returns the typed empty table."""
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.windows import DAY_US, rolling_7d_users
+
+    def ev(eid, uid, day):
+        return {
+            "event_id": eid,
+            "ts": pa.scalar(day * DAY_US, pa.timestamp("us")),
+            "user_id": uid,
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    # user 1 on days 0 and 3 (overlapping windows: counts once in 3..6);
+    # user 2 on day 8 only (hi_day=8 clips every window at 8)
+    rows = [ev(1, 1, 0), ev(2, 1, 3), ev(3, 2, 8), ev(4, 1, 3)]
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "events.parquet"))
+    got = {
+        r["day"]: r["n_users"]
+        for r in rolling_7d_users(str(d)).to_pylist()
+    }
+    # day: users with activity in [day-6, day], clipped to [0, 8]
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1, 8: 2}
+
+    empty = tmp_path / "empty_ev"
+    empty.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(rows[:0], schema=pa.Table.from_pylist(rows).schema),
+        str(empty / "events.parquet"),
+    )
+    res = rolling_7d_users(str(empty))
+    assert res.num_rows == 0
+    assert res.column_names == ["day", "n_users"]
+
+
+def test_source_fingerprint_order_independent_and_sensitive(
+    ray_session, tmp_path
+):
+    """Pins the validation-checksum contract: the fingerprint is invariant
+    to row order/partitioning, flips when any single row changes, and the
+    empty corpus returns the typed empty table."""
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.domains import source_fingerprint
+
+    def doc(i, text, src):
+        return {
+            "doc_id": i,
+            "text": text,
+            "lang": "en",
+            "source": src,
+            "n_chars": len(text),
+        }
+
+    rows = [doc(1, "alpha", "a"), doc(2, "beta", "a"), doc(3, "gamma", "b")]
+    fwd = tmp_path / "fwd"
+    rev = tmp_path / "rev"
+    mut = tmp_path / "mut"
+    for p in (fwd, rev, mut):
+        p.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(fwd / "documents.parquet"))
+    pq.write_table(
+        pa.Table.from_pylist(rows[::-1]), str(rev / "documents.parquet")
+    )
+    changed = [doc(1, "alpha", "a"), doc(2, "BETA", "a"), doc(3, "gamma", "b")]
+    pq.write_table(
+        pa.Table.from_pylist(changed), str(mut / "documents.parquet")
+    )
+
+    f_fwd = {r["source"]: r for r in source_fingerprint(str(fwd)).to_pylist()}
+    f_rev = {r["source"]: r for r in source_fingerprint(str(rev)).to_pylist()}
+    f_mut = {r["source"]: r for r in source_fingerprint(str(mut)).to_pylist()}
+    assert f_fwd == f_rev
+    assert f_fwd["a"]["n_docs"] == 2 and f_fwd["b"]["n_docs"] == 1
+    assert f_mut["a"]["fingerprint"] != f_fwd["a"]["fingerprint"]
+    assert f_mut["b"] == f_fwd["b"]  # untouched source unchanged
+
+    empty = tmp_path / "empty_docs"
+    empty.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(
+            rows[:0], schema=pa.Table.from_pylist(rows).schema
+        ),
+        str(empty / "documents.parquet"),
+    )
+    res = source_fingerprint(str(empty))
+    assert res.num_rows == 0
+    assert res.column_names == ["source", "n_docs", "fingerprint"]
