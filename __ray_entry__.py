@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 157 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (126) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 159 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (128) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
@@ -428,6 +428,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_coverage": windows.user_coverage_intervals,
         "events_missing_hours": windows.missing_hours_by_type,
         "events_rolling_7d_users": windows.rolling_7d_users,
+        "events_audience_overlap": windows.audience_overlap,
+        "events_session_duration_median": windows.session_duration_median,
         "source_fingerprint": domains.source_fingerprint,
         "nation_revenue_share": rel.nation_revenue_share,
         "cust_order_gap_histogram": rel.cust_order_gap_histogram,
@@ -2036,6 +2038,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(day AS BIGINT) AS day,
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM e GROUP BY day ORDER BY day
+        """,
+        "events_session_duration_median": """
+            -- sessionize (30-min gap) composed with the engine's exact
+            -- ceil(q*n) median convention, duration in microseconds
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+            m AS (
+              SELECT user_id, tus, event_id,
+                CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY tus, event_id)),
+            s AS (
+              SELECT user_id, tus,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m),
+            d AS (
+              SELECT max(tus) - min(tus) AS dur
+              FROM s GROUP BY user_id, sid),
+            r AS (
+              SELECT dur, row_number() OVER (ORDER BY dur) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM d)
+            SELECT CAST(n AS BIGINT) AS n_sessions,
+                   CAST(dur AS BIGINT) AS median_duration_us
+            FROM r WHERE rn = (500000 * n + 999999) // 1000000
+        """,
+        "events_audience_overlap": """
+            -- audience-overlap matrix: Jaccard between the distinct-user
+            -- sets of every two event types (co-occurring pairs only)
+            WITH p AS (
+              SELECT DISTINCT event_type, user_id FROM events
+              WHERE event_type IS NOT NULL),
+            s AS (
+              SELECT event_type, COUNT(*) AS n FROM p GROUP BY event_type),
+            i AS (
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     COUNT(*) AS inter
+              FROM p a JOIN p b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+            SELECT type_a, type_b,
+                   CAST(inter AS BIGINT) AS inter,
+                   CAST(sa.n + sb.n - inter AS BIGINT) AS uni,
+                   CAST(inter * 1000000 // (sa.n + sb.n - inter) AS BIGINT)
+                     AS jaccard_ppm
+            FROM i
+            JOIN s sa ON sa.event_type = i.type_a
+            JOIN s sb ON sb.event_type = i.type_b
+            ORDER BY type_a, type_b
         """,
         "source_fingerprint": """
             -- order-independent per-source table checksum: sum of 60-bit

@@ -192,6 +192,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_cume_dist_by_type": windows.cume_dist_by_type,
         "events_user_streaks": windows.user_hour_streaks,
         "events_user_coverage": windows.user_coverage_intervals,
+        "cust_order_gap_histogram": rel.cust_order_gap_histogram,
+        "events_rolling_7d_users": windows.rolling_7d_users,
+        "source_fingerprint": domains.source_fingerprint,
+        "events_audience_overlap": windows.audience_overlap,
+        "events_session_duration_median": windows.session_duration_median,
     }
     # round-5 real-codec media paths (PNG inflate+unfilter, baseline JPEG
     # Huffman+IDCT in the actor pool).  PNG runs the FULL media corpus;

@@ -2177,3 +2177,201 @@ def rolling_7d_users(sf_dir: str):
             "n_users": pa.array([r["n_users"] for r in rows], pa.int64()),
         }
     )
+
+
+_OVERLAP_BUCKETS = 64
+_OVERLAP_SIZE_TAG = "\x00size"  # cannot collide with a real event type
+
+_AUDIENCE_OVERLAP_SCHEMA = pa.schema(
+    [
+        ("type_a", pa.string()),
+        ("type_b", pa.string()),
+        ("inter", pa.int64()),
+        ("uni", pa.int64()),
+        ("jaccard_ppm", pa.int64()),
+    ]
+)
+
+
+def audience_overlap(sf_dir: str):
+    """Pairwise Jaccard similarity between the distinct-USER audiences of
+    every two event types — the audience-overlap matrix a product analyst
+    reads to spot feature cannibalisation (SQL: self-join of the distinct
+    (type, user) table).
+
+    Scale shape: ONE row-proportional exchange (the source_token_jaccard
+    inverted-index pattern over an int key, functions/text.py): per-batch
+    distinct (type, user) pairs hash-bucket by user, every copy of a user
+    lands in one bucket, so the bucket kernel global-dedups for free,
+    emits the bucket's slice of per-type audience sizes (sentinel-tagged
+    rows riding the pair schema), and fans each user out to its
+    |types| choose 2 co-occurring pairs — vectorized via one lexsort +
+    per-segment-size triu broadcast, bounded by the type alphabet, never
+    all-pairs over users.  The final groupby is alphabet^2-bounded and
+    the result is returned typed.  ``jaccard_ppm`` is exact integer
+    ``inter * 10^6 // union`` (non-negative: floor == trunc)."""
+    from .core import coarse_int_partition, partial_then_global
+
+    ds = _read_events(sf_dir, ["event_type", "user_id"])
+
+    _pair_schema = pa.schema(
+        [
+            ("__b", pa.int64()),
+            ("event_type", pa.string()),
+            ("user_id", pa.int64()),
+        ]
+    )
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["event_type"]))
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        df.insert(
+            0,
+            "__b",
+            coarse_int_partition(
+                df["user_id"].to_numpy(np.int64), _OVERLAP_BUCKETS
+            ),
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).cast(_pair_schema)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["event_type", "user_id"])
+        typ = g["event_type"].to_numpy()
+        usr = g["user_id"].to_numpy()
+        size_counts = pd.Series(typ).value_counts()
+        sizes_df = pd.DataFrame(
+            {
+                "type_a": np.full(
+                    len(size_counts), _OVERLAP_SIZE_TAG, dtype=object
+                ),
+                "type_b": size_counts.index.to_numpy(dtype=object),
+                "inter": size_counts.to_numpy(dtype=np.int64),
+            }
+        )
+        order = np.lexsort((typ, usr))
+        typ, usr = typ[order], usr[order]
+        _, starts, counts = np.unique(usr, return_index=True, return_counts=True)
+        out_a, out_b = [], []
+        for s in np.unique(counts):
+            if s < 2:
+                continue
+            ia, ib = np.triu_indices(int(s), 1)
+            st = starts[counts == s]
+            out_a.append(typ[(st[:, None] + ia[None, :]).ravel()])
+            out_b.append(typ[(st[:, None] + ib[None, :]).ravel()])
+        if not out_a:
+            return sizes_df
+        df = pd.DataFrame(
+            {
+                "type_a": np.concatenate(out_a),
+                "type_b": np.concatenate(out_b),
+            }
+        )
+        pairs_df = (
+            df.groupby(["type_a", "type_b"], sort=False)
+            .size()
+            .rename("inter")
+            .reset_index()
+        )
+        return pd.concat([sizes_df, pairs_df], ignore_index=True)
+
+    agg = partial_then_global(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(
+            lambda g: bucket_pairs(g.drop(columns="__b")),
+            batch_format="pandas",
+        ),
+        ["type_a", "type_b"],
+        ["inter"],
+    )
+    sizes: dict[str, int] = {}
+    pairs = []
+    for row in agg.take_all():  # alphabet^2-bounded
+        if row["type_a"] == _OVERLAP_SIZE_TAG:
+            sizes[row["type_b"]] = int(row["inter"])
+        else:
+            pairs.append(row)
+    rows = []
+    for row in pairs:
+        inter = int(row["inter"])
+        uni = sizes[row["type_a"]] + sizes[row["type_b"]] - inter
+        rows.append(
+            {
+                "type_a": row["type_a"],
+                "type_b": row["type_b"],
+                "inter": inter,
+                "uni": uni,
+                "jaccard_ppm": inter * 1_000_000 // uni,
+            }
+        )
+    rows.sort(key=lambda r: (r["type_a"], r["type_b"]))
+    if not rows:
+        return _AUDIENCE_OVERLAP_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=_AUDIENCE_OVERLAP_SCHEMA)
+
+
+_SESSION_MEDIAN_SCHEMA = pa.schema(
+    [("n_sessions", pa.int64()), ("median_duration_us", pa.int64())]
+)
+
+
+def session_duration_median(sf_dir: str):
+    """Exact corpus-wide median session duration (last-event ts minus
+    first-event ts, microseconds) — the sessionize kernel COMPOSED with
+    the grouped-quantile histogram narrowing, the engagement headline a
+    product dashboard shows.
+
+    Scale shape: one coarse user-hash exchange feeds the vectorized
+    per-partition session kernel (the ``sessionize`` sort + gap-break
+    fold) emitting ONE (g, duration) row per session; that narrow table
+    is materialized once (distributed, 16 B/session) and the exact
+    median comes from ``grouped_quantile``'s histogram narrowing — a
+    ~log_B(max duration) sequence of streaming scans over the
+    materialized sessions, never a global sort.  Median convention is
+    the engine-wide ceil(q*n) order statistic; the result is one typed
+    row (empty corpus -> typed empty table)."""
+    from .quantiles import grouped_quantile
+
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id"]).map_batches(
+        _add_user_part, batch_format="pyarrow"
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gaps = np.diff(ts_us, prepend=ts_us[0])
+        new_session = new_user | (gaps > SESSION_GAP_S * 1_000_000)
+        first = np.flatnonzero(new_session)
+        last = np.append(first[1:], len(ts_us)) - 1
+        return pd.DataFrame(
+            {
+                "g": np.full(len(first), "all", dtype=object),
+                "v": (ts_us[last] - ts_us[first]).astype(np.int64),
+            }
+        )
+
+    sessions = (
+        ds.groupby("__upart")
+        .map_groups(per_part, batch_format="pandas")
+        .materialize()
+    )
+    med = grouped_quantile(lambda: sessions, 500_000, return_counts=True)
+    if "all" not in med:
+        return _SESSION_MEDIAN_SCHEMA.empty_table()
+    value, n = med["all"]
+    return pa.table(
+        {
+            "n_sessions": pa.array([n], pa.int64()),
+            "median_duration_us": pa.array([value], pa.int64()),
+        }
+    )

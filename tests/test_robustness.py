@@ -865,3 +865,65 @@ def test_source_fingerprint_order_independent_and_sensitive(
     res = source_fingerprint(str(empty))
     assert res.num_rows == 0
     assert res.column_names == ["source", "n_docs", "fingerprint"]
+
+
+def test_audience_overlap_and_session_median_degenerate(ray_session, tmp_path):
+    """audience_overlap / session_duration_median on empty and single-user
+    corpora: typed empty tables, no pair fan-out from a single type, and
+    the session kernel's gap-break semantics on a handcrafted timeline."""
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.windows import (
+        audience_overlap,
+        session_duration_median,
+    )
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("ts", pa.timestamp("us")),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(schema.empty_table(), str(empty / "events.parquet"))
+    ov = audience_overlap(str(empty))
+    assert ov.num_rows == 0
+    assert ov.column_names == ["type_a", "type_b", "inter", "uni", "jaccard_ppm"]
+    sm = session_duration_median(str(empty))
+    assert sm.num_rows == 0
+    assert sm.column_names == ["n_sessions", "median_duration_us"]
+
+    # user 1: events at 0s, 100s (one session, 100s), then 4000s after the
+    # 30-min gap (second session, single event -> duration 0); user 2 never
+    # shares a type with user 1's "a" events
+    M = 1_000_000
+    rows = [
+        {"event_id": 1, "user_id": 1, "event_type": "a",
+         "ts": pa.scalar(0, pa.timestamp("us")), "value": 1.0, "props": "{}"},
+        {"event_id": 2, "user_id": 1, "event_type": "a",
+         "ts": pa.scalar(100 * M, pa.timestamp("us")), "value": 1.0,
+         "props": "{}"},
+        {"event_id": 3, "user_id": 1, "event_type": "b",
+         "ts": pa.scalar(4000 * M, pa.timestamp("us")), "value": 1.0,
+         "props": "{}"},
+        {"event_id": 4, "user_id": 2, "event_type": "b",
+         "ts": pa.scalar(0, pa.timestamp("us")), "value": 1.0, "props": "{}"},
+    ]
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   str(d / "events.parquet"))
+    ov = {(r["type_a"], r["type_b"]): r for r in
+          audience_overlap(str(d)).to_pylist()}
+    # audiences: a={1}, b={1,2} -> inter 1, union 2
+    assert ov == {("a", "b"): {"type_a": "a", "type_b": "b", "inter": 1,
+                               "uni": 2, "jaccard_ppm": 500_000}}
+    sm = session_duration_median(str(d)).to_pylist()[0]
+    # sessions: user1 [0,100s], user1 [4000s] (0), user2 [0] (0)
+    # durations sorted: 0, 0, 100s -> ceil(0.5*3)=2nd order stat = 0
+    assert sm == {"n_sessions": 3, "median_duration_us": 0}
