@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 159 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (128) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 160 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (129) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
@@ -433,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_fingerprint": domains.source_fingerprint,
         "nation_revenue_share": rel.nation_revenue_share,
         "cust_order_gap_histogram": rel.cust_order_gap_histogram,
+        "cust_revenue_deciles": rel.cust_revenue_deciles,
         "embedding_label_quality": similarity.embedding_label_quality,
         "cap_docs_per_source": domains.cap_docs_per_source,
         "domain_mix_sample": domains.domain_mix_sample,
@@ -2038,6 +2039,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(day AS BIGINT) AS day,
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM e GROUP BY day ORDER BY day
+        """,
+        "cust_revenue_deciles": """
+            -- Lorenz table: customers NTILE(10)-ranked by lifetime spend
+            -- (ties broken by custkey), per-decile revenue share in ppm
+            WITH r AS (
+              SELECT o_custkey,
+                     SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+              FROM orders GROUP BY o_custkey),
+            t AS (
+              SELECT cents,
+                     ntile(10) OVER (ORDER BY cents, o_custkey) AS tile
+              FROM r),
+            s AS (
+              SELECT tile, COUNT(*) AS n_cust, SUM(cents) AS revenue_cents
+              FROM t GROUP BY tile),
+            tot AS (SELECT SUM(cents) AS tc FROM r)
+            SELECT CAST(tile AS BIGINT) AS tile,
+                   CAST(n_cust AS BIGINT) AS n_cust,
+                   CAST(revenue_cents AS BIGINT) AS revenue_cents,
+                   CAST(revenue_cents * 1000000 // tc AS BIGINT) AS share_ppm,
+                   CAST(SUM(revenue_cents) OVER (ORDER BY tile
+                          ROWS UNBOUNDED PRECEDING) * 1000000 // tc
+                     AS BIGINT) AS cum_share_ppm
+            FROM s, tot ORDER BY tile
         """,
         "events_session_duration_median": """
             -- sessionize (30-min gap) composed with the engine's exact

@@ -197,6 +197,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "source_fingerprint": domains.source_fingerprint,
         "events_audience_overlap": windows.audience_overlap,
         "events_session_duration_median": windows.session_duration_median,
+        "cust_revenue_deciles": rel.cust_revenue_deciles,
     }
     # round-5 real-codec media paths (PNG inflate+unfilter, baseline JPEG
     # Huffman+IDCT in the actor pool).  PNG runs the FULL media corpus;

@@ -3312,3 +3312,136 @@ def cust_order_gap_histogram(sf_dir: str):
             "n": pa.array([r["n"] for r in rows], pa.int64()),
         }
     )
+
+
+REV_DECILE_TILES = 10
+REV_DECILE_BUCKET_CENTS = 1_000_000  # $10k coarse ranking buckets
+
+
+def cust_revenue_deciles(sf_dir: str):
+    """Revenue-concentration (Lorenz) table: customers NTILE(10)-ranked by
+    lifetime spend, with each decile's headcount, revenue, share and
+    cumulative share in exact ppm — the "top decile drives X% of revenue"
+    report.
+
+    Scale shape: per-customer spend via one partial+global exchange; the
+    global NTILE uses the ``bucket_rank_offsets`` stitch (coarse floor
+    buckets of cents, driver sees ONE row per nonempty bucket, never
+    per-customer state); each bucket kernel lexsorts its own customers by
+    (cents, custkey) — SQL's NTILE ORDER BY tie-break — and immediately
+    folds to per-(bucket, tile) partials, so the final exchange is
+    tile-grain.  Shares are computed on the driver over 10 rows in Python
+    big ints (cents * 10^6 exceeds int64 at warehouse scale; the oracle's
+    HUGEINT does the same).  Partitioning assumption: no single $10k
+    revenue bucket dominates (shrink REV_DECILE_BUCKET_CENTS if one
+    does)."""
+    import pandas as pd
+
+    from ..functions.core import bucket_rank_offsets
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    rev = _partial_then_global(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"],
+        ["cents"],
+    ).materialize()
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        v = batch["cents"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(v // REV_DECILE_BUCKET_CENTS)
+        return pa.table(
+            {
+                "bucket": pa.array(uniq.astype(np.int64)),
+                "cnt": pa.array(np.bincount(codes).astype(np.int64)),
+            }
+        )
+
+    offsets, totals = bucket_rank_offsets(
+        _partial_then_global(
+            rev.map_batches(bucket_counts, batch_format="pyarrow"),
+            ["bucket"],
+            ["cnt"],
+        ),
+        [],
+        "bucket",
+    )
+    out_schema = pa.schema(
+        [
+            ("tile", pa.int64()),
+            ("n_cust", pa.int64()),
+            ("revenue_cents", pa.int64()),
+            ("share_ppm", pa.int64()),
+            ("cum_share_ppm", pa.int64()),
+        ]
+    )
+    n_total = totals.get((), 0)
+    if n_total == 0:
+        return out_schema.empty_table()
+    q, r = divmod(n_total, REV_DECILE_TILES)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        v = batch["cents"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(v // REV_DECILE_BUCKET_CENTS)
+        )
+
+    def tile_partials(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["cents"].to_numpy(dtype=np.int64)
+        ck = g["o_custkey"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ck, c))
+        c = c[order]
+        base = offsets[(int(g["bucket"].iloc[0]),)]
+        rank = base + np.arange(1, len(g) + 1, dtype=np.int64)
+        if q == 0:
+            tile = rank
+        else:
+            head = (q + 1) * r
+            tile = np.where(
+                rank <= head,
+                (rank - 1) // (q + 1) + 1,
+                r + (rank - 1 - head) // q + 1,
+            ).astype(np.int64)
+        codes, uniq = pd.factorize(tile)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, codes, c)
+        return pd.DataFrame(
+            {
+                "tile": uniq.astype(np.int64),
+                "n_cust": np.bincount(codes).astype(np.int64),
+                "revenue_cents": s,
+            }
+        )
+
+    tiles = _partial_then_global(
+        rev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(tile_partials, batch_format="pandas"),
+        ["tile"],
+        ["n_cust", "revenue_cents"],
+    )
+    rows = sorted(tiles.take_all(), key=lambda t: t["tile"])
+    total_cents = sum(int(t["revenue_cents"]) for t in rows)
+    cum = 0
+    out = []
+    for t in rows:
+        cents = int(t["revenue_cents"])
+        cum += cents
+        out.append(
+            {
+                "tile": int(t["tile"]),
+                "n_cust": int(t["n_cust"]),
+                "revenue_cents": cents,
+                "share_ppm": cents * 1_000_000 // total_cents,
+                "cum_share_ppm": cum * 1_000_000 // total_cents,
+            }
+        )
+    return pa.Table.from_pylist(out, schema=out_schema)

@@ -927,3 +927,53 @@ def test_audience_overlap_and_session_median_degenerate(ray_session, tmp_path):
     # sessions: user1 [0,100s], user1 [4000s] (0), user2 [0] (0)
     # durations sorted: 0, 0, 100s -> ceil(0.5*3)=2nd order stat = 0
     assert sm == {"n_sessions": 3, "median_duration_us": 0}
+
+
+def test_cust_revenue_deciles_degenerate(ray_session, tmp_path):
+    """cust_revenue_deciles with fewer customers than tiles (SQL NTILE
+    gives one row per tile 1..n) and on an empty orders table (typed
+    empty result)."""
+    import pyarrow.parquet as pq
+
+    import layout_analysis_ray.pipelines.relational as rel
+
+    schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderstatus", pa.string()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+    d = tmp_path / "tiny"
+    d.mkdir()
+    ts = pa.scalar(0, pa.timestamp("us"))
+    rows = [
+        {"o_orderkey": 1, "o_custkey": 1, "o_orderstatus": "O",
+         "o_totalprice": 10.0, "o_orderdate": ts, "o_orderpriority": "1"},
+        {"o_orderkey": 2, "o_custkey": 1, "o_orderstatus": "O",
+         "o_totalprice": 30.0, "o_orderdate": ts, "o_orderpriority": "1"},
+        {"o_orderkey": 3, "o_custkey": 2, "o_orderstatus": "O",
+         "o_totalprice": 60.0, "o_orderdate": ts, "o_orderpriority": "1"},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   str(d / "orders.parquet"))
+    got = rel.cust_revenue_deciles(str(d)).to_pylist()
+    # customers: cust1=4000c, cust2=6000c -> tiles 1 and 2 (n<k: tile=rank)
+    assert got == [
+        {"tile": 1, "n_cust": 1, "revenue_cents": 4000,
+         "share_ppm": 400_000, "cum_share_ppm": 400_000},
+        {"tile": 2, "n_cust": 1, "revenue_cents": 6000,
+         "share_ppm": 600_000, "cum_share_ppm": 1_000_000},
+    ]
+
+    empty = tmp_path / "empty_ord"
+    empty.mkdir()
+    pq.write_table(schema.empty_table(), str(empty / "orders.parquet"))
+    res = rel.cust_revenue_deciles(str(empty))
+    assert res.num_rows == 0
+    assert res.column_names == [
+        "tile", "n_cust", "revenue_cents", "share_ppm", "cum_share_ppm",
+    ]
