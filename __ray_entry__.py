@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 160 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (129) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 162 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (131) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
@@ -431,9 +431,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_audience_overlap": windows.audience_overlap,
         "events_session_duration_median": windows.session_duration_median,
         "source_fingerprint": domains.source_fingerprint,
+        "documents_assertions": domains.documents_assertions,
         "nation_revenue_share": rel.nation_revenue_share,
         "cust_order_gap_histogram": rel.cust_order_gap_histogram,
         "cust_revenue_deciles": rel.cust_revenue_deciles,
+        "cust_rfm_segments": rel.cust_rfm_segments,
         "embedding_label_quality": similarity.embedding_label_quality,
         "cap_docs_per_source": domains.cap_docs_per_source,
         "domain_mix_sample": domains.domain_mix_sample,
@@ -2039,6 +2041,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(day AS BIGINT) AS day,
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM e GROUP BY day ORDER BY day
+        """,
+        "documents_assertions": """
+            -- dbt-style row-level assertions: fixed six-row violation
+            -- report (zeroes included) over the documents table
+            WITH dup AS (
+              SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS v FROM (
+                SELECT COUNT(*) AS cnt FROM documents
+                WHERE doc_id IS NOT NULL
+                GROUP BY doc_id HAVING COUNT(*) > 1))
+            SELECT 'dup_doc_id_rows' AS check_name, v AS n_violations
+            FROM dup
+            UNION ALL SELECT 'empty_text',
+              CAST(COUNT(*) FILTER (WHERE text = '') AS BIGINT)
+              FROM documents
+            UNION ALL SELECT 'n_chars_mismatch',
+              CAST(COUNT(*) FILTER (WHERE text IS NOT NULL
+                   AND length(text) != n_chars) AS BIGINT)
+              FROM documents
+            UNION ALL SELECT 'null_doc_id',
+              CAST(COUNT(*) FILTER (WHERE doc_id IS NULL) AS BIGINT)
+              FROM documents
+            UNION ALL SELECT 'null_source',
+              CAST(COUNT(*) FILTER (WHERE source IS NULL) AS BIGINT)
+              FROM documents
+            UNION ALL SELECT 'null_text',
+              CAST(COUNT(*) FILTER (WHERE text IS NULL) AS BIGINT)
+              FROM documents
+            ORDER BY check_name
+        """,
+        "cust_rfm_segments": """
+            -- RFM terciles, value-boundary convention (tier = 1 +
+            -- boundaries strictly below; ceil(q*n) order-stat boundaries)
+            WITH c AS (
+              SELECT o_custkey,
+                     max(epoch_us(o_orderdate) // 86400000000) AS r,
+                     CAST(COUNT(*) AS BIGINT) AS f,
+                     SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS m
+              FROM orders GROUP BY o_custkey),
+            n AS (SELECT COUNT(*) AS n FROM c),
+            rr AS (SELECT r AS v, row_number() OVER (ORDER BY r) AS rn FROM c),
+            ff AS (SELECT f AS v, row_number() OVER (ORDER BY f) AS rn FROM c),
+            mm AS (SELECT m AS v, row_number() OVER (ORDER BY m) AS rn FROM c),
+            b AS (SELECT
+              (SELECT v FROM rr, n WHERE rn = (333333*n.n+999999)//1000000) AS rb1,
+              (SELECT v FROM rr, n WHERE rn = (666667*n.n+999999)//1000000) AS rb2,
+              (SELECT v FROM ff, n WHERE rn = (333333*n.n+999999)//1000000) AS fb1,
+              (SELECT v FROM ff, n WHERE rn = (666667*n.n+999999)//1000000) AS fb2,
+              (SELECT v FROM mm, n WHERE rn = (333333*n.n+999999)//1000000) AS mb1,
+              (SELECT v FROM mm, n WHERE rn = (666667*n.n+999999)//1000000) AS mb2)
+            SELECT
+              CAST(1 + CAST(c.r > b.rb1 AS INT)
+                     + CAST(c.r > b.rb2 AS INT) AS BIGINT) AS r_tier,
+              CAST(1 + CAST(c.f > b.fb1 AS INT)
+                     + CAST(c.f > b.fb2 AS INT) AS BIGINT) AS f_tier,
+              CAST(1 + CAST(c.m > b.mb1 AS INT)
+                     + CAST(c.m > b.mb2 AS INT) AS BIGINT) AS m_tier,
+              CAST(COUNT(*) AS BIGINT) AS n_cust
+            FROM c, b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "cust_revenue_deciles": """
             -- Lorenz table: customers NTILE(10)-ranked by lifetime spend

@@ -198,6 +198,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_audience_overlap": windows.audience_overlap,
         "events_session_duration_median": windows.session_duration_median,
         "cust_revenue_deciles": rel.cust_revenue_deciles,
+        "cust_rfm_segments": rel.cust_rfm_segments,
+        "documents_assertions": domains.documents_assertions,
     }
     # round-5 real-codec media paths (PNG inflate+unfilter, baseline JPEG
     # Huffman+IDCT in the actor pool).  PNG runs the FULL media corpus;

@@ -608,3 +608,125 @@ def source_fingerprint(sf_dir: str):
     if not rows:
         return _FINGERPRINT_SCHEMA.empty_table()
     return pa.Table.from_pylist(rows, schema=_FINGERPRINT_SCHEMA)
+
+
+_ASSERT_CHECKS = (
+    "dup_doc_id_rows",
+    "empty_text",
+    "n_chars_mismatch",
+    "null_doc_id",
+    "null_source",
+    "null_text",
+)
+_ASSERT_SCHEMA = pa.schema(
+    [("check_name", pa.string()), ("n_violations", pa.int64())]
+)
+_DUP_KIND = 1
+
+
+def documents_assertions(sf_dir: str):
+    """Row-level data-quality assertions over the documents table — the
+    dbt-test / expectation-suite staple: six constraint checks (primary
+    key not null + unique, text/source not null, text non-empty, the
+    n_chars column consistent with length(text)) reduced to one
+    violation count per check.  The fixed six-row report is always
+    emitted (zeroes included) so a scheduler can diff runs.
+
+    Scale shape: ONE fused corpus scan computes every map-only counter
+    per batch AND the (doc_id, count) partials the uniqueness check
+    needs (tagged rows sharing a (kind, key, n) schema); the only
+    row-proportional exchange is the id-grain dedup groupby, whose
+    output folds DISTRIBUTED to one duplicate-rows partial per block —
+    the driver sees six rows."""
+    import pyarrow.compute as pc
+
+    from .core import partial_then_global
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "source", "n_chars"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        valid_text = pc.is_valid(text)
+        n_null_text = batch.num_rows - pc.sum(valid_text).as_py()
+        n_empty = pc.sum(
+            pc.and_(valid_text, pc.equal(pc.fill_null(text, "\x00"), ""))
+        ).as_py()
+        mlen = pc.utf8_length(pc.fill_null(text, ""))
+        n_mismatch = pc.sum(
+            pc.and_(valid_text, pc.not_equal(mlen, batch["n_chars"]))
+        ).as_py()
+        n_null_id = batch.num_rows - pc.sum(pc.is_valid(batch["doc_id"])).as_py()
+        n_null_src = (
+            batch.num_rows - pc.sum(pc.is_valid(batch["source"])).as_py()
+        )
+        counters = {
+            "empty_text": n_empty,
+            "n_chars_mismatch": n_mismatch,
+            "null_doc_id": n_null_id,
+            "null_source": n_null_src,
+            "null_text": n_null_text,
+        }
+        ids = batch["doc_id"].drop_null().to_numpy(zero_copy_only=False)
+        u, c = np.unique(ids, return_counts=True)
+        kind = np.concatenate(
+            [
+                np.zeros(len(counters), dtype=np.int64),
+                np.full(len(u), _DUP_KIND, dtype=np.int64),
+            ]
+        )
+        key = np.concatenate(
+            [
+                np.array(
+                    [_ASSERT_CHECKS.index(k) for k in counters], dtype=np.int64
+                ),
+                u.astype(np.int64),
+            ]
+        )
+        n = np.concatenate(
+            [
+                np.array(list(counters.values()), dtype=np.int64),
+                c.astype(np.int64),
+            ]
+        )
+        return pa.table(
+            {
+                "kind": pa.array(kind),
+                "key": pa.array(key),
+                "n": pa.array(n),
+            }
+        )
+
+    agg = partial_then_global(
+        ds.map_batches(prep, batch_format="pyarrow"), ["kind", "key"], ["n"]
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        kind = batch["kind"].to_numpy(zero_copy_only=False)
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        dup_mask = kind == _DUP_KIND
+        dup_rows = int(n[dup_mask & (n > 1)].sum())
+        keep = ~dup_mask
+        return pa.table(
+            {
+                "key": pa.array(
+                    np.concatenate([key[keep], [0]]).astype(np.int64)
+                ),
+                "n": pa.array(
+                    np.concatenate([n[keep], [dup_rows]]).astype(np.int64)
+                ),
+            }
+        )
+
+    final = partial_then_global(
+        agg.map_batches(fold, batch_format="pyarrow"), ["key"], ["n"]
+    )
+    got = {int(r["key"]): int(r["n"]) for r in final.take_all()}
+    return pa.table(
+        {
+            "check_name": pa.array(list(_ASSERT_CHECKS), pa.string()),
+            "n_violations": pa.array(
+                [got.get(i, 0) for i in range(len(_ASSERT_CHECKS))], pa.int64()
+            ),
+        }
+    )

@@ -3445,3 +3445,127 @@ def cust_revenue_deciles(sf_dir: str):
             }
         )
     return pa.Table.from_pylist(out, schema=out_schema)
+
+
+RFM_Q1_PPM = 333_333
+RFM_Q2_PPM = 666_667
+
+
+def cust_rfm_segments(sf_dir: str):
+    """RFM segmentation — the classic CRM cut: every customer scored on
+    Recency (last order epoch-day), Frequency (order count) and Monetary
+    (lifetime cents), each metric split into value-boundary terciles
+    (the engine's events_value_quartile convention: tier = 1 + number of
+    exact-quantile boundaries strictly below the value — NOT positional
+    NTILE, so ties share a tier), and the corpus reduced to the <= 27
+    (r_tier, f_tier, m_tier) segment headcounts.
+
+    Scale shape: per-customer (r, f, m) via map-side Arrow group_by
+    partials and one custkey exchange (Sum/Sum/Max merge), materialized
+    as a 32 B/customer narrow table; the six tercile boundaries come
+    from ONE ``grouped_quantile`` narrowing per quantile over the table
+    melted to (metric, value) — all three metrics advance in the same
+    histogram passes; the assignment pass is a map-only compare against
+    six broadcast ints folding straight to segment partials, so the
+    final exchange is <= 27 rows."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+
+    from ..functions.quantiles import grouped_quantile
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        days = (
+            batch["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+            // 86_400_000_000
+        )
+        t = pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "cents": _cents(batch["o_totalprice"]),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "day": pa.array(days, pa.int64()),
+            }
+        )
+        out = t.group_by(["o_custkey"]).aggregate(
+            [("cents", "sum"), ("n", "sum"), ("day", "max")]
+        )
+        return out.rename_columns(["o_custkey", "m", "f", "r"])
+
+    cust = (
+        orders.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("m", alias_name="m"), Sum("f", alias_name="f"),
+                   Max("r", alias_name="r"))
+        .materialize()
+    )
+
+    def melt(batch: pa.Table) -> pa.Table:
+        parts = []
+        for g in ("r", "f", "m"):
+            parts.append(
+                pa.table(
+                    {
+                        "g": pa.array(
+                            np.full(batch.num_rows, g, dtype=object), pa.string()
+                        ),
+                        "v": pc.cast(batch[g], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def make_ds():
+        return cust.map_batches(melt, batch_format="pyarrow")
+
+    from ray.data.aggregate import Count, Min
+
+    stats_rows = (
+        make_ds().groupby("g").aggregate(Min("v"), Max("v"), Count()).take_all()
+    )
+    out_schema = pa.schema(
+        [
+            ("r_tier", pa.int64()),
+            ("f_tier", pa.int64()),
+            ("m_tier", pa.int64()),
+            ("n_cust", pa.int64()),
+        ]
+    )
+    if not stats_rows:
+        return out_schema.empty_table()
+    b1 = grouped_quantile(make_ds, RFM_Q1_PPM, _stats_rows=stats_rows)
+    b2 = grouped_quantile(make_ds, RFM_Q2_PPM, _stats_rows=stats_rows)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        tiers = {}
+        for g in ("r", "f", "m"):
+            v = pc.cast(batch[g], pa.int64()).to_numpy(zero_copy_only=False)
+            tiers[g] = 1 + (v > b1[g]).astype(np.int64) + (v > b2[g])
+        code = (tiers["r"] - 1) * 9 + (tiers["f"] - 1) * 3 + (tiers["m"] - 1)
+        codes, uniq = pd.factorize(code)
+        n = np.bincount(codes).astype(np.int64)
+        uniq = uniq.astype(np.int64)
+        return pa.table(
+            {
+                "r_tier": pa.array(uniq // 9 + 1, pa.int64()),
+                "f_tier": pa.array(uniq % 9 // 3 + 1, pa.int64()),
+                "m_tier": pa.array(uniq % 3 + 1, pa.int64()),
+                "n_cust": pa.array(n, pa.int64()),
+            }
+        )
+
+    seg = _partial_then_global(
+        cust.map_batches(assign, batch_format="pyarrow"),
+        ["r_tier", "f_tier", "m_tier"],
+        ["n_cust"],
+    )
+    rows = sorted(
+        seg.take_all(), key=lambda t: (t["r_tier"], t["f_tier"], t["m_tier"])
+    )
+    return pa.Table.from_pylist(rows, schema=out_schema)

@@ -977,3 +977,107 @@ def test_cust_revenue_deciles_degenerate(ray_session, tmp_path):
     assert res.column_names == [
         "tile", "n_cust", "revenue_cents", "share_ppm", "cum_share_ppm",
     ]
+
+
+def test_documents_assertions_planted_violations(ray_session, tmp_path):
+    """Every assertion fires on a planted-violation corpus with the exact
+    expected count, and the empty corpus still emits the fixed six-row
+    all-zero report (schedulers diff the report between runs)."""
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.domains import documents_assertions
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+
+    def doc(i, text, src="s", n_chars=None):
+        return {
+            "doc_id": i,
+            "text": text,
+            "lang": "en",
+            "source": src,
+            "n_chars": len(text) if n_chars is None and text is not None
+            else (n_chars if n_chars is not None else 0),
+        }
+
+    rows = [
+        doc(1, "ok"),
+        doc(1, "dup of 1"),          # 2 rows share doc_id 1
+        doc(1, "also dup of 1"),     # -> dup_doc_id_rows = 3
+        doc(2, ""),                  # empty_text = 1
+        doc(3, "abc", n_chars=99),   # n_chars_mismatch = 1
+        doc(None, "no id"),          # null_doc_id = 1
+        doc(4, "no src", src=None),  # null_source = 1
+        doc(5, None, n_chars=0),     # null_text = 1 (mismatch NOT counted)
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   str(d / "documents.parquet"))
+    got = {r["check_name"]: r["n_violations"]
+           for r in documents_assertions(str(d)).to_pylist()}
+    assert got == {
+        "dup_doc_id_rows": 3,
+        "empty_text": 1,
+        "n_chars_mismatch": 1,
+        "null_doc_id": 1,
+        "null_source": 1,
+        "null_text": 1,
+    }
+
+    empty = tmp_path / "empty_docs2"
+    empty.mkdir()
+    pq.write_table(schema.empty_table(), str(empty / "documents.parquet"))
+    got = {r["check_name"]: r["n_violations"]
+           for r in documents_assertions(str(empty)).to_pylist()}
+    assert got == {k: 0 for k in got} and len(got) == 6
+
+
+def test_cust_rfm_segments_degenerate(ray_session, tmp_path):
+    """RFM on an empty orders table returns the typed empty segment
+    table; a single customer lands in tier (1,1,1) with headcount 1
+    (every boundary equals its only value, and the strictly-below rule
+    puts it in tier 1)."""
+    import pyarrow.parquet as pq
+
+    import layout_analysis_ray.pipelines.relational as rel
+
+    schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderstatus", pa.string()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+    empty = tmp_path / "empty_rfm"
+    empty.mkdir()
+    pq.write_table(schema.empty_table(), str(empty / "orders.parquet"))
+    res = rel.cust_rfm_segments(str(empty))
+    assert res.num_rows == 0
+    assert res.column_names == ["r_tier", "f_tier", "m_tier", "n_cust"]
+
+    one = tmp_path / "one_rfm"
+    one.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"o_orderkey": 1, "o_custkey": 7, "o_orderstatus": "O",
+              "o_totalprice": 10.0,
+              "o_orderdate": pa.scalar(0, pa.timestamp("us")),
+              "o_orderpriority": "1"}],
+            schema=schema,
+        ),
+        str(one / "orders.parquet"),
+    )
+    assert rel.cust_rfm_segments(str(one)).to_pylist() == [
+        {"r_tier": 1, "f_tier": 1, "m_tier": 1, "n_cust": 1}
+    ]
