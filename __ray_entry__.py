@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 162 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (131) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 164 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (133) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
@@ -436,6 +436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_order_gap_histogram": rel.cust_order_gap_histogram,
         "cust_revenue_deciles": rel.cust_revenue_deciles,
         "cust_rfm_segments": rel.cust_rfm_segments,
+        "orders_mom_growth": rel.orders_mom_growth,
+        "events_hourly_spike_by_type": windows.hourly_spike_by_type,
         "embedding_label_quality": similarity.embedding_label_quality,
         "cap_docs_per_source": domains.cap_docs_per_source,
         "domain_mix_sample": domains.domain_mix_sample,
@@ -2041,6 +2043,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(day AS BIGINT) AS day,
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM e GROUP BY day ORDER BY day
+        """,
+        "orders_mom_growth": """
+            -- month-over-month revenue growth (signed ppm, trunc //),
+            -- LAG over the month-grain aggregate; first month NULL
+            WITH m AS (
+              SELECT year(o_orderdate) * 100 + month(o_orderdate) AS yyyymm,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS revenue_cents
+              FROM orders GROUP BY 1)
+            SELECT CAST(yyyymm AS BIGINT) AS yyyymm, n_orders,
+                   CAST(revenue_cents AS BIGINT) AS revenue_cents,
+                   CAST((revenue_cents - lag(revenue_cents)
+                           OVER (ORDER BY yyyymm)) * 1000000
+                        // lag(revenue_cents) OVER (ORDER BY yyyymm)
+                     AS BIGINT) AS growth_ppm
+            FROM m ORDER BY yyyymm
+        """,
+        "events_hourly_spike_by_type": """
+            -- screaming-sensor report: hottest hour vs mean hourly rate
+            WITH h AS (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+                     COUNT(*) AS n
+              FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2)
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   CAST(MAX(n) AS BIGINT) AS max_hour_n,
+                   CAST(SUM(n) AS BIGINT) AS total_n,
+                   CAST(MAX(n) * 1000000 * COUNT(*) // SUM(n) AS BIGINT)
+                     AS spike_ratio_ppm
+            FROM h GROUP BY event_type ORDER BY event_type
         """,
         "documents_assertions": """
             -- dbt-style row-level assertions: fixed six-row violation

@@ -200,6 +200,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "cust_revenue_deciles": rel.cust_revenue_deciles,
         "cust_rfm_segments": rel.cust_rfm_segments,
         "documents_assertions": domains.documents_assertions,
+        "orders_mom_growth": rel.orders_mom_growth,
+        "events_hourly_spike_by_type": windows.hourly_spike_by_type,
     }
     # round-5 real-codec media paths (PNG inflate+unfilter, baseline JPEG
     # Huffman+IDCT in the actor pool).  PNG runs the FULL media corpus;

@@ -2375,3 +2375,87 @@ def session_duration_median(sf_dir: str):
             "median_duration_us": pa.array([value], pa.int64()),
         }
     )
+
+
+def hourly_spike_by_type(sf_dir: str):
+    """Traffic-spike report per event type: the hottest hour's count vs
+    the type's mean hourly count, in exact ppm — the monitoring-alert
+    sibling of ``missing_hours_by_type`` (silent sensor vs screaming
+    sensor).
+
+    Scale shape: the tumbling-window exchange ((type, hour) partials,
+    map-side combined) followed by a type-grain Max/Sum/Count fold — the
+    driver sees one row per type.  ``spike_ratio_ppm`` = max_hour_n *
+    10^6 * n_hours // total_n (all non-negative: floor == trunc)."""
+    from ray.data.aggregate import Max, Sum
+
+    from .core import partial_then_global
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["event_type"]))
+        hour = pc.divide(
+            batch["ts"].cast(pa.int64()), pa.scalar(HOUR_US, pa.int64())
+        )
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "epoch_hour": pc.cast(hour, pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    hours = partial_then_global(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "epoch_hour"],
+        ["n"],
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "n_hours": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+                "max_hour_n": batch["n"],
+                "total_n": batch["n"],
+            }
+        )
+
+    agg = (
+        hours.map_batches(widen, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_hours", alias_name="n_hours"),
+            Max("max_hour_n", alias_name="max_hour_n"),
+            Sum("total_n", alias_name="total_n"),
+        )
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["event_type"])
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n_hours", pa.int64()),
+            ("max_hour_n", pa.int64()),
+            ("total_n", pa.int64()),
+            ("spike_ratio_ppm", pa.int64()),
+        ]
+    )
+    out = [
+        {
+            "event_type": r["event_type"],
+            "n_hours": int(r["n_hours"]),
+            "max_hour_n": int(r["max_hour_n"]),
+            "total_n": int(r["total_n"]),
+            "spike_ratio_ppm": int(r["max_hour_n"])
+            * 1_000_000
+            * int(r["n_hours"])
+            // int(r["total_n"]),
+        }
+        for r in rows
+    ]
+    if not out:
+        return schema.empty_table()
+    return pa.Table.from_pylist(out, schema=schema)

@@ -3569,3 +3569,66 @@ def cust_rfm_segments(sf_dir: str):
         seg.take_all(), key=lambda t: (t["r_tier"], t["f_tier"], t["m_tier"])
     )
     return pa.Table.from_pylist(rows, schema=out_schema)
+
+
+def orders_mom_growth(sf_dir: str):
+    """Month-over-month growth report: per calendar month (yyyymm),
+    order count, exact revenue cents, and signed growth vs the PREVIOUS
+    PRESENT month in ppm — the standard finance trendline (SQL LAG over
+    the month-grain aggregate).
+
+    Scale shape: the month key is derived map-side so the only exchange
+    moves (yyyymm, n, cents) partials; the lag/ratio fold runs on the
+    driver over the span-bounded month table (a century is 1,200 rows).
+    Growth uses TRUNCATING division (DuckDB ``//`` on signed values);
+    the first month's growth is NULL."""
+    from ..functions.stats import _trunc_div
+
+    orders = _read(sf_dir, "orders", columns=["o_totalprice", "o_orderdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mi = (
+            batch["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[M]")
+            .astype(np.int64)
+        )
+        ym = (1970 + mi // 12) * 100 + mi % 12 + 1
+        return pa.table(
+            {
+                "yyyymm": pa.array(ym, pa.int64()),
+                "n_orders": pa.array(np.ones(len(ym), dtype=np.int64)),
+                "revenue_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    agg = _partial_then_global(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["yyyymm"],
+        ["n_orders", "revenue_cents"],
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["yyyymm"])
+    out = {
+        "yyyymm": [],
+        "n_orders": [],
+        "revenue_cents": [],
+        "growth_ppm": [],
+    }
+    prev = None
+    for r in rows:
+        cents = int(r["revenue_cents"])
+        out["yyyymm"].append(int(r["yyyymm"]))
+        out["n_orders"].append(int(r["n_orders"]))
+        out["revenue_cents"].append(cents)
+        out["growth_ppm"].append(
+            None if prev is None else _trunc_div((cents - prev) * 1_000_000, prev)
+        )
+        prev = cents
+    return pa.table(
+        {
+            "yyyymm": pa.array(out["yyyymm"], pa.int64()),
+            "n_orders": pa.array(out["n_orders"], pa.int64()),
+            "revenue_cents": pa.array(out["revenue_cents"], pa.int64()),
+            "growth_ppm": pa.array(out["growth_ppm"], pa.int64()),
+        }
+    )
