@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 164 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (133) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 165 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (134) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
@@ -418,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_stats": text.pii_stats,
         "doc_redact_terms": text.redact_pattern,
         "decontaminate_ngrams": dedup.decontaminate_ngrams,
+        "dedup_keep_best": dedup.dedup_keep_best,
         # source-level corpus composition (domain scorecard + balancing)
         "source_quality_report": domains.source_quality_report,
         "source_quality_floor_keep": domains.source_quality_floor_keep,
@@ -1234,6 +1235,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
                    COUNT(*) AS n_dups
             FROM documents GROUP BY md5(text)
+        """,
+        "dedup_keep_best": f"""
+            -- keep the highest-quality duplicate (ties by min doc_id);
+            -- quality_ppm is the doc_quality oracle expression verbatim
+            WITH c AS (
+              SELECT doc_id, md5(text) AS content_hash,
+                len({_TOKS}) AS n_tokens,
+                len(list_filter({_TOKS}, w -> w IN {_STOPS})) AS n_stop,
+                length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                  AS n_alpha,
+                length(text) AS n_chars
+              FROM documents),
+            q AS (
+              SELECT doc_id, content_hash,
+                (4 * least(n_tokens * 10000, 1000000)
+                 + 3 * (CASE WHEN n_tokens > 0
+                        THEN (n_stop * 1000000) // n_tokens ELSE 0 END)
+                 + 3 * (CASE WHEN n_chars > 0
+                        THEN (n_alpha * 1000000) // n_chars ELSE 0 END))
+                // 10 AS quality_ppm
+              FROM c),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY content_hash
+                          ORDER BY quality_ppm DESC, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY content_hash) AS n_dups
+              FROM q)
+            SELECT content_hash, doc_id,
+                   CAST(quality_ppm AS BIGINT) AS quality_ppm,
+                   CAST(n_dups AS BIGINT) AS n_dups
+            FROM r WHERE rn = 1
         """,
         "doc_pii_stats": """
             -- the synthetic corpus is PII-free, so every count is zero

@@ -202,6 +202,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "documents_assertions": domains.documents_assertions,
         "orders_mom_growth": rel.orders_mom_growth,
         "events_hourly_spike_by_type": windows.hourly_spike_by_type,
+        "dedup_keep_best": dedup.dedup_keep_best,
     }
     # round-5 real-codec media paths (PNG inflate+unfilter, baseline JPEG
     # Huffman+IDCT in the actor pool).  PNG runs the FULL media corpus;

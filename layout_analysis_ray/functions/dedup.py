@@ -1556,3 +1556,79 @@ def dedup_editdistance_pairs(sf_dir: str, broadcast_max_keys: int | None = None)
         .map_groups(pairs_kernel, batch_format="pandas"),
         schema,
     )
+
+
+KEEP_BEST_DOCID_BITS = 40
+_KB_MASK = (1 << KEEP_BEST_DOCID_BITS) - 1
+
+
+def dedup_keep_best(sf_dir: str):
+    """Exact dedup that keeps the HIGHEST-QUALITY duplicate per content
+    hash (ties by min doc_id) — what a curation pipeline actually wants:
+    identical text can carry different metadata/provenance, and the
+    keeper should be the best-scored copy, not the first-seen one.
+
+    Scale shape: one fused scan computes hash + quality per batch (the
+    ``corpus_clean_keep`` kernels) and packs (quality_ppm, doc_id) into
+    ONE int64 argmax key — quality_ppm * 2^40 + (2^40 - 1 - doc_id) —
+    so the whole reduce is a NATIVE map-side-combined Max + Count, no
+    ``map_groups`` (one Python call per unique document would be
+    billions of interpreter round trips on a web corpus).  The exchange
+    moves (hash, key) pairs, never text.  Loud guard: doc_id must fit
+    KEEP_BEST_DOCID_BITS (2^40; re-pack with a wider field if a corpus
+    exceeds it)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max
+
+    from .hashing import md5_hex
+    from .text import normalized_flat_tokens, quality_from_tokens
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        parent, toks, n, text_col = normalized_flat_tokens(batch["text"])
+        qual = quality_from_tokens(parent, toks, n, text_col)["quality_ppm"]
+        qual = np.asarray(qual, dtype=np.int64)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(did) and (did.min() < 0 or did.max() > _KB_MASK):
+            raise ValueError(
+                "dedup_keep_best: doc_id outside [0, 2^40) breaks the "
+                "packed argmax key — widen KEEP_BEST_DOCID_BITS"
+            )
+        key = (qual << KEEP_BEST_DOCID_BITS) + (_KB_MASK - did)
+        t = pa.table(
+            {
+                "content_hash": md5_hex(batch["text"]),
+                "key": pa.array(key, pa.int64()),
+                "n": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+        out = t.group_by(["content_hash"]).aggregate(
+            [("key", "max"), ("n", "sum")]
+        )
+        return out.rename_columns(["content_hash", "key", "n"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Max("key", alias_name="key"), Sum("n", alias_name="n"))
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "content_hash": batch["content_hash"],
+                "doc_id": pa.array(
+                    _KB_MASK - (key & _KB_MASK), pa.int64()
+                ),
+                "quality_ppm": pa.array(
+                    key >> KEEP_BEST_DOCID_BITS, pa.int64()
+                ),
+                "n_dups": pc.cast(batch["n"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")

