@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 165 entries); ``oracle_sql()`` gives the
+(SURVEY.md §2 + §8 coverage map: 166 entries); ``oracle_sql()`` gives the
 DuckDB-equivalent SQL for every SQL-expressible query (134) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
@@ -452,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_assign": similarity.ivf_assign,
         "ann_knn_ivf": similarity.knn_ivf,
         "embedding_label_centroids": similarity.label_centroids,
+        "embedding_top_component": similarity.embedding_top_component,
         "embedding_centroid_confusion": similarity.centroid_confusion,
         # evaluation / sampling / sidecar export
         "eval_skew_vs_happy": evaluate.eval_skew_vs_happy,

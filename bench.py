@@ -203,6 +203,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "orders_mom_growth": rel.orders_mom_growth,
         "events_hourly_spike_by_type": windows.hourly_spike_by_type,
         "dedup_keep_best": dedup.dedup_keep_best,
+        "embedding_top_component": similarity.embedding_top_component,
     }
     # round-5 real-codec media paths (PNG inflate+unfilter, baseline JPEG
     # Huffman+IDCT in the actor pool).  PNG runs the FULL media corpus;

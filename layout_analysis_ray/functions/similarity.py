@@ -734,3 +734,112 @@ def embedding_label_quality(sf_dir: str):
         ],
         schema=schema,
     )
+
+
+_GRAM_LIMB = 1 << 31
+
+
+def embedding_top_component(sf_dir: str):
+    """First principal component of the embedding table — the
+    distributed-linear-algebra member of the similarity family (drift
+    monitoring / whitening prep reads this): exact covariance via a
+    DISTRIBUTED integer Gram matrix, eigendecomposition on the driver's
+    d x d result.
+
+    Scale shape: the label_centroids trick lifted to second moments —
+    every element is converted to int64 fixed-point ppm FIRST, so the
+    per-batch Gram partial ``fp.T @ fp`` and column sums are exact
+    integers and the cross-block merge is associative (float sums are
+    order-dependent; integer sums make the result partition-invariant,
+    bit-for-bit).  Partials travel as d^2 + d + 1 rows of 31-bit limbs
+    (one guard bounds rows x maxfp^2 per batch); the driver reconstructs
+    the exact integer moments in Python big ints, forms the covariance
+    in float64 ONCE, and runs ``eigh`` on the d x d matrix.  Sign
+    convention: the largest-|component| entry is made positive (first
+    index on ties).  Output is d rows (dim, pc1_ppm, explained_ppm) —
+    driver-bounded, typed.  Not SQL-expressible (eig); gated by the
+    exact-replication pytest."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    from .core import partial_then_global
+
+    ds = _read_emb(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        fp = _fp_ppm(m)
+        n, d = fp.shape if fp.ndim == 2 else (0, 0)
+        if n == 0:
+            return pa.schema(
+                [
+                    ("i", pa.int64()),
+                    ("j", pa.int64()),
+                    ("hi", pa.int64()),
+                    ("lo", pa.int64()),
+                ]
+            ).empty_table()
+        amax = int(np.abs(fp).max())
+        if amax > 2_000_000 or n * amax * amax > (1 << 62):
+            raise ValueError(
+                "gram partial would overflow int64: "
+                f"max |fp|={amax}, rows={n} — shrink batches"
+            )
+        g = fp.T @ fp  # exact int64 (guarded)
+        s = fp.sum(axis=0)
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        vals = np.concatenate([g.ravel(), s, [np.int64(n)]])
+        i = np.concatenate([ii.ravel(), np.arange(d), [-1]]).astype(np.int64)
+        j = np.concatenate(
+            [jj.ravel(), np.full(d, -1), [-1]]
+        ).astype(np.int64)
+        # signed 31-bit limb split (floor division keeps lo non-negative)
+        return pa.table(
+            {
+                "i": pa.array(i),
+                "j": pa.array(j),
+                "hi": pa.array(vals // _GRAM_LIMB, pa.int64()),
+                "lo": pa.array(vals % _GRAM_LIMB, pa.int64()),
+            }
+        )
+
+    rows = partial_then_global(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["i", "j"],
+        ["hi", "lo"],
+    ).take_all()  # d^2 + d + 1 rows — driver-bounded
+    out_schema = pa.schema(
+        [
+            ("dim", pa.int64()),
+            ("pc1_ppm", pa.int64()),
+            ("explained_ppm", pa.int64()),
+        ]
+    )
+    if not rows:
+        return out_schema.empty_table()
+    vals = {
+        (int(r["i"]), int(r["j"])): int(r["hi"]) * _GRAM_LIMB + int(r["lo"])
+        for r in rows
+    }
+    n = vals[(-1, -1)]
+    d = max(i for i, _ in vals) + 1
+    g = np.array(
+        [[float(vals[(i, j)]) for j in range(d)] for i in range(d)]
+    )
+    s = np.array([float(vals[(i, -1)]) for i in range(d)])
+    cov = (g * n - np.outer(s, s)) / (float(n) * n)
+    w, v = np.linalg.eigh(cov)
+    pc1 = v[:, -1]
+    k = int(np.argmax(np.abs(pc1)))
+    if pc1[k] < 0:
+        pc1 = -pc1
+    tr = float(np.trace(cov))
+    explained = int(round(float(w[-1]) / tr * 1_000_000)) if tr > 0 else 0
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "pc1_ppm": pa.array(_fp_ppm(pc1), pa.int64()),
+            "explained_ppm": pa.array(
+                np.full(d, explained, dtype=np.int64)
+            ),
+        }
+    )

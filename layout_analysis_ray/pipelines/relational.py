@@ -3521,8 +3521,17 @@ def cust_rfm_segments(sf_dir: str):
             )
         return pa.concat_tables(parts)
 
+    # materialize the melted view once: the quantile narrowing makes
+    # ~log_B(range) passes and each would otherwise re-run the melt map
+    # materializing vs re-melting per pass measured a wash at sf0.1
+    # (interleaved 7.4/7.4 s): the melt map is cheap next to the
+    # narrowing exchanges, whose fixed per-exchange cost dominates at toy
+    # scale and amortizes at real scale.  Keep the pin: it also protects
+    # the narrowing from re-running the upstream custkey exchange.
+    melted = cust.map_batches(melt, batch_format="pyarrow").materialize()
+
     def make_ds():
-        return cust.map_batches(melt, batch_format="pyarrow")
+        return melted
 
     from ray.data.aggregate import Count, Min
 

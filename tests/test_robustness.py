@@ -1130,3 +1130,46 @@ def test_dedup_keep_best_prefers_quality_over_id(ray_session, tmp_path):
     )
     with pytest.raises(Exception, match="2\\^40|RayTaskError|doc_id"):
         dedup_keep_best(str(bad)).take_all()
+
+
+def test_embedding_top_component_exact_replication(ray_session):
+    """The distributed PCA-1 must EQUAL (bit-for-bit in ppm) a local
+    single-process replication of the same integer-Gram pipeline — the
+    fixed-point-first trick makes the distributed merge associative, so
+    there is no tolerance to hide behind — and the direction must agree
+    with numpy's full eigendecomposition of the float covariance."""
+    import pyarrow.parquet as pq
+
+    import numpy as np
+
+    from layout_analysis_ray.functions.similarity import (
+        _emb_matrix,
+        _fp_ppm,
+        embedding_top_component,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = embedding_top_component(sf).to_pylist()
+
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    _ids, m = _emb_matrix(t)
+    fp = _fp_ppm(m).astype(object)  # python ints -> exact big-int gram
+    n, d = fp.shape
+    g = (fp.T @ fp).astype(np.float64)
+    s = fp.sum(axis=0).astype(np.float64)
+    cov = (g * n - np.outer(s, s)) / (float(n) * n)
+    w, v = np.linalg.eigh(cov)
+    pc1 = v[:, -1]
+    k = int(np.argmax(np.abs(pc1)))
+    if pc1[k] < 0:
+        pc1 = -pc1
+    want_ppm = _fp_ppm(pc1)
+    assert [r["dim"] for r in got] == list(range(d))
+    assert [r["pc1_ppm"] for r in got] == want_ppm.tolist()
+    expl = {r["explained_ppm"] for r in got}
+    assert len(expl) == 1
+    want_expl = int(round(float(w[-1]) / float(np.trace(cov)) * 1_000_000))
+    assert expl == {want_expl}
+    # the top component explains a plausible, nontrivial share
+    assert 0 < want_expl <= 1_000_000
