@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 166 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (134) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 169 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (137) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
@@ -438,6 +438,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_revenue_deciles": rel.cust_revenue_deciles,
         "cust_rfm_segments": rel.cust_rfm_segments,
         "orders_mom_growth": rel.orders_mom_growth,
+        "part_cheapest_supplier": rel.part_cheapest_supplier,
+        "events_user_ltv_cohort": rel.events_user_ltv_cohort,
+        "events_benford_first_digit": stats.events_benford_first_digit,
         "events_hourly_spike_by_type": windows.hourly_spike_by_type,
         "embedding_label_quality": similarity.embedding_label_quality,
         "cap_docs_per_source": domains.cap_docs_per_source,
@@ -2075,6 +2078,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(day AS BIGINT) AS day,
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM e GROUP BY day ORDER BY day
+        """,
+        "part_cheapest_supplier": """
+            -- Q2's correlated min: per part, the cheapest observed unit
+            -- price (exact millicents) and its supplier (ties: min key)
+            WITH u AS (
+              SELECT l_partkey, l_suppkey,
+                CAST(round(l_extendedprice * 100) AS BIGINT) * 100000
+                  // CAST(round(l_quantity * 100) AS BIGINT) AS unit_mc
+              FROM lineitem),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY l_partkey
+                          ORDER BY unit_mc, l_suppkey) AS rn
+              FROM u)
+            SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+                   CAST(l_suppkey AS BIGINT) AS l_suppkey,
+                   CAST(unit_mc AS BIGINT) AS unit_mc
+            FROM r WHERE rn = 1
+        """,
+        "events_user_ltv_cohort": """
+            -- cohort LTV matrix: first-activity-day cohorts x day offset
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events),
+            f AS (SELECT user_id, min(day) AS cohort FROM e
+                  GROUP BY user_id),
+            j AS (
+              SELECT e.user_id, f.cohort, e.day - f.cohort AS off, e.c
+              FROM e JOIN f USING (user_id))
+            SELECT CAST(cohort AS BIGINT) AS cohort_day,
+                   CAST(off AS BIGINT) AS day_offset,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(SUM(c) AS BIGINT) AS revenue_cents
+            FROM j GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_benford_first_digit": """
+            -- Benford probe: leading digit of positive value cents
+            WITH v AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+              WHERE round(value * 100) > 0)
+            SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+                     AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM v GROUP BY 1 ORDER BY 1
         """,
         "orders_mom_growth": """
             -- month-over-month revenue growth (signed ppm, trunc //),

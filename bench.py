@@ -80,6 +80,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         quantiles,
         similarity,
         sketches,
+        stats,
         text,
         windows,
     )
@@ -204,6 +205,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_hourly_spike_by_type": windows.hourly_spike_by_type,
         "dedup_keep_best": dedup.dedup_keep_best,
         "embedding_top_component": similarity.embedding_top_component,
+        "part_cheapest_supplier": lambda sf: rel.part_cheapest_supplier(sf).count(),
+        "events_user_ltv_cohort": rel.events_user_ltv_cohort,
+        "events_benford_first_digit": stats.events_benford_first_digit,
     }
     # round-5 real-codec media paths (PNG inflate+unfilter, baseline JPEG
     # Huffman+IDCT in the actor pool).  PNG runs the FULL media corpus;

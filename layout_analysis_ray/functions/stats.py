@@ -307,3 +307,52 @@ def events_value_hour_cov_by_type(sf_dir: str) -> pa.Table:
             ]
         ),
     )
+
+
+_BENFORD_SCHEMA = pa.schema([("digit", pa.int64()), ("n", pa.int64())])
+
+
+def events_benford_first_digit(sf_dir: str):
+    """Benford's-law probe: distribution of the leading decimal digit of
+    positive value cents — the classic forged-data / unit-mix smoke test
+    a data-quality suite runs next to ``documents_assertions``.
+
+    Scale shape: map-only digit extraction (a <=19-step vectorized
+    divide-down, no string formatting, no float log10 whose boundary
+    error would misbin exact powers of ten) folding to per-batch digit
+    partials; the exchange is nine rows per block.  Returned typed
+    (nine-row bounded)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        c = cents_arrow(batch["value"]).to_numpy(zero_copy_only=False)
+        c = c[c > 0].copy()
+        while (c >= 10).any():
+            big = c >= 10
+            c[big] //= 10
+        d, n = np.unique(c, return_counts=True)
+        return pa.table(
+            {
+                "digit": pa.array(d.astype(np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    from .core import partial_then_global
+
+    rows = sorted(
+        partial_then_global(
+            ds.map_batches(prep, batch_format="pyarrow"), ["digit"], ["n"]
+        ).take_all(),
+        key=lambda r: r["digit"],
+    )
+    if not rows:
+        return _BENFORD_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "digit": pa.array([r["digit"] for r in rows], pa.int64()),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+        }
+    )

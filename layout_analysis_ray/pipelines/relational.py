@@ -3641,3 +3641,151 @@ def orders_mom_growth(sf_dir: str):
             "growth_ppm": pa.array(out["growth_ppm"], pa.int64()),
         }
     )
+
+
+CHEAPEST_SUPPKEY_BITS = 20
+_CS_SUPP_MASK = (1 << CHEAPEST_SUPPKEY_BITS) - 1
+
+
+def part_cheapest_supplier(sf_dir: str):
+    """TPC-H Q2's correlated-min shape over the available tables: for
+    every part, the supplier offering the LOWEST observed unit price in
+    lineitem (ties by min suppkey), unit price in exact millicents.
+
+    Scale shape: the dedup_keep_best packed-key trick flipped to argmin
+    — (unit_mc, suppkey) packs into ONE int64 so the whole reduce is a
+    NATIVE map-side-combined Min (no map_groups, no join-back pass: the
+    usual Q2 plan needs a second scan to recover the argmin row; the
+    pack carries it through the exchange).  The exchange moves one
+    (partkey, key) pair per part per block.  Loud guards: suppkey must
+    fit 2^20 and unit_mc 2^42 (re-pack wider if a corpus exceeds
+    them).  Result is part-proportional — returned as a streaming
+    Dataset, never driver-materialized."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ext = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        qty = _cents(batch["l_quantity"]).to_numpy(zero_copy_only=False)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        unit_mc = ext * 100_000 // qty
+        if len(sk) and (
+            sk.max() > _CS_SUPP_MASK
+            or sk.min() < 0
+            or unit_mc.max() >= (1 << 42)
+        ):
+            raise ValueError(
+                "part_cheapest_supplier: suppkey or unit_mc exceeds the "
+                "packed argmin key width — widen CHEAPEST_SUPPKEY_BITS"
+            )
+        key = (unit_mc << CHEAPEST_SUPPKEY_BITS) + sk
+        t = pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "key": pa.array(key, pa.int64()),
+            }
+        )
+        out = t.group_by(["l_partkey"]).aggregate([("key", "min")])
+        return out.rename_columns(["l_partkey", "key"])
+
+    from ray.data.aggregate import Min
+
+    agg = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Min("key", alias_name="key"))
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": pc.cast(batch["l_partkey"], pa.int64()),
+                "l_suppkey": pa.array(key & _CS_SUPP_MASK, pa.int64()),
+                "unit_mc": pa.array(
+                    key >> CHEAPEST_SUPPKEY_BITS, pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+def events_user_ltv_cohort(sf_dir: str):
+    """Cohort LTV matrix: users bucketed by FIRST-activity day (the
+    cohort), each cohort's distinct active users and exact revenue cents
+    per day-offset since that first day — the retention table's revenue
+    sibling (SQL: min-day self-join + two-key group).
+
+    Scale shape: ONE coarse user-hash exchange total — a user's whole
+    history lands in one partition, so the partition kernel derives the
+    cohort (per-user min day), the offsets, the per-(cohort, offset)
+    distinct-user and cents partials all locally (lexsort + reduceat /
+    unique, no per-user Python); users never span partitions, so
+    partition partials sum globally.  Output is bounded by the day-span
+    squared (a decade is ~6.7M rows; driver materialization is fine for
+    report-grain spans — return typed per the empty-schema invariant)."""
+    import pandas as pd
+
+    from ..functions.windows import _add_user_part
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    ).map_batches(_add_user_part, batch_format="pyarrow")
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        day = (
+            g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        from ..functions.numeric import cents_np
+
+        c = cents_np(g["value"].to_numpy())
+        order = np.lexsort((day, u))
+        u, day, c = u[order], day[order], c[order]
+        first = np.empty(len(u), dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        cohort = day[np.maximum.accumulate(np.where(first, np.arange(len(u)), 0))]
+        off = day - cohort
+        df = pd.DataFrame(
+            {"cohort_day": cohort, "day_offset": off, "user_id": u, "c": c}
+        )
+        agg = df.groupby(["cohort_day", "day_offset"], sort=False).agg(
+            n_users=("user_id", "nunique"), revenue_cents=("c", "sum")
+        )
+        return agg.reset_index()
+
+    from ..functions.core import partial_then_global
+
+    agg = partial_then_global(
+        ds.groupby("__upart").map_groups(
+            lambda g: per_part(g.drop(columns="__upart")),
+            batch_format="pandas",
+        ),
+        ["cohort_day", "day_offset"],
+        ["n_users", "revenue_cents"],
+    )
+    rows = sorted(
+        agg.take_all(), key=lambda r: (r["cohort_day"], r["day_offset"])
+    )
+    return pa.table(
+        {
+            "cohort_day": pa.array(
+                [r["cohort_day"] for r in rows], pa.int64()
+            ),
+            "day_offset": pa.array(
+                [r["day_offset"] for r in rows], pa.int64()
+            ),
+            "n_users": pa.array([r["n_users"] for r in rows], pa.int64()),
+            "revenue_cents": pa.array(
+                [r["revenue_cents"] for r in rows], pa.int64()
+            ),
+        }
+    )
