@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 169 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (137) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 170 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (138) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
@@ -456,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_knn_ivf": similarity.knn_ivf,
         "embedding_label_centroids": similarity.label_centroids,
         "embedding_top_component": similarity.embedding_top_component,
+        "embedding_norm_quantiles": similarity.embedding_norm_quantiles,
         "embedding_centroid_confusion": similarity.centroid_confusion,
         # evaluation / sampling / sidecar export
         "eval_skew_vs_happy": evaluate.eval_skew_vs_happy,
@@ -2078,6 +2079,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(day AS BIGINT) AS day,
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM e GROUP BY day ORDER BY day
+        """,
+        "embedding_norm_quantiles": """
+            -- exact p01/median/p99 of the SQUARED L2 norm (ppm units):
+            -- elements to fixed-point ppm first, ceil(q*n) order stats.
+            -- CAST AS DOUBLE before the multiply: the engine widens the
+            -- float32 elements to float64 first; DuckDB's FLOAT * int
+            -- stays single-precision and rounds a few elements off-by-1
+            WITH v AS (
+              SELECT list_sum(list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                              AS BIGINT)
+                            * CAST(round(CAST(x AS DOUBLE) * 1000000)
+                              AS BIGINT)))
+                     // 1000000 AS v
+              FROM embeddings),
+            r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+            n AS (SELECT COUNT(*) AS n FROM v)
+            SELECT CAST(q.q AS BIGINT) AS q_ppm,
+                   CAST((SELECT v FROM r, n
+                         WHERE rn = (q.q * n.n + 999999) // 1000000)
+                     AS BIGINT) AS sqnorm_fp
+            FROM (VALUES (10000), (500000), (990000)) AS q(q)
+            ORDER BY q_ppm
         """,
         "part_cheapest_supplier": """
             -- Q2's correlated min: per part, the cheapest observed unit

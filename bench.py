@@ -208,6 +208,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "part_cheapest_supplier": lambda sf: rel.part_cheapest_supplier(sf).count(),
         "events_user_ltv_cohort": rel.events_user_ltv_cohort,
         "events_benford_first_digit": stats.events_benford_first_digit,
+        "embedding_norm_quantiles": similarity.embedding_norm_quantiles,
     }
     # round-5 real-codec media paths (PNG inflate+unfilter, baseline JPEG
     # Huffman+IDCT in the actor pool).  PNG runs the FULL media corpus;

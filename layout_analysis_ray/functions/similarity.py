@@ -843,3 +843,54 @@ def embedding_top_component(sf_dir: str):
             ),
         }
     )
+
+
+NORM_Q_PPMS = (10_000, 500_000, 990_000)  # p01 / median / p99
+
+_NORM_Q_SCHEMA = pa.schema(
+    [("q_ppm", pa.int64()), ("sqnorm_fp", pa.int64())]
+)
+
+
+def embedding_norm_quantiles(sf_dir: str):
+    """Embedding-hygiene report: exact p01 / median / p99 of the SQUARED
+    L2 norm across the table — catches the all-zero rows, the unscaled
+    outliers and the mixed-normalization batches that poison ANN
+    recall.  Squared (not rooted) keeps everything exact int64: every
+    element goes to fixed-point ppm first, so ``sqnorm_fp`` = sum of
+    squared ppm elements // 10^6 (units of ppm) is associative and the
+    quantiles come from the shared ``kth_smallest`` histogram-narrowing
+    scans — no sort, no floats anywhere.
+
+    Scale shape: map-only row reduction (one row per vector) feeding
+    <= log_B(range) streaming scans; the result is three typed rows."""
+    from .quantiles import _min_max_count, kth_smallest
+
+    def make_ds():
+        def prep(batch: pa.Table) -> pa.Table:
+            _ids, m = _emb_matrix(batch)
+            fp = _fp_ppm(m)
+            if fp.size and int(np.abs(fp).max()) > 2_000_000:
+                raise ValueError(
+                    "embedding element exceeds 2x ppm scale — rescale "
+                    "before embedding_norm_quantiles"
+                )
+            sq = (fp * fp).sum(axis=1) // 1_000_000
+            return pa.table({"v": pa.array(sq.astype(np.int64))})
+
+        return _read_emb(sf_dir).map_batches(prep, batch_format="pyarrow")
+
+    stats = _min_max_count(make_ds)
+    n = stats[2]
+    if n == 0:
+        return _NORM_Q_SCHEMA.empty_table()
+    ranks = {q: (q * n + 999_999) // 1_000_000 for q in NORM_Q_PPMS}
+    vals = kth_smallest(make_ds, sorted(set(ranks.values())), _stats=stats)
+    return pa.table(
+        {
+            "q_ppm": pa.array(list(NORM_Q_PPMS), pa.int64()),
+            "sqnorm_fp": pa.array(
+                [vals[ranks[q]] for q in NORM_Q_PPMS], pa.int64()
+            ),
+        }
+    )

@@ -238,6 +238,7 @@ def test_queries_oracle_keys_consistent():
         "media_frame_sample",
         "media_overlay",
         "eval_raster_dice",
+        "embedding_top_component",
         "dedup_minhash_pairs",
         "dedup_minhash_groups",
         "dedup_simhash",
