@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 170 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (138) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 171 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (139) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_rfm_segments": rel.cust_rfm_segments,
         "orders_mom_growth": rel.orders_mom_growth,
         "part_cheapest_supplier": rel.part_cheapest_supplier,
+        "orders_denormalized": rel.orders_denormalized,
         "events_user_ltv_cohort": rel.events_user_ltv_cohort,
         "events_benford_first_digit": stats.events_benford_first_digit,
         "events_hourly_spike_by_type": windows.hourly_spike_by_type,
@@ -2102,6 +2103,18 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS sqnorm_fp
             FROM (VALUES (10000), (500000), (990000)) AS q(q)
             ORDER BY q_ppm
+        """,
+        "orders_denormalized": """
+            -- star flatten: every order enriched with its customer's
+            -- segment and nation/region names
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                     AS price_cents,
+                   c.c_mktsegment, n.n_name, r.r_name
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
         """,
         "part_cheapest_supplier": """
             -- Q2's correlated min: per part, the cheapest observed unit

@@ -3789,3 +3789,61 @@ def events_user_ltv_cohort(sf_dir: str):
             ),
         }
     )
+
+
+def orders_denormalized(sf_dir: str):
+    """Star-schema flatten (the ETL/feature-extraction staple): every
+    order enriched with its customer's segment, nation and region names
+    — the denormalized extract a feature store or BI tool consumes.
+
+    Scale shape: pure broadcast map — customer/nation/region ride the
+    object store ONCE as sorted (key, value) numpy pairs (the q5
+    convention: vectorized ``searchsorted`` probes, no per-row dict
+    gets, no shuffle of the fact side at all); the result streams,
+    orders-proportional, never driver-materialized.  At extreme SF
+    customer graduates from broadcast to a bucketed join (the
+    q_join_bucketed path) — threshold is worker-heap fit, not table
+    role."""
+    import ray
+
+    nation = _read_dim(sf_dir, "nation").sort_values("n_nationkey")
+    region = _read_dim(sf_dir, "region").sort_values("r_regionkey")
+    customer = _read_dim(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_mktsegment"]
+    ).sort_values("c_custkey")
+    refs = ray.put(
+        (
+            customer["c_custkey"].to_numpy(dtype=np.int64),
+            customer["c_nationkey"].to_numpy(dtype=np.int64),
+            customer["c_mktsegment"].to_numpy(),
+            nation["n_nationkey"].to_numpy(dtype=np.int64),
+            nation["n_name"].to_numpy(),
+            nation["n_regionkey"].to_numpy(dtype=np.int64),
+            region["r_regionkey"].to_numpy(dtype=np.int64),
+            region["r_name"].to_numpy(),
+        )
+    )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        ck, cn, cseg, nk, nname, nr, rk, rname = ray.get(refs)
+        oc = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ci = np.searchsorted(ck, oc)
+        natkey = cn[ci]
+        ni = np.searchsorted(nk, natkey)
+        ri = np.searchsorted(rk, nr[ni])
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "price_cents": _cents(batch["o_totalprice"]),
+                "c_mktsegment": pa.array(cseg[ci], pa.string()),
+                "n_name": pa.array(nname[ni], pa.string()),
+                "r_name": pa.array(rname[ri], pa.string()),
+            }
+        )
+
+    return orders.map_batches(enrich, batch_format="pyarrow")
