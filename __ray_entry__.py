@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 171 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (139) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 172 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (140) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
@@ -431,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_7d_users": windows.rolling_7d_users,
         "events_audience_overlap": windows.audience_overlap,
         "events_session_duration_median": windows.session_duration_median,
+        "events_first_touch_attribution": windows.first_touch_attribution,
         "source_fingerprint": domains.source_fingerprint,
         "documents_assertions": domains.documents_assertions,
         "nation_revenue_share": rel.nation_revenue_share,
@@ -2272,6 +2273,34 @@ def oracle_sql() -> dict[str, str]:
                           ROWS UNBOUNDED PRECEDING) * 1000000 // tc
                      AS BIGINT) AS cum_share_ppm
             FROM s, tot ORDER BY tile
+        """,
+        "events_first_touch_attribution": """
+            -- first-touch attribution: sessions credited to the event
+            -- type that opened them; NULL types excluded on both sides
+            WITH e AS (
+              SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+              FROM events WHERE event_type IS NOT NULL),
+            m AS (
+              SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                               OR tus - lag(tus) OVER w > 1800000000
+                             THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY tus, event_id)),
+            s AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                          ORDER BY tus, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m),
+            f AS (
+              SELECT user_id, sid,
+                     first(event_type ORDER BY tus, event_id) AS first_type,
+                     COUNT(*) FILTER (WHERE event_type = 'purchase')
+                       AS n_purch
+              FROM s GROUP BY user_id, sid)
+            SELECT first_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(n_purch) AS BIGINT) AS n_purchases
+            FROM f GROUP BY first_type ORDER BY first_type
         """,
         "events_session_duration_median": """
             -- sessionize (30-min gap) composed with the engine's exact

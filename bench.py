@@ -210,6 +210,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_benford_first_digit": stats.events_benford_first_digit,
         "embedding_norm_quantiles": similarity.embedding_norm_quantiles,
         "orders_denormalized": lambda sf: rel.orders_denormalized(sf).count(),
+        "events_first_touch_attribution": windows.first_touch_attribution,
     }
     # round-5 real-codec media paths (PNG inflate+unfilter, baseline JPEG
     # Huffman+IDCT in the actor pool).  PNG runs the FULL media corpus;

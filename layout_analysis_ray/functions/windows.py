@@ -2459,3 +2459,88 @@ def hourly_spike_by_type(sf_dir: str):
     if not out:
         return schema.empty_table()
     return pa.Table.from_pylist(out, schema=schema)
+
+
+_ATTRIB_SCHEMA = pa.schema(
+    [
+        ("first_type", pa.string()),
+        ("n_sessions", pa.int64()),
+        ("n_purchases", pa.int64()),
+    ]
+)
+
+
+def first_touch_attribution(sf_dir: str):
+    """First-touch marketing attribution: every session is credited to
+    the event TYPE that opened it, and the report counts sessions and
+    in-session purchases per opening type — the composite of sessionize
+    + per-session first_value + conditional count that attribution
+    dashboards run.
+
+    Scale shape: ONE coarse user-hash exchange (the sessionize plan);
+    the partition kernel derives breaks, session ids, each session's
+    first type (the break positions themselves) and its purchase count
+    (bincount over purchase rows) fully vectorized, folding to
+    alphabet-bounded (first_type, n, n_purch) partials.  NULL event
+    types are excluded up front (both sides: the oracle's WHERE)."""
+    from .core import partial_then_global
+
+    ds = (
+        _read_events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+        .map_batches(
+            lambda b: b.filter(pc.is_valid(b["event_type"])),
+            batch_format="pyarrow",
+        )
+        .map_batches(_add_user_part, batch_format="pyarrow")
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        typ = g["event_type"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gaps = np.diff(ts_us, prepend=ts_us[0])
+        brk = new_user | (gaps > SESSION_GAP_S * 1_000_000)
+        sid = np.cumsum(brk) - 1  # 0-based session index
+        first_type = typ[brk]
+        n_sessions = len(first_type)
+        purch = np.bincount(
+            sid[typ == "purchase"], minlength=n_sessions
+        ).astype(np.int64)
+        codes, uniq = pd.factorize(first_type)
+        n_sess = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        n_purch = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(n_purch, codes, purch)
+        return pd.DataFrame(
+            {
+                "first_type": uniq,
+                "n_sessions": n_sess,
+                "n_purchases": n_purch,
+            }
+        )
+
+    agg = partial_then_global(
+        ds.groupby("__upart").map_groups(
+            lambda g: per_part(g.drop(columns="__upart")),
+            batch_format="pandas",
+        ),
+        ["first_type"],
+        ["n_sessions", "n_purchases"],
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["first_type"])
+    if not rows:
+        return _ATTRIB_SCHEMA.empty_table()
+    return pa.Table.from_pylist(
+        [
+            {
+                "first_type": r["first_type"],
+                "n_sessions": int(r["n_sessions"]),
+                "n_purchases": int(r["n_purchases"]),
+            }
+            for r in rows
+        ],
+        schema=_ATTRIB_SCHEMA,
+    )
