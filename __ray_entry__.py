@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 172 entries); ``oracle_sql()`` gives the
+(SURVEY.md §2 + §8 coverage map: 174 entries); ``oracle_sql()`` gives the
 DuckDB-equivalent SQL for every SQL-expressible query (140) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
@@ -93,6 +93,18 @@ def _extract_spans_flood_order(sf_dir: str):
     return explode(
         extract_pipeline(docs_from_parquet(sf_dir), order_strategy="flood")
     )
+
+
+def _media_phash(sf_dir: str):
+    from layout_analysis_ray.stages.media import media_phash
+
+    return media_phash(sf_dir)
+
+
+def _media_phash_neardup_pairs(sf_dir: str):
+    from layout_analysis_ray.stages.media import media_phash_neardup_pairs
+
+    return media_phash_neardup_pairs(sf_dir)
 
 
 def _media_features(sf_dir: str):
@@ -459,6 +471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_centroids": similarity.label_centroids,
         "embedding_top_component": similarity.embedding_top_component,
         "embedding_norm_quantiles": similarity.embedding_norm_quantiles,
+        "media_phash": _media_phash,
+        "media_phash_neardup_pairs": _media_phash_neardup_pairs,
         "embedding_centroid_confusion": similarity.centroid_confusion,
         # evaluation / sampling / sidecar export
         "eval_skew_vs_happy": evaluate.eval_skew_vs_happy,

@@ -211,6 +211,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "embedding_norm_quantiles": similarity.embedding_norm_quantiles,
         "orders_denormalized": lambda sf: rel.orders_denormalized(sf).count(),
         "events_first_touch_attribution": windows.first_touch_attribution,
+        "media_phash_neardup": (
+            lambda sf: media_stage.media_phash_neardup_pairs(sf).count()
+        ),
     }
     # round-5 real-codec media paths (PNG inflate+unfilter, baseline JPEG
     # Huffman+IDCT in the actor pool).  PNG runs the FULL media corpus;

@@ -449,3 +449,275 @@ def frame_sample(sf_dir: str, k: int = 4, **feat_kwargs):
         )
 
     return feats.map_batches(expand, batch_format="pyarrow")
+
+
+# --- perceptual-hash near-dup (the image sibling of dedup_simhash) -------
+
+PHASH_HAM_MAX = 3
+PHASH_BANDS = 4  # 4 x 16-bit bands: pigeonhole-exhaustive for hamming<=3
+_PHASH_N = 32
+_PHASH_K = 8
+_PHASH_PARTS = 64
+
+PHASH_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("phash", pa.int64()),  # uint64 bit pattern viewed as int64
+        ("decode_mode", pa.string()),
+    ]
+)
+PHASH_PAIRS_SCHEMA = pa.schema(
+    [
+        ("ref_a", pa.string()),
+        ("ref_b", pa.string()),
+        ("hamming", pa.int64()),
+    ]
+)
+
+
+def _dct_basis(n: int = _PHASH_N) -> np.ndarray:
+    k = np.arange(n, dtype=np.float64)[:, None]
+    i = np.arange(n, dtype=np.float64)[None, :]
+    d = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+def phash64(plane: np.ndarray, basis: np.ndarray | None = None) -> np.uint64:
+    """Classic DCT perceptual hash of a grayscale plane: nearest-neighbor
+    resample to 32x32, orthonormal DCT-II, the low-frequency 8x8 block
+    thresholded at its median -> 64 bits.  Robust to resizing and small
+    pixel noise; brittle to crops/rotations by design (pair with
+    ``media_deskew`` upstream)."""
+    if basis is None:
+        basis = _dct_basis()
+    h, w = plane.shape
+    a = plane[
+        (np.arange(_PHASH_N, dtype=np.int64) * h) // _PHASH_N
+    ][:, (np.arange(_PHASH_N, dtype=np.int64) * w) // _PHASH_N].astype(
+        np.float64
+    )
+    c = basis @ a @ basis.T
+    block = c[:_PHASH_K, :_PHASH_K].ravel()
+    bits = block > np.median(block)
+    return np.uint64(
+        np.dot(bits.astype(np.uint64), 1 << np.arange(64, dtype=np.uint64))
+    )
+
+
+class MediaPHasher:
+    """map_batches actor: media payload bytes -> 64-bit perceptual hash.
+    The DCT basis is the once-per-actor state; ``plane_fn`` is the
+    injectable full-plane decode (default: the RAW8 parser; swap in the
+    PNG/JPEG codecs for compressed corpora).  Poison payloads quarantine
+    per item (decode_mode 'error', phash 0) — the MediaFeaturizer
+    pattern."""
+
+    def __init__(self, plane_fn=None) -> None:
+        self._basis = _dct_basis()
+        self._plane_fn = plane_fn or (lambda p: parse_raw8(p)[3])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("media_bytes").to_pylist()
+        hashes = np.zeros(len(payloads), dtype=np.uint64)
+        mode = []
+        for i, p in enumerate(payloads):
+            try:
+                hashes[i] = phash64(self._plane_fn(p), self._basis)
+                mode.append("real")
+            except Exception:
+                mode.append("error")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_ref": batch.column("media_ref"),
+                "phash": pa.array(hashes.view(np.int64), pa.int64()),
+                "decode_mode": pa.array(mode, pa.string()),
+            },
+            schema=PHASH_SCHEMA,
+        )
+
+
+def media_phash(
+    sf_dir: str,
+    *,
+    concurrency=None,
+    batch_size: int = 256,
+    fetch=encode_demo_payloads,
+    plane_fn=None,
+    sample_mod: int | None = None,
+):
+    """Per-image perceptual hashes over the interleaved corpus's media
+    spans — the media_features plumbing (extract -> media filter ->
+    optional deterministic ref-hash sample -> fetch -> actor pool) with
+    the pHash kernel in the pool."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.extract import explode, extract_pipeline
+    from ..sources.synth import docs_from_parquet
+
+    if concurrency is None:
+        import ray
+
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 4))
+            if ray.is_initialized()
+            else 4
+        )
+        concurrency = (1, media_pool_size(cpus))
+
+    spans = explode(extract_pipeline(docs_from_parquet(sf_dir)))
+    media = spans.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("media_ref"), "")),
+        batch_format="pyarrow",
+    )
+    if sample_mod is not None and sample_mod > 1:
+        from ..functions.hashing import str_hash_u60
+
+        mod = int(sample_mod)
+
+        def keep_sample(b: pa.Table) -> pa.Table:
+            h = str_hash_u60(b.column("media_ref"))
+            return b.filter(pa.array(h % mod == 0))
+
+        media = media.map_batches(keep_sample, batch_format="pyarrow")
+
+    def do_fetch(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "media_ref": b.column("media_ref"),
+                "media_bytes": pa.array(
+                    fetch(b.column("media_ref").to_pylist()), pa.binary()
+                ),
+            }
+        )
+
+    return media.map_batches(do_fetch, batch_format="pyarrow").map_batches(
+        MediaPHasher,
+        fn_constructor_kwargs={"plane_fn": plane_fn},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def phash_pairs_from_hashes(hashes):
+    """(media_ref, phash) Dataset -> all pairs within PHASH_HAM_MAX
+    hamming distance, exhaustive by pigeonhole over PHASH_BANDS disjoint
+    16-bit bands — the simhash_pairs kernel re-keyed on media refs.
+    Only (part, band_key, ref, phash) rows shuffle; pairing is a coarse
+    partition kernel with vectorized XOR-popcount hamming."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.schema import ensure_schema
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.not_equal(batch.column("decode_mode"), "error")
+        ) if "decode_mode" in batch.column_names else batch
+        refs = batch["media_ref"].to_numpy(zero_copy_only=False)
+        ph = batch["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(refs)
+        bands = np.empty((n, PHASH_BANDS), dtype=np.int64)
+        for b in range(PHASH_BANDS):
+            bands[:, b] = (
+                (ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            ).astype(np.int64)
+        band_ids = np.tile(np.arange(PHASH_BANDS, dtype=np.int64), n)
+        key = bands.reshape(-1) * PHASH_BANDS + band_ids
+        return pa.table(
+            {
+                "part": pa.array(
+                    (key % _PHASH_PARTS).astype(np.int32), pa.int32()
+                ),
+                "band_key": pa.array(key, pa.int64()),
+                "media_ref": pa.array(
+                    np.repeat(refs, PHASH_BANDS), pa.string()
+                ),
+                "ph": pa.array(
+                    np.repeat(ph.view(np.int64), PHASH_BANDS), pa.int64()
+                ),
+            }
+        )
+
+    bands = hashes.map_batches(band_rows, batch_format="pyarrow")
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for _, grp in g.groupby("band_key", sort=False):
+            grp = grp.drop_duplicates("media_ref")
+            if len(grp) < 2:
+                continue
+            refs = grp["media_ref"].to_numpy()
+            ph = grp["ph"].to_numpy().astype(np.int64).view(np.uint64)
+            order = np.argsort(refs)
+            refs, ph = refs[order], ph[order]
+            ia, ib = np.triu_indices(len(refs), k=1)
+            x = ph[ia] ^ ph[ib]
+            ham = (
+                np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+                .sum(axis=1)
+                .astype(np.int64)
+            )
+            keep = ham <= PHASH_HAM_MAX
+            out_a.append(refs[ia[keep]])
+            out_b.append(refs[ib[keep]])
+            out_h.append(ham[keep])
+        return pd.DataFrame(
+            {
+                "ref_a": (
+                    np.concatenate(out_a) if out_a else np.empty(0, object)
+                ),
+                "ref_b": (
+                    np.concatenate(out_b) if out_b else np.empty(0, object)
+                ),
+                "hamming": (
+                    np.concatenate(out_h) if out_h else np.empty(0, np.int64)
+                ),
+            }
+        ).drop_duplicates(["ref_a", "ref_b"])
+
+    pairs = bands.groupby("part").map_groups(
+        partition_pairs, batch_format="pandas"
+    )
+
+    # cross-band dedup on the STRING pair key (dedup_pair_rows is int64;
+    # refs hash part-by-part with categorize=False per the CLAUDE.md
+    # embedded-NUL caveat, never a joined "a\x00b" string)
+    def add_ppart(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__ppart", pa.array([], pa.int64()))
+        ha = pd.util.hash_array(
+            batch["ref_a"].to_numpy(zero_copy_only=False).astype(object),
+            categorize=False,
+        )
+        hb = pd.util.hash_array(
+            batch["ref_b"].to_numpy(zero_copy_only=False).astype(object),
+            categorize=False,
+        )
+        key = ha * np.uint64(0x9E3779B97F4A7C15) ^ hb
+        key ^= key >> np.uint64(29)
+        return batch.append_column(
+            "__ppart", pa.array((key % np.uint64(64)).astype(np.int64))
+        )
+
+    def drop(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["ref_a", "ref_b"]).drop(columns="__ppart")
+
+    return ensure_schema(
+        pairs.map_batches(add_ppart, batch_format="pyarrow")
+        .groupby("__ppart")
+        .map_groups(drop, batch_format="pandas"),
+        PHASH_PAIRS_SCHEMA,
+    )
+
+
+def media_phash_neardup_pairs(sf_dir: str, **kwargs):
+    """Image near-dup pairs over the corpus's media spans: pHash in the
+    decode actor pool, then the banded pair join.  The multimodal
+    sibling of ``dedup_simhash_pairs``."""
+    return phash_pairs_from_hashes(media_phash(sf_dir, **kwargs))

@@ -239,6 +239,8 @@ def test_queries_oracle_keys_consistent():
         "media_overlay",
         "eval_raster_dice",
         "embedding_top_component",
+        "media_phash",
+        "media_phash_neardup_pairs",
         "dedup_minhash_pairs",
         "dedup_minhash_groups",
         "dedup_simhash",

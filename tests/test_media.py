@@ -175,3 +175,91 @@ def test_poison_deskew_quarantines_row():
     assert out.column("width").to_pylist() == [-1, parse_raw8(encode_demo_payloads(refs)[1])[0]]
     assert out.column("n_baselines").to_pylist()[0] == -1
     assert out.column("n_baselines").to_pylist()[1] > 0
+
+
+def test_phash_kernel_and_planted_neardups(ray_session):
+    """phash64 is noise-tolerant (one flipped pixel stays within the
+    banding's hamming<=3 net) and content-sensitive (a different image
+    is far); the banded pair join finds exactly the planted near-dup
+    pair; error rows (undecodable payloads) never enter the pairing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from layout_analysis_ray.stages.media import (
+        PHASH_HAM_MAX,
+        MediaPHasher,
+        phash64,
+        phash_pairs_from_hashes,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(40, 50), dtype=np.uint8).astype(np.uint8)
+    noisy = base.copy()
+    noisy[3, 4] ^= 0x10  # one-pixel perturbation
+    other = rng.integers(0, 256, size=(40, 50), dtype=np.uint8)
+
+    h_base = phash64(base)
+    h_noisy = phash64(noisy)
+    h_other = phash64(other)
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert ham(h_base, h_noisy) <= PHASH_HAM_MAX
+    assert ham(h_base, h_other) > PHASH_HAM_MAX
+
+    def raw8(plane):
+        h, w = plane.shape
+        return (
+            int(w).to_bytes(2, "little")
+            + int(h).to_bytes(2, "little")
+            + (1).to_bytes(2, "little")
+            + plane.tobytes()
+        )
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["d1", "d2", "d3", "d4"], pa.string()),
+            "media_ref": pa.array(["a", "a_noisy", "b", "poison"], pa.string()),
+            "media_bytes": pa.array(
+                [raw8(base), raw8(noisy), raw8(other), b"\x01"], pa.binary()
+            ),
+        }
+    )
+    hashed = MediaPHasher()(batch)
+    modes = dict(
+        zip(hashed["media_ref"].to_pylist(), hashed["decode_mode"].to_pylist())
+    )
+    assert modes == {"a": "real", "a_noisy": "real", "b": "real",
+                     "poison": "error"}
+
+    pairs = phash_pairs_from_hashes(rd.from_arrow(hashed)).to_pandas()
+    assert pairs[["ref_a", "ref_b"]].values.tolist() == [["a", "a_noisy"]]
+    assert int(pairs["hamming"].iloc[0]) <= PHASH_HAM_MAX
+
+
+def test_media_phash_corpus_smoke(ray_session):
+    """media_phash over the sf0.001 corpus: every media span hashes
+    (decode_mode 'real', nonzero 64-bit patterns), refs are unique, and
+    the full near-dup join returns a typed (possibly empty) pair table
+    over the random-plane fixtures."""
+    from layout_analysis_ray.stages.media import (
+        media_phash,
+        phash_pairs_from_hashes,
+    )
+
+    hashes = media_phash("/root/testdata/sf0.001", concurrency=(1, 2))
+    df = hashes.to_pandas()
+    assert len(df) > 0
+    assert (df["decode_mode"] == "real").all()
+    assert df["media_ref"].is_unique
+    assert (df["phash"] != 0).any()
+
+    pairs = phash_pairs_from_hashes(
+        media_phash("/root/testdata/sf0.001", concurrency=(1, 2))
+    )
+    # the union-seeded Dataset schema survives even an all-empty result
+    # (to_pandas would be column-less then — the documented ensure_schema
+    # limit, functions/schema.py)
+    assert pairs.schema().names == ["ref_a", "ref_b", "hamming"]
