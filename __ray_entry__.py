@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 174 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (140) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 175 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (141) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
@@ -456,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_ltv_cohort": rel.events_user_ltv_cohort,
         "events_benford_first_digit": stats.events_benford_first_digit,
         "events_hourly_spike_by_type": windows.hourly_spike_by_type,
+        "events_rolling_max_24h": windows.rolling_max_24h_by_type,
         "embedding_label_quality": similarity.embedding_label_quality,
         "cap_docs_per_source": domains.cap_docs_per_source,
         "domain_mix_sample": domains.domain_mix_sample,
@@ -2191,6 +2192,20 @@ def oracle_sql() -> dict[str, str]:
                         // lag(revenue_cents) OVER (ORDER BY yyyymm)
                      AS BIGINT) AS growth_ppm
             FROM m ORDER BY yyyymm
+        """,
+        "events_rolling_max_24h": """
+            -- sliding extrema over the hour-grain series: max hourly
+            -- count in the trailing 24 present hours, per type
+            WITH h AS (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS epoch_hour,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2)
+            SELECT event_type, CAST(epoch_hour AS BIGINT) AS epoch_hour, n,
+                   CAST(MAX(n) OVER (PARTITION BY event_type
+                          ORDER BY epoch_hour
+                          RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS rolling_max_n
+            FROM h ORDER BY event_type, epoch_hour
         """,
         "events_hourly_spike_by_type": """
             -- screaming-sensor report: hottest hour vs mean hourly rate

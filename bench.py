@@ -214,6 +214,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "media_phash_neardup": (
             lambda sf: media_stage.media_phash_neardup_pairs(sf).count()
         ),
+        "events_rolling_max_24h": windows.rolling_max_24h_by_type,
     }
     # round-5 real-codec media paths (PNG inflate+unfilter, baseline JPEG
     # Huffman+IDCT in the actor pool).  PNG runs the FULL media corpus;

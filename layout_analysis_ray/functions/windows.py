@@ -2544,3 +2544,85 @@ def first_touch_attribution(sf_dir: str):
         ],
         schema=_ATTRIB_SCHEMA,
     )
+
+
+ROLLING_MAX_HOURS = 24
+
+_ROLLING_MAX_SCHEMA = pa.schema(
+    [
+        ("event_type", pa.string()),
+        ("epoch_hour", pa.int64()),
+        ("n", pa.int64()),
+        ("rolling_max_n", pa.int64()),
+    ]
+)
+
+
+def rolling_max_24h_by_type(sf_dir: str):
+    """Sliding-extrema monitor: for every (type, present hour), the count
+    and the MAX hourly count over the trailing 24 hours of PRESENT data
+    points (SQL: MAX() OVER (PARTITION BY type ORDER BY hour RANGE 23
+    PRECEDING)) — the alert-threshold envelope a rate limiter reads.
+
+    Scale shape: the tumbling exchange reduces events to (type, hour)
+    partials; the sliding max then runs on the span-bounded hour-grain
+    series per type ON THE DRIVER with a monotonic-deque pass (O(span),
+    amortized one push/pop per hour) — the row-proportional work is all
+    in the exchange, the window pass touches |types| x |span hours|
+    rows.  Returned typed."""
+    from collections import deque
+
+    from .core import partial_then_global
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["event_type"]))
+        hour = pc.divide(
+            batch["ts"].cast(pa.int64()), pa.scalar(HOUR_US, pa.int64())
+        )
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "epoch_hour": pc.cast(hour, pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    rows = sorted(
+        partial_then_global(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            ["event_type", "epoch_hour"],
+            ["n"],
+        ).take_all(),
+        key=lambda r: (r["event_type"], r["epoch_hour"]),
+    )
+    if not rows:
+        return _ROLLING_MAX_SCHEMA.empty_table()
+    out_t, out_h, out_n, out_m = [], [], [], []
+    i = 0
+    while i < len(rows):
+        t = rows[i]["event_type"]
+        j = i
+        dq: deque = deque()  # (hour, n) decreasing by n
+        while j < len(rows) and rows[j]["event_type"] == t:
+            h, n = int(rows[j]["epoch_hour"]), int(rows[j]["n"])
+            while dq and dq[0][0] < h - (ROLLING_MAX_HOURS - 1):
+                dq.popleft()
+            while dq and dq[-1][1] <= n:
+                dq.pop()
+            dq.append((h, n))
+            out_t.append(t)
+            out_h.append(h)
+            out_n.append(n)
+            out_m.append(dq[0][1])
+            j += 1
+        i = j
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "epoch_hour": pa.array(out_h, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+            "rolling_max_n": pa.array(out_m, pa.int64()),
+        }
+    )
