@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 175 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (141) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 176 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (142) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
@@ -445,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_duration_median": windows.session_duration_median,
         "events_first_touch_attribution": windows.first_touch_attribution,
         "source_fingerprint": domains.source_fingerprint,
+        "source_lang_gini": domains.source_lang_gini,
         "documents_assertions": domains.documents_assertions,
         "nation_revenue_share": rel.nation_revenue_share,
         "cust_order_gap_histogram": rel.cust_order_gap_histogram,
@@ -2398,6 +2399,22 @@ def oracle_sql() -> dict[str, str]:
                      ), 1, 15)) AS BIGINT))
                      % 9223372036854775808 AS BIGINT) AS fingerprint
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "source_lang_gini": """
+            -- language-mix impurity per source: Gini 1 - sum((n_l/n)^2)
+            -- in exact ppm (NULL lang counts as its own language)
+            WITH c AS (
+              SELECT source, lang, COUNT(*) AS n
+              FROM documents GROUP BY 1, 2),
+            t AS (
+              SELECT source, SUM(n) AS tot, SUM(n*n) AS ss,
+                     COUNT(*) AS n_langs
+              FROM c GROUP BY 1)
+            SELECT source, CAST(tot AS BIGINT) AS n_docs,
+                   CAST(n_langs AS BIGINT) AS n_langs,
+                   CAST((tot*tot - ss) * 1000000 // (tot*tot) AS BIGINT)
+                     AS gini_ppm
+            FROM t ORDER BY source
         """,
         "cust_order_gap_histogram": """
             -- inter-arrival cadence: days between consecutive orders of

@@ -730,3 +730,81 @@ def documents_assertions(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-mix impurity per source (Gini)
+# ---------------------------------------------------------------------------
+
+_NULL_LANG_SENTINEL = "\x00null"
+
+_GINI_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("n_docs", pa.int64()),
+        ("n_langs", pa.int64()),
+        ("gini_ppm", pa.int64()),
+    ]
+)
+
+
+def source_lang_gini(sf_dir: str):
+    """Language-mix impurity per source: Gini impurity
+    ``1 - sum((n_lang / n)^2)`` in exact ppm integers — the one-number
+    "is this domain monolingual" probe a curator reads next to the
+    scorecard (0 = pure, -> 1 = uniform mix).
+
+    Scale shape: one pruned scan reduces the corpus to (source, lang)
+    PAIR-grain count partials map-side; the exchange moves one row per
+    pair per block and the global pair table is domain-bounded
+    (|sources| x |langs|), so the squared-count fold runs on the driver
+    in unbounded Python ints (n^2 * 1e6 would overflow int64 past ~3e6
+    docs per pair).  NULL langs ride the exchange as the engine's
+    sentinel (Ray's sort-shuffle cannot move a None key) and count as
+    their own language, matching SQL GROUP BY NULL semantics.  Returned
+    typed (empty-corpus safe)."""
+    import pyarrow.compute as pc
+
+    from .core import partial_then_global
+
+    ds = _read_docs(sf_dir, ["source", "lang"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch["source"],
+                "lang": pc.fill_null(batch["lang"], _NULL_LANG_SENTINEL),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    pairs = partial_then_global(
+        ds.map_batches(prep, batch_format="pyarrow"), ["source", "lang"], ["n"]
+    ).take_all()
+
+    per_src: dict[str, list[int]] = {}
+    for r in pairs:
+        tot_ss = per_src.setdefault(r["source"], [0, 0, 0])
+        n = int(r["n"])
+        tot_ss[0] += n
+        tot_ss[1] += n * n
+        tot_ss[2] += 1
+
+    srcs = sorted(per_src)
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "n_docs": pa.array([per_src[s][0] for s in srcs], pa.int64()),
+            "n_langs": pa.array([per_src[s][2] for s in srcs], pa.int64()),
+            "gini_ppm": pa.array(
+                [
+                    (per_src[s][0] ** 2 - per_src[s][1])
+                    * 1_000_000
+                    // per_src[s][0] ** 2
+                    for s in srcs
+                ],
+                pa.int64(),
+            ),
+        },
+        schema=_GINI_SCHEMA,
+    )
