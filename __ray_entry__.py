@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 176 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (142) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 177 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (143) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         graph,
         joins,
         pagexml,
+        profile,
         quantiles,
         sampling,
         similarity,
@@ -446,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first_touch_attribution": windows.first_touch_attribution,
         "source_fingerprint": domains.source_fingerprint,
         "source_lang_gini": domains.source_lang_gini,
+        "orders_table_profile": profile.table_profile,
         "documents_assertions": domains.documents_assertions,
         "nation_revenue_share": rel.nation_revenue_share,
         "cust_order_gap_histogram": rel.cust_order_gap_histogram,
@@ -2399,6 +2401,54 @@ def oracle_sql() -> dict[str, str]:
                      ), 1, 15)) AS BIGINT))
                      % 9223372036854775808 AS BIGINT) AS fingerprint
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "orders_table_profile": """
+            -- SUMMARIZE-style per-column profile of orders: exact
+            -- distinct counts, NULL-excluded min/max rendered
+            -- canonically (ints/cents as decimal strings, timestamps
+            -- via strftime seconds); o_totalprice profiles its exact
+            -- integer cents
+            SELECT 'o_custkey' AS column_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+                   CAST(MIN(o_custkey) AS VARCHAR) AS min_repr,
+                   CAST(MAX(o_custkey) AS VARCHAR) AS max_repr
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', COUNT(*),
+                   COUNT(*) - COUNT(o_orderdate),
+                   COUNT(DISTINCT o_orderdate),
+                   strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+                   strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderkey', COUNT(*),
+                   COUNT(*) - COUNT(o_orderkey),
+                   COUNT(DISTINCT o_orderkey),
+                   CAST(MIN(o_orderkey) AS VARCHAR),
+                   CAST(MAX(o_orderkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', COUNT(*),
+                   COUNT(*) - COUNT(o_orderpriority),
+                   COUNT(DISTINCT o_orderpriority),
+                   MIN(o_orderpriority), MAX(o_orderpriority)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', COUNT(*),
+                   COUNT(*) - COUNT(o_orderstatus),
+                   COUNT(DISTINCT o_orderstatus),
+                   MIN(o_orderstatus), MAX(o_orderstatus)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', COUNT(*),
+                   COUNT(*) - COUNT(o_totalprice),
+                   COUNT(DISTINCT CAST(round(o_totalprice*100) AS BIGINT)),
+                   CAST(MIN(CAST(round(o_totalprice*100) AS BIGINT)) AS VARCHAR),
+                   CAST(MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS VARCHAR)
+            FROM orders
+            ORDER BY column_name
         """,
         "source_lang_gini": """
             -- language-mix impurity per source: Gini 1 - sum((n_l/n)^2)

@@ -77,6 +77,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         domains,
         graph,
         joins,
+        profile,
         quantiles,
         similarity,
         sketches,
@@ -197,6 +198,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_rolling_7d_users": windows.rolling_7d_users,
         "source_fingerprint": domains.source_fingerprint,
         "source_lang_gini": domains.source_lang_gini,
+        "orders_table_profile": profile.table_profile,
         "events_audience_overlap": windows.audience_overlap,
         "events_session_duration_median": windows.session_duration_median,
         "cust_revenue_deciles": rel.cust_revenue_deciles,
