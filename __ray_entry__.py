@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2 + §8 coverage map: 177 entries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (143) with IDENTICAL
+(SURVEY.md §2 + §8 coverage map: 178 entries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (144) with IDENTICAL
 column names, dtypes (every SUM cast to BIGINT — DuckDB HUGEINT renders as
 float64) and exact integer arithmetic (cents / ppm / floor division) so
 value hashes match bit-for-bit.  Queries without SQL entries (extraction
@@ -448,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_fingerprint": domains.source_fingerprint,
         "source_lang_gini": domains.source_lang_gini,
         "orders_table_profile": profile.table_profile,
+        "copurchase_pagerank": rel.copurchase_pagerank,
         "documents_assertions": domains.documents_assertions,
         "nation_revenue_share": rel.nation_revenue_share,
         "cust_order_gap_histogram": rel.cust_order_gap_histogram,
@@ -2401,6 +2402,34 @@ def oracle_sql() -> dict[str, str]:
                      ), 1, 15)) AS BIGINT))
                      % 9223372036854775808 AS BIGINT) AS fingerprint
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "copurchase_pagerank": """
+            -- 2-round damped PageRank over the part co-purchase graph
+            -- in exact integer ppm: edge iff two parts share >= 1
+            -- order (symmetric, distinct), contrib = r // deg, r' =
+            -- 150000 + (850000 * sum(contrib)) // 1e6; top-100 by
+            -- (rank desc, partkey)
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+              SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM lp a JOIN lp b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey <> b.l_partkey),
+            d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+            r1 AS (
+              SELECT e.dst AS node,
+                     150000 + (850000 * SUM(1000000 // d.deg)) // 1000000 AS r
+              FROM e JOIN d ON d.src = e.src GROUP BY e.dst),
+            r2 AS (
+              SELECT e.dst AS node,
+                     150000 + (850000 * SUM(r1.r // d.deg)) // 1000000 AS r
+              FROM e JOIN d ON d.src = e.src
+                     JOIN r1 ON r1.node = e.src
+              GROUP BY e.dst)
+            SELECT r2.node AS p_partkey, CAST(r2.r AS BIGINT) AS pagerank_ppm,
+                   CAST(d.deg AS BIGINT) AS degree
+            FROM r2 JOIN d ON d.src = r2.node
+            ORDER BY pagerank_ppm DESC, p_partkey LIMIT 100
         """,
         "orders_table_profile": """
             -- SUMMARIZE-style per-column profile of orders: exact

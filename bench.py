@@ -199,6 +199,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "source_fingerprint": domains.source_fingerprint,
         "source_lang_gini": domains.source_lang_gini,
         "orders_table_profile": profile.table_profile,
+        "copurchase_pagerank": rel.copurchase_pagerank,
         "events_audience_overlap": windows.audience_overlap,
         "events_session_duration_median": windows.session_duration_median,
         "cust_revenue_deciles": rel.cust_revenue_deciles,

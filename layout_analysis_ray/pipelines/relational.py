@@ -2796,6 +2796,88 @@ PAIR_TOPK = 20
 PAIR_PARTITIONS = 64
 
 
+def _basket_add_opart(batch: pa.Table) -> pa.Table:
+    # per-batch pre-dedup shrinks the first exchange (lineitem arrives
+    # clustered by orderkey, so in-batch duplicates are the common
+    # case); the per-partition kernel still dedups globally
+    from ..functions.core import coarse_int_partition
+
+    batch = pa.table(
+        {
+            "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+            "l_partkey": pc.cast(batch["l_partkey"], pa.int64()),
+        }
+    ).group_by(["l_orderkey", "l_partkey"]).aggregate([])
+    ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        "__opart", pa.array(coarse_int_partition(ok, PAIR_PARTITIONS))
+    )
+
+
+def _basket_pairs_kernel(g) -> "object":
+    """Per-orderkey-partition basket expansion: distinct (order, part)
+    rows -> per-partition (part_a < part_b, n_orders) pair partials via
+    repeat/offset arithmetic (no Python loop)."""
+    import pandas as pd
+
+    g = g.drop_duplicates(["l_orderkey", "l_partkey"]).sort_values(
+        ["l_orderkey", "l_partkey"]
+    )
+    okv = g["l_orderkey"].to_numpy()
+    pkv = g["l_partkey"].to_numpy()
+    n = len(g)
+    if n == 0:
+        return pd.DataFrame(
+            {"part_a": pd.Series([], dtype=np.int64),
+             "part_b": pd.Series([], dtype=np.int64),
+             "n_orders": pd.Series([], dtype=np.int64)}
+        )
+    new_ok = np.empty(n, dtype=bool)
+    new_ok[0] = True
+    new_ok[1:] = okv[1:] != okv[:-1]
+    grp_id = np.cumsum(new_ok) - 1
+    starts = np.flatnonzero(new_ok)
+    sizes = np.diff(np.append(starts, n))
+    local = np.arange(n, dtype=np.int64) - starts[grp_id]
+    # row i (local j of a group of s) pairs forward with s-1-j rows
+    fan = sizes[grp_id] - 1 - local
+    total = int(fan.sum())
+    if total == 0:
+        return pd.DataFrame(
+            {"part_a": pd.Series([], dtype=np.int64),
+             "part_b": pd.Series([], dtype=np.int64),
+             "n_orders": pd.Series([], dtype=np.int64)}
+        )
+    a_idx = np.repeat(np.arange(n, dtype=np.int64), fan)
+    off0 = np.concatenate(([0], np.cumsum(fan)[:-1]))
+    b_idx = np.arange(total, dtype=np.int64) - np.repeat(off0, fan) + a_idx + 1
+    pairs = pd.DataFrame({"part_a": pkv[a_idx], "part_b": pkv[b_idx]})
+    out = (
+        pairs.groupby(["part_a", "part_b"], sort=False)
+        .size()
+        .reset_index(name="n_orders")
+    )
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out
+
+
+def _pair_add_ppart(batch: pa.Table) -> pa.Table:
+    # second coarse exchange key: hash of the PAIR, so each partition
+    # owns complete totals for its pairs.  A multi-key Ray groupby
+    # over ~all-distinct pair keys measured 17 s at sf0.01 vs ~2 s for
+    # a coarse int-key exchange — the boundary sort on high-distinct
+    # keys is the cost, not the data.
+    from ..functions.core import coarse_int_partition
+
+    a = batch["part_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    b = batch["part_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    mixed = a ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
+    return batch.append_column(
+        "__ppart",
+        pa.array(coarse_int_partition(mixed.astype(np.int64), PAIR_PARTITIONS)),
+    )
+
+
 def part_pairs_top(sf_dir: str, k: int = PAIR_TOPK):
     """Top-k most frequent part PAIRS bought in the same order (the
     co-occurrence / frequent-itemset-of-size-2 mining shape): for every
@@ -2818,80 +2900,6 @@ def part_pairs_top(sf_dir: str, k: int = PAIR_TOPK):
 
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
 
-    from ..functions.core import coarse_int_partition
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        # per-batch pre-dedup shrinks the first exchange (lineitem arrives
-        # clustered by orderkey, so in-batch duplicates are the common
-        # case); the per-partition kernel still dedups globally
-        batch = pa.table(
-            {
-                "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
-                "l_partkey": pc.cast(batch["l_partkey"], pa.int64()),
-            }
-        ).group_by(["l_orderkey", "l_partkey"]).aggregate([])
-        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "__opart", pa.array(coarse_int_partition(ok, PAIR_PARTITIONS))
-        )
-
-    def per_part(g) -> "object":
-        import pandas as pd
-
-        g = g.drop_duplicates(["l_orderkey", "l_partkey"]).sort_values(
-            ["l_orderkey", "l_partkey"]
-        )
-        okv = g["l_orderkey"].to_numpy()
-        pkv = g["l_partkey"].to_numpy()
-        n = len(g)
-        if n == 0:
-            return pd.DataFrame(
-                {"part_a": pd.Series([], dtype=np.int64),
-                 "part_b": pd.Series([], dtype=np.int64),
-                 "n_orders": pd.Series([], dtype=np.int64)}
-            )
-        new_ok = np.empty(n, dtype=bool)
-        new_ok[0] = True
-        new_ok[1:] = okv[1:] != okv[:-1]
-        grp_id = np.cumsum(new_ok) - 1
-        starts = np.flatnonzero(new_ok)
-        sizes = np.diff(np.append(starts, n))
-        local = np.arange(n, dtype=np.int64) - starts[grp_id]
-        # row i (local j of a group of s) pairs forward with s-1-j rows
-        fan = sizes[grp_id] - 1 - local
-        total = int(fan.sum())
-        if total == 0:
-            return pd.DataFrame(
-                {"part_a": pd.Series([], dtype=np.int64),
-                 "part_b": pd.Series([], dtype=np.int64),
-                 "n_orders": pd.Series([], dtype=np.int64)}
-            )
-        a_idx = np.repeat(np.arange(n, dtype=np.int64), fan)
-        off0 = np.concatenate(([0], np.cumsum(fan)[:-1]))
-        b_idx = np.arange(total, dtype=np.int64) - np.repeat(off0, fan) + a_idx + 1
-        pairs = pd.DataFrame({"part_a": pkv[a_idx], "part_b": pkv[b_idx]})
-        out = (
-            pairs.groupby(["part_a", "part_b"], sort=False)
-            .size()
-            .reset_index(name="n_orders")
-        )
-        out["n_orders"] = out["n_orders"].astype(np.int64)
-        return out
-
-    def add_pair_part(batch: pa.Table) -> pa.Table:
-        # second coarse exchange key: hash of the PAIR, so each partition
-        # owns complete totals for its pairs.  A multi-key Ray groupby
-        # over ~all-distinct pair keys measured 17 s at sf0.01 vs ~2 s for
-        # a coarse int-key exchange — the boundary sort on high-distinct
-        # keys is the cost, not the data.
-        a = batch["part_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = batch["part_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        mixed = a ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
-        return batch.append_column(
-            "__ppart",
-            pa.array(coarse_int_partition(mixed.astype(np.int64), PAIR_PARTITIONS)),
-        )
-
     def pair_topk(g) -> "object":
         tot = (
             g.groupby(["part_a", "part_b"], sort=False)["n_orders"]
@@ -2904,10 +2912,10 @@ def part_pairs_top(sf_dir: str, k: int = PAIR_TOPK):
         ).head(k)
 
     topk_parts = (
-        ds.map_batches(add_part, batch_format="pyarrow")
+        ds.map_batches(_basket_add_opart, batch_format="pyarrow")
         .groupby("__opart")
-        .map_groups(per_part, batch_format="pandas")
-        .map_batches(add_pair_part, batch_format="pyarrow")
+        .map_groups(_basket_pairs_kernel, batch_format="pandas")
+        .map_batches(_pair_add_ppart, batch_format="pyarrow")
         .groupby("__ppart")
         .map_groups(pair_topk, batch_format="pandas")
     )
@@ -2925,6 +2933,127 @@ def part_pairs_top(sf_dir: str, k: int = PAIR_TOPK):
             for r in rows[:k]
         ],
         schema=schema,
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the co-purchase graph (iterative, exact integer ppm)
+# ---------------------------------------------------------------------------
+
+PR_BASE_PPM = 150_000  # (1 - d) in ppm, d = 0.85
+PR_DAMP_PPM = 850_000
+PR_SCALE = 1_000_000
+PR_ITERS = 2
+PR_TOPK = 100
+
+_PAGERANK_SCHEMA = pa.schema(
+    [
+        ("p_partkey", pa.int64()),
+        ("pagerank_ppm", pa.int64()),
+        ("degree", pa.int64()),
+    ]
+)
+
+
+def copurchase_pagerank(sf_dir: str, iters: int = PR_ITERS, k: int = PR_TOPK):
+    """Iterative PageRank over the part co-purchase graph: nodes are
+    parts, an undirected edge joins two parts bought in the same order
+    at least once, PR_ITERS damped power-iteration rounds in EXACT
+    integer ppm (contrib = r // deg per source, r' = (1-d) +
+    d * sum(contribs) // 1e6 — floor at the same two points the oracle
+    floors), top-k nodes by (rank desc, partkey).  Dangling nodes are
+    impossible by construction (every node of the edge set has deg >= 1
+    and edges are symmetric).
+
+    Scale shape: the EDGE SET is built with the part_pairs_top kernels
+    (two coarse int-key exchanges: orderkey-hash basket expansion, then
+    pair-hash global dedup) and materialized ONCE — iterations re-scan
+    edges, never lineitem.  Each round broadcasts the (node, contrib)
+    vector via ``ray.put`` (node-DIMENSION-sized — the documented
+    partitioning assumption; a corpus-scale node set would hash-shard
+    the rank vector instead), scatters contributions map-side with one
+    searchsorted lookup per edge batch, and reduces per-dst partials
+    through ``partial_then_global`` — one row per node per block crosses
+    the exchange, never per edge.  int64 throughout: contributions are
+    bounded by the conserved total mass (n_nodes x 1e6), so the damped
+    sum fits far below 2^63 for any dimension-sized node set."""
+    import ray
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def mirror_dedup(g):
+        # this partition owns every copy of its pairs: global distinct,
+        # then emit both directions so the scatter sees each undirected
+        # edge once per endpoint
+        import pandas as pd
+
+        g = g.drop_duplicates(["part_a", "part_b"])
+        a = g["part_a"].to_numpy(dtype=np.int64)
+        b = g["part_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([a, b]),
+                "dst": np.concatenate([b, a]),
+            }
+        )
+
+    edges = (
+        ds.map_batches(_basket_add_opart, batch_format="pyarrow")
+        .groupby("__opart")
+        .map_groups(_basket_pairs_kernel, batch_format="pandas")
+        .map_batches(_pair_add_ppart, batch_format="pyarrow")
+        .groupby("__ppart")
+        .map_groups(mirror_dedup, batch_format="pandas")
+        .materialize()
+    )
+
+    def deg_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": b["src"],
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    deg_rows = _partial_then_global(
+        edges.map_batches(deg_prep, batch_format="pyarrow"), ["src"], ["one"]
+    ).take_all()
+    if not deg_rows:
+        return _PAGERANK_SCHEMA.empty_table()
+    deg_rows.sort(key=lambda r: int(r["src"]))
+    nodes = np.array([int(r["src"]) for r in deg_rows], dtype=np.int64)
+    deg = np.array([int(r["one"]) for r in deg_rows], dtype=np.int64)
+
+    rank = np.full(len(nodes), PR_SCALE, dtype=np.int64)
+    for _ in range(iters):
+        contrib_ref = ray.put((nodes, rank // deg))
+
+        def scatter(b: pa.Table, _ref=contrib_ref) -> pa.Table:
+            nd, cv = ray.get(_ref)
+            src = b["src"].to_numpy(zero_copy_only=False)
+            c = cv[np.searchsorted(nd, src)]
+            # per-dst combine happens inside _partial_then_global's
+            # map-side partial; emit raw scatter rows
+            return pa.table({"dst": b["dst"], "c": pa.array(c)})
+
+        sums = _partial_then_global(
+            edges.map_batches(scatter, batch_format="pyarrow"), ["dst"], ["c"]
+        ).take_all()
+        recv = np.zeros(len(nodes), dtype=np.int64)
+        idx = np.searchsorted(
+            nodes, np.array([int(r["dst"]) for r in sums], dtype=np.int64)
+        )
+        recv[idx] = np.array([int(r["c"]) for r in sums], dtype=np.int64)
+        rank = PR_BASE_PPM + (PR_DAMP_PPM * recv) // PR_SCALE
+
+    order = np.lexsort((nodes, -rank))[:k]
+    return pa.table(
+        {
+            "p_partkey": pa.array(nodes[order]),
+            "pagerank_ppm": pa.array(rank[order]),
+            "degree": pa.array(deg[order]),
+        },
+        schema=_PAGERANK_SCHEMA,
     )
 
 
