@@ -352,6 +352,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_idle_above_avg": rel.cust_idle_above_avg,
         "q17_small_qty_revenue": rel.q17_small_qty_revenue,
         "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
+        "q9_profit_by_nation_year": rel.q9_profit_by_nation_year,
+        "q11_part_value_hotlist": rel.q11_part_value_hotlist,
+        "q16_supplier_variety": rel.q16_supplier_variety,
+        "q20_excess_shippers": rel.q20_excess_shippers,
+        "nation_segment_listagg": rel.nation_segment_listagg,
         "q21_waiting_suppliers": rel.q21_waiting_suppliers,
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q10_returned_top_customers": rel.q10_returned_top_customers,
@@ -677,6 +682,65 @@ def oracle_sql() -> dict[str, str]:
                    AND CAST(round(l_quantity*100) AS BIGINT) BETWEEN 1000 AND 2000)
                OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
                    AND CAST(round(l_quantity*100) AS BIGINT) BETWEEN 2000 AND 3000)
+        """,
+        "q9_profit_by_nation_year": """
+            SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(round(l_discount*100) AS BIGINT))
+                          - CAST(round(p_retailprice*100) AS BIGINT)
+                            * CAST(l_quantity AS BIGINT) * 100) AS BIGINT)
+                     AS profit_e4,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%rod%'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q11_part_value_hotlist": """
+            WITH v AS (
+              SELECT l_partkey,
+                     SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l_discount*100) AS BIGINT))) AS val
+              FROM lineitem GROUP BY 1)
+            SELECT l_partkey, CAST(val AS BIGINT) AS value_e4
+            FROM v
+            WHERE 10 * (SELECT COUNT(*) FROM v) * val
+                  > 13 * (SELECT SUM(val) FROM v)
+            ORDER BY l_partkey
+        """,
+        "q16_supplier_variety": """
+            WITH d AS (
+              SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+                AND l_suppkey % 3 <> 0)
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(*) AS BIGINT) AS supplier_cnt
+            FROM d GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, 1, 2, 3
+        """,
+        "q20_excess_shippers": """
+            WITH q AS (
+              SELECT l_suppkey
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'small%'
+                AND l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY l_suppkey, l_partkey
+              HAVING SUM(CAST(l_quantity AS BIGINT)) > 60)
+            SELECT DISTINCT s_suppkey, s_name
+            FROM supplier JOIN q ON s_suppkey = l_suppkey
+            ORDER BY s_suppkey
+        """,
+        "nation_segment_listagg": """
+            WITH d AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+            SELECT n_name,
+                   string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+                   CAST(COUNT(*) AS BIGINT) AS n_segments
+            FROM d JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY 1
         """,
         "q21_waiting_suppliers": """
             WITH j AS (

@@ -3976,3 +3976,403 @@ def orders_denormalized(sf_dir: str):
         )
 
     return orders.map_batches(enrich, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q9-style: product profit rollup by supplier nation x ship year
+# ---------------------------------------------------------------------------
+
+Q9_NAME_SUBSTR = "rod"  # part filter: p_name LIKE '%rod%'
+
+
+def q9_profit_by_nation_year(sf_dir: str):
+    """TPC-H Q9 shape (ref has no partsupp table, so unit cost comes from
+    ``p_retailprice``): profit per supplier nation per ship year over parts
+    whose name contains a substring.
+
+    profit_e4 = price_cents*(100 - disc_pct) - retail_cents*qty*100, all
+    exact int64 (quantities are integral — pinned by the oracle).
+
+    Scale shape: both dimensions broadcast once via ``ray.put`` as sorted
+    (key, value) numpy pairs (part: matching keys + retail cents; supplier:
+    suppkey -> nation name index).  Each lineitem batch folds to at most
+    |nations| x |years| partial rows map-side, so the only exchange is the
+    tiny partial+global groupby — no join shuffle at all."""
+    import ray
+
+    part = _read_dim(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
+    part = part[part["p_name"].str.contains(Q9_NAME_SUBSTR, regex=False)]
+    part = part.sort_values("p_partkey")
+    nation = _read_dim(sf_dir, "nation").sort_values("n_nationkey")
+    supplier = _read_dim(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).sort_values("s_suppkey")
+    from ..functions.numeric import cents_arrow
+
+    refs = ray.put(
+        (
+            part["p_partkey"].to_numpy(dtype=np.int64),
+            cents_arrow(pa.array(part["p_retailprice"].to_numpy())).to_numpy(
+                zero_copy_only=False
+            ),
+            supplier["s_suppkey"].to_numpy(dtype=np.int64),
+            supplier["s_nationkey"].to_numpy(dtype=np.int64),
+            nation["n_nationkey"].to_numpy(dtype=np.int64),
+            nation["n_name"].to_numpy(),
+        )
+    )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk, pretail, sk, snat, nk, nname = ray.get(refs)
+        probe = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.clip(np.searchsorted(pk, probe), 0, max(len(pk) - 1, 0))
+        keep = (pk[idx] == probe) if len(pk) else np.zeros(len(probe), bool)
+        if not keep.any():
+            return pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "l_year": pa.array([], pa.int64()),
+                    "profit_e4": pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                }
+            )
+        b = b.filter(pa.array(keep))
+        retail = pretail[idx[keep]]
+        price = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc = _cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        qty = (
+            b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )  # integral by contract
+        profit = price * (100 - disc) - retail * qty * 100
+        sidx = np.searchsorted(sk, b["l_suppkey"].to_numpy(zero_copy_only=False))
+        nat = snat[sidx]  # FK integrity: every suppkey exists
+        year = pc.year(b["l_shipdate"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        # exact int64 segment sums per (nation, year): lexsort + reduceat
+        key = nat * 10_000 + year
+        order = np.argsort(key, kind="stable")
+        key, profit = key[order], profit[order]
+        starts = np.ones(len(key), dtype=bool)
+        starts[1:] = key[1:] != key[:-1]
+        pos = np.flatnonzero(starts)
+        names = nname[np.searchsorted(nk, key[pos] // 10_000)]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "l_year": pa.array(key[pos] % 10_000, pa.int64()),
+                "profit_e4": pa.array(np.add.reduceat(profit, pos).astype(np.int64)),
+                "n_rows": pa.array(np.diff(np.append(pos, len(key))), pa.int64()),
+            }
+        )
+
+    return _partial_then_global(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["n_name", "l_year"],
+        ["profit_e4", "n_rows"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11-style: parts whose revenue exceeds a multiple of the global average
+# ---------------------------------------------------------------------------
+
+# keep parts with 10 * n_parts * value > 13 * total  (i.e. > 1.3x the mean
+# per-part value; TPC-H Q11's fraction is SF-scaled, a mean multiple is the
+# scale-free equivalent for a synthetic uniform corpus)
+Q11_NUM = 13
+Q11_DEN = 10
+
+
+def q11_part_value_hotlist(sf_dir: str):
+    """TPC-H Q11 shape (HAVING against a global-total scalar): per-part
+    revenue kept only where it exceeds 1.3x the mean per-part value.
+
+    Scale shape: per-batch (partkey, value) Arrow partials -> keyed groupby
+    -> the REDUCED table (one row per distinct part — dimension-bounded) is
+    materialized once and reused for both the global scalars and the filter;
+    the threshold compare runs in exact Python big ints (10*n*val vs
+    13*total overflows int64 near 1e18 at extreme SF), over driver-bounded
+    rows only."""
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc = _cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "value_e4": pa.array(price * (100 - disc), pa.int64()),
+            }
+        ).group_by(["l_partkey"]).aggregate([("value_e4", "sum")]).rename_columns(
+            ["l_partkey", "value_e4"]
+        )
+
+    per_part = _partial_then_global(
+        li.map_batches(partial, batch_format="pyarrow"), ["l_partkey"], ["value_e4"]
+    ).materialize()  # reused: scalar pass + filter pass (part-bounded rows)
+
+    import ray
+
+    reduced = per_part.take_all()
+    schema = pa.schema([("l_partkey", pa.int64()), ("value_e4", pa.int64())])
+    if not reduced:
+        return schema.empty_table()
+    n_parts = len(reduced)
+    total = sum(int(r["value_e4"]) for r in reduced)  # exact big-int
+    rows = sorted(
+        (int(r["l_partkey"]), int(r["value_e4"]))
+        for r in reduced
+        if Q11_DEN * n_parts * int(r["value_e4"]) > Q11_NUM * total
+    )
+    return pa.table(
+        {
+            "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+            "value_e4": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16-style: distinct-supplier variety per (brand, type, size)
+# ---------------------------------------------------------------------------
+
+Q16_EXCL_BRAND = "Brand#12"
+Q16_EXCL_TYPE = "PROMO"
+Q16_SUPP_MOD = 3  # suppliers with s_suppkey % 3 == 0 are the "complaints" set
+
+
+def q16_supplier_variety(sf_dir: str):
+    """TPC-H Q16 shape (ref has no partsupp: the part-supplier association
+    is the distinct (l_partkey, l_suppkey) pairs observed in lineitem):
+    count DISTINCT suppliers per (brand, type, size) over non-excluded
+    parts, excluding the deterministic "complaints" supplier set
+    (s_suppkey % 3 == 0).
+
+    Scale shape: the part dimension broadcasts once as sorted parallel
+    arrays (partkey -> packed (brand, type, size) code); each lineitem
+    batch decorates map-side, drops excluded suppliers with integer math
+    (no supplier table needed), and emits its DISTINCT (code, suppkey)
+    pairs — so the exchange carries at most |groups| x |suppliers| rows
+    per block, never lineitems.  A keyed groupby dedups globally; the
+    per-group COUNT over the deduped pairs is a second tiny
+    partial+global pass."""
+    import ray
+
+    part = _read_dim(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    )
+    part = part[
+        (part["p_brand"] != Q16_EXCL_BRAND) & (part["p_type"] != Q16_EXCL_TYPE)
+    ].sort_values("p_partkey")
+    brands = np.array(sorted(part["p_brand"].unique()))
+    types = np.array(sorted(part["p_type"].unique()))
+    b_idx = np.searchsorted(brands, part["p_brand"].to_numpy())
+    t_idx = np.searchsorted(types, part["p_type"].to_numpy())
+    size = part["p_size"].to_numpy(dtype=np.int64)
+    # packed group code: (brand, type, size) -> one int64 (sizes are 1..50)
+    code = (b_idx * len(types) + t_idx) * 64 + size
+    refs = ray.put((part["p_partkey"].to_numpy(dtype=np.int64), code))
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        pk, pcode = ray.get(refs)
+        probe = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        supp = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.clip(np.searchsorted(pk, probe), 0, max(len(pk) - 1, 0))
+        keep = ((pk[idx] == probe) if len(pk) else np.zeros(len(probe), bool)) & (
+            supp % Q16_SUPP_MOD != 0
+        )
+        pair = np.unique(pcode[idx[keep]] * (1 << 32) | supp[keep])
+        return pa.table({"pair": pa.array(pair, pa.int64())})
+
+    # global dedup of (group code, suppkey) pairs, then count per group
+    deduped = li.map_batches(pairs, batch_format="pyarrow").groupby("pair").count()
+
+    def per_group(b: pa.Table) -> pa.Table:
+        pair = b["pair"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"code": pa.array(pair >> 32, pa.int64()),
+             "supplier_cnt": pa.array(np.ones(len(pair), np.int64))}
+        ).group_by(["code"]).aggregate([("supplier_cnt", "sum")]).rename_columns(
+            ["code", "supplier_cnt"]
+        )
+
+    counts = _partial_then_global(
+        deduped.map_batches(per_group, batch_format="pyarrow"), ["code"], ["supplier_cnt"]
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        c = b["code"].to_numpy(zero_copy_only=False)
+        bt = c >> 6
+        return pa.table(
+            {
+                "p_brand": pa.array(brands[bt // len(types)], pa.string()),
+                "p_type": pa.array(types[bt % len(types)], pa.string()),
+                "p_size": pa.array(c & 63, pa.int64()),
+                "supplier_cnt": b["supplier_cnt"],
+            }
+        )
+
+    from ..functions.schema import ensure_schema
+
+    return ensure_schema(
+        counts.map_batches(finish, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("p_brand", pa.string()),
+                ("p_type", pa.string()),
+                ("p_size", pa.int64()),
+                ("supplier_cnt", pa.int64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20-style: suppliers who shipped an excess of a part family in a year
+# ---------------------------------------------------------------------------
+
+Q20_NAME_PREFIX = "small"
+Q20_YEAR_LO = "1997-01-01"
+Q20_YEAR_HI = "1998-01-01"
+Q20_QTY_THRESHOLD = 60  # sum(l_quantity) per (supplier, part) must exceed
+
+
+def q20_excess_shippers(sf_dir: str):
+    """TPC-H Q20 shape (availqty replaced by a fixed quantity threshold —
+    the ref schema has no partsupp): suppliers with ANY (supplier, part)
+    1997 shipment total over the threshold, for parts named 'small%'.
+
+    Scale shape: matching partkeys broadcast once (name filter is
+    dimension-side); the date window is pushed into the parquet scan; each
+    batch folds (suppkey, partkey) -> qty partials map-side so the keyed
+    groupby moves one row per touched pair per block; the qualifying
+    DISTINCT suppkey set is supplier-bounded and decorates on the driver."""
+    import ray
+
+    part = _read_dim(sf_dir, "part", columns=["p_partkey", "p_name"])
+    part = part[part["p_name"].str.startswith(Q20_NAME_PREFIX)]
+    pk_ref = ray.put(np.sort(part["p_partkey"].to_numpy(dtype=np.int64)))
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        row_filter=(
+            (pads.field("l_shipdate") >= np.datetime64(Q20_YEAR_LO, "us"))
+            & (pads.field("l_shipdate") < np.datetime64(Q20_YEAR_HI, "us"))
+        ),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk = ray.get(pk_ref)
+        probe = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.clip(np.searchsorted(pk, probe), 0, max(len(pk) - 1, 0))
+        keep = (pk[idx] == probe) if len(pk) else np.zeros(len(probe), bool)
+        return pa.table(
+            {
+                "l_suppkey": b["l_suppkey"].filter(pa.array(keep)),
+                "l_partkey": b["l_partkey"].filter(pa.array(keep)),
+                "qty": pa.array(
+                    b["l_quantity"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+                ),
+            }
+        ).group_by(["l_suppkey", "l_partkey"]).aggregate([("qty", "sum")]).rename_columns(
+            ["l_suppkey", "l_partkey", "qty"]
+        )
+
+    pair_qty = _partial_then_global(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_suppkey", "l_partkey"],
+        ["qty"],
+    )
+
+    def supp_only(b: pa.Table) -> pa.Table:
+        qual = b["qty"].to_numpy(zero_copy_only=False) > Q20_QTY_THRESHOLD
+        return pa.table(
+            {
+                "s_suppkey": pa.array(
+                    np.unique(
+                        b["l_suppkey"].to_numpy(zero_copy_only=False)[qual]
+                    ),
+                    pa.int64(),
+                )
+            }
+        )
+
+    supps = pair_qty.map_batches(supp_only, batch_format="pyarrow").take_all()
+    schema = pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string())])
+    if not supps:
+        return schema.empty_table()
+    keys = sorted({int(r["s_suppkey"]) for r in supps})
+    supplier = _read_dim(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    names = dict(zip(supplier["s_suppkey"], supplier["s_name"]))
+    return pa.table(
+        {
+            "s_suppkey": pa.array(keys, pa.int64()),
+            "s_name": pa.array([names[k] for k in keys], pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# LISTAGG / collect_set: per-nation sorted distinct segment list
+# ---------------------------------------------------------------------------
+
+
+def nation_segment_listagg(sf_dir: str):
+    """string_agg / collect_set shape: each nation's DISTINCT market
+    segments as one comma-joined, sorted string (SQL string_agg(DISTINCT x,
+    ',' ORDER BY x) — the categorical-profile report every BI layer has).
+
+    Scale shape: collect_set distributes as distinct-pair reduction — each
+    customer batch emits its DISTINCT (nationkey, segment) pairs, a keyed
+    groupby dedups globally, and only the |nations| x |segments|-bounded
+    pair table reaches the driver for the string join (the strings
+    themselves never shuffle row-proportionally)."""
+
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        df = b.group_by(["c_nationkey", "c_mktsegment"]).aggregate([])
+        return df
+
+    deduped = (
+        cust.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["c_nationkey", "c_mktsegment"])
+        .count()
+        .take_all()
+    )
+    schema = pa.schema(
+        [("n_name", pa.string()), ("segments", pa.string()), ("n_segments", pa.int64())]
+    )
+    if not deduped:
+        return schema.empty_table()
+    nation = _read_dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nk2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    by_nat: dict[str, list] = {}
+    for r in deduped:
+        by_nat.setdefault(nk2name[r["c_nationkey"]], []).append(r["c_mktsegment"])
+    names = sorted(by_nat)
+    return pa.table(
+        {
+            "n_name": pa.array(names, pa.string()),
+            "segments": pa.array(
+                [",".join(sorted(by_nat[n])) for n in names], pa.string()
+            ),
+            "n_segments": pa.array([len(by_nat[n]) for n in names], pa.int64()),
+        }
+    )
