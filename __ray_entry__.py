@@ -444,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_weighted_median_quality": domains.source_token_weighted_median_quality,
         "events_transition_counts": windows.transition_counts,
         "events_user_streaks": windows.user_hour_streaks,
+        "events_scd2_intervals": windows.scd2_type_intervals,
         "events_user_coverage": windows.user_coverage_intervals,
         "events_missing_hours": windows.missing_hours_by_type,
         "events_rolling_7d_users": windows.rolling_7d_users,
@@ -2071,6 +2072,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(len) AS BIGINT) AS max_streak_hours,
                    CAST(SUM(len) AS BIGINT) AS active_hours
             FROM streaks GROUP BY user_id ORDER BY user_id
+        """,
+        "events_scd2_intervals": """
+            -- SCD2 run compaction: LAG change marker -> running-SUM island
+            -- id -> per-run aggregates -> LEAD of the next run's start;
+            -- the user's final run closes at its own last event ts
+            WITH e AS (
+              SELECT user_id, ts, event_id, event_type,
+                     LAG(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS pt
+              FROM events),
+            m AS (
+              SELECT *, SUM(CASE WHEN pt IS NULL OR pt <> event_type
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM e),
+            r AS (
+              SELECT user_id, run_id, MIN(event_type) AS event_type,
+                     MIN(ts) AS valid_from, MAX(ts) AS last_ts,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM m GROUP BY 1, 2)
+            SELECT user_id, event_type, valid_from,
+                   COALESCE(LEAD(valid_from) OVER
+                              (PARTITION BY user_id ORDER BY run_id),
+                            last_ts) AS valid_to,
+                   n_events
+            FROM r ORDER BY user_id, run_id
         """,
         "events_user_coverage": """
             -- interval union per user: event occupies [ts, ts + value sec]

@@ -2626,3 +2626,75 @@ def rolling_max_24h_by_type(sf_dir: str):
             "rolling_max_n": pa.array(out_m, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 / CDC run compaction: per-user event_type validity intervals
+# ---------------------------------------------------------------------------
+
+_SCD2_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("valid_from", pa.timestamp("us")),
+        ("valid_to", pa.timestamp("us")),
+        ("n_events", pa.int64()),
+    ]
+)
+
+
+def scd2_type_intervals(sf_dir: str):
+    """SCD2 / change-data-capture compaction: consecutive same-``event_type``
+    runs per user collapse into validity intervals — the latest-snapshot
+    history table every warehouse ETL builds (SQL: LAG change marker +
+    running SUM island id + LEAD of the next run's start).
+
+    ``valid_from`` is the run's first event ts; ``valid_to`` is the NEXT
+    run's start, or the run's own last event ts for the user's final run
+    (closed-at-last-observation, so the column is never NULL and the driver
+    hash stays well-defined).
+
+    Scale shape: ONE coarse user-hash exchange (the shared
+    ``WINDOW_PARTITIONS`` partition — all of a user's rows co-locate), then
+    a fully vectorized kernel per partition: one lexsort by (user, ts,
+    event_id), run breaks = user-change OR type-change, firsts/lasts by
+    positional indexing — no per-user Python.  Output rows (one per run)
+    stream as a Dataset, never driver-materialized."""
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id", "event_type"]).map_batches(
+        _add_user_part, batch_format="pyarrow"
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]")
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        if n == 0:  # defensive: Ray 2.49 skips empty groups, but cheap
+            return _SCD2_SCHEMA.empty_table().to_pandas()
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        new_run = new_user.copy()
+        new_run[1:] |= et[1:] != et[:-1]
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], n) - 1  # last row index of each run
+        # valid_to: next run's start ts when the next run is the same user,
+        # else (user's final run) the run's own last event ts
+        nxt_start_ts = np.append(ts[starts[1:]], ts[ends[-1]])
+        same_user_next = np.append(u[starts[1:]] == u[starts[:-1]], False)
+        valid_to = np.where(same_user_next, nxt_start_ts, ts[ends])
+        return pd.DataFrame(
+            {
+                "user_id": u[starts].astype(np.int64),
+                "event_type": et[starts],
+                "valid_from": ts[starts],
+                "valid_to": valid_to,
+                "n_events": (ends - starts + 1).astype(np.int64),
+            }
+        )
+
+    return _ensure_schema(
+        ds.groupby("__upart").map_groups(per_part, batch_format="pandas"),
+        _SCD2_SCHEMA,
+    )
