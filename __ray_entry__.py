@@ -445,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transition_counts": windows.transition_counts,
         "events_user_streaks": windows.user_hour_streaks,
         "events_scd2_intervals": windows.scd2_type_intervals,
+        "events_type_drift_chi2": windows.type_drift_chi2,
         "events_user_coverage": windows.user_coverage_intervals,
         "events_missing_hours": windows.missing_hours_by_type,
         "events_rolling_7d_users": windows.rolling_7d_users,
@@ -2072,6 +2073,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(len) AS BIGINT) AS max_streak_hours,
                    CAST(SUM(len) AS BIGINT) AS active_hours
             FROM streaks GROUP BY user_id ORDER BY user_id
+        """,
+        "events_type_drift_chi2": """
+            -- exact integer chi-square per day vs the corpus type mix:
+            -- identical floor-division order as the engine (per-cell
+            -- (o*N - n_d*n_t)^2 // (n_d*n_t), day sum // N); HUGEINT
+            -- casts keep the squared term exact
+            WITH c AS (
+              SELECT event_type AS t, epoch_us(ts) // 86400000000 AS d,
+                     CAST(COUNT(*) AS BIGINT) AS o
+              FROM events GROUP BY 1, 2),
+            nd AS (SELECT d, SUM(o) AS n_d FROM c GROUP BY 1),
+            nt AS (SELECT t, SUM(o) AS n_t FROM c GROUP BY 1),
+            g AS (SELECT SUM(o) AS n FROM c),
+            grid AS (
+              SELECT nd.d, nt.t, nd.n_d, nt.n_t, COALESCE(c.o, 0) AS o
+              FROM nd CROSS JOIN nt LEFT JOIN c ON c.d = nd.d AND c.t = nt.t)
+            SELECT d AS day,
+                   CAST(SUM((CAST(o AS HUGEINT) * (SELECT n FROM g)
+                             - CAST(n_d AS HUGEINT) * n_t)
+                            * (CAST(o AS HUGEINT) * (SELECT n FROM g)
+                               - CAST(n_d AS HUGEINT) * n_t)
+                            // (CAST(n_d AS HUGEINT) * n_t))
+                        // (SELECT n FROM g) AS BIGINT) AS chi2_scaled
+            FROM grid GROUP BY 1 ORDER BY 1
         """,
         "events_scd2_intervals": """
             -- SCD2 run compaction: LAG change marker -> running-SUM island

@@ -2698,3 +2698,82 @@ def scd2_type_intervals(sf_dir: str):
         ds.groupby("__upart").map_groups(per_part, batch_format="pandas"),
         _SCD2_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitor: exact integer chi-square per day
+# ---------------------------------------------------------------------------
+
+_CHI2_SCHEMA = pa.schema([("day", pa.int64()), ("chi2_scaled", pa.int64())])
+
+
+def type_drift_chi2(sf_dir: str):
+    """Data-drift monitor: per UTC day, the chi-square statistic of that
+    day's event_type mix against the whole corpus's type distribution —
+    the standard pipeline-health check for an ingest feed.
+
+    Exactness contract: with o = observed count, N = grand total, n_d /
+    n_t = day / type marginals, each cell contributes
+    ``(o*N - n_d*n_t)^2 // (n_d*n_t)`` and the day's sum is floored by
+    ``N`` — the SAME floor-division order on both sides (the oracle uses
+    HUGEINT for the squared term), so parity is bit-exact with no float
+    chi-square anywhere.  Zero cells (a type absent that day) contribute
+    exactly ``n_d*n_t // N``-ish mass via the same formula, so both sides
+    expand the full day x type grid.
+
+    Scale shape: ONE partial+global groupby over (type, day) — each batch
+    collapses map-side to at most |types| x |days-touched| rows; the
+    contingency table is alphabet x history-days bounded, so the exact
+    big-int chi-square fold runs on the driver over driver-small rows."""
+    from .core import partial_then_global as _partial_then_global
+
+    ds = _read_events(sf_dir, ["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        return (
+            pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "day": pa.array(day, pa.int64()),
+                    "o": pa.array(np.ones(len(day), np.int64)),
+                }
+            )
+            .group_by(["event_type", "day"])
+            .aggregate([("o", "sum")])
+            .rename_columns(["event_type", "day", "o"])
+        )
+
+    cells = _partial_then_global(
+        ds.map_batches(partial, batch_format="pyarrow"), ["event_type", "day"], ["o"]
+    ).take_all()
+    if not cells:
+        return _CHI2_SCHEMA.empty_table()
+    # exact big-int fold over the (types x days)-bounded contingency table
+    obs: dict[tuple[str, int], int] = {}
+    n_d: dict[int, int] = {}
+    n_t: dict[str, int] = {}
+    for r in cells:
+        t, d, o = r["event_type"], int(r["day"]), int(r["o"])
+        obs[(t, d)] = o
+        n_d[d] = n_d.get(d, 0) + o
+        n_t[t] = n_t.get(t, 0) + o
+    grand = sum(n_d.values())
+    days = sorted(n_d)
+    out = []
+    for d in days:
+        acc = 0
+        for t, nt in n_t.items():
+            o = obs.get((t, d), 0)
+            e_num = n_d[d] * nt  # expected * N
+            acc += (o * grand - e_num) ** 2 // e_num
+        out.append(acc // grand)
+    return pa.table(
+        {
+            "day": pa.array(days, pa.int64()),
+            "chi2_scaled": pa.array(out, pa.int64()),
+        }
+    )
