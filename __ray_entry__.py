@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_rate_by_source": dedup.dedup_rate_by_source,
+        "source_leakage_matrix": dedup.source_leakage_matrix,
         "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_simhash_pairs": dedup.simhash_pairs,
@@ -861,6 +862,15 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '2000-06-01')
             GROUP BY 1 ORDER BY 1
+        """,
+        "source_leakage_matrix": f"""
+            WITH d AS (SELECT DISTINCT source,
+                md5(array_to_string(list_slice({_TOKS}, 1, 5), ' ')) AS h
+              FROM documents)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_hashes
+            FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "dedup_rate_by_source": """
             WITH pairs AS (

@@ -1632,3 +1632,132 @@ def dedup_keep_best(sf_dir: str):
         )
 
     return agg.map_batches(decode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cross-source template-leakage matrix: shared opening fingerprints
+# ---------------------------------------------------------------------------
+
+LEAK_PARTITIONS = 64
+LEAK_PREFIX_TOKENS = 5
+
+_LEAK_SCHEMA = pa.schema(
+    [
+        ("source_a", pa.string()),
+        ("source_b", pa.string()),
+        ("shared_hashes", pa.int64()),
+    ]
+)
+
+
+def source_leakage_matrix(sf_dir: str):
+    """Cross-source template-leakage audit: for every unordered source pair
+    (a < b), the number of DISTINCT opening fingerprints (md5 of the first
+    5 tokens) present in BOTH — boilerplate/template text that leaks across
+    provenances is the classic train/eval contamination vector (the corpus
+    has no EXACT cross-source dups, so the fingerprint is the doc's opening
+    shingle; the hash function is shared with the oracle's
+    ``md5(array_to_string(list_slice(toks, 1, 5), ' '))``).  Pairs with
+    zero overlap are omitted (the oracle's inner self-join).
+
+    Scale shape: each batch tokenizes once (the shared RE2 kernel), folds
+    to its DISTINCT (fingerprint, source) pairs, and coarse-partitions on
+    a vectorized digest-of-the-digest int64 — identity stays the FULL hex
+    string, the int only routes.  Per partition, one vectorized kernel
+    (sort, dedup, segment on hash change, basket-style repeat/offset pair
+    expansion — source fan-out per hash is |sources|-bounded) folds to
+    (source_a, source_b, n) partials; the final reduce is
+    |sources|^2-bounded and returns a typed driver-side table (empty-safe
+    per the Ray 2.49 empty-Dataset schema quirk)."""
+    import pandas as pd
+
+    from .core import coarse_int_partition, partial_then_global
+    from .hashing import md5_hex, str_hash_u60
+    from .text import _flat_tokens_arrow
+
+    docs = _read_docs(sf_dir, ["source", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parent, flat, n_rows = _flat_tokens_arrow(b["text"])
+        counts = np.bincount(parent, minlength=n_rows)
+        kept = np.minimum(counts, LEAK_PREFIX_TOKENS)
+        # keep each row's first LEAK_PREFIX_TOKENS tokens (parent is sorted)
+        pos = np.arange(len(parent), dtype=np.int64)
+        if len(parent):
+            first = np.zeros(len(parent), dtype=np.int64)
+            new = np.empty(len(parent), dtype=bool)
+            new[0] = True
+            new[1:] = parent[1:] != parent[:-1]
+            first[new] = pos[new]
+            pos = pos - np.maximum.accumulate(first)
+        head = flat.filter(pa.array(pos < LEAK_PREFIX_TOKENS))
+        offsets = np.concatenate(([0], np.cumsum(kept))).astype(np.int32)
+        prefix = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), head), " "
+        )
+        t = pa.table(
+            {"content_hash": md5_hex(prefix), "source": b["source"]}
+        ).group_by(["content_hash", "source"]).aggregate([])
+        pref = str_hash_u60(t["content_hash"])
+        return t.append_column(
+            "__hpart", pa.array(coarse_int_partition(pref, LEAK_PARTITIONS))
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["content_hash", "source"]).sort_values(
+            ["content_hash", "source"]
+        )
+        n = len(g)
+        empty = pd.DataFrame(
+            {
+                "source_a": pd.Series([], dtype=object),
+                "source_b": pd.Series([], dtype=object),
+                "shared_hashes": pd.Series([], dtype=np.int64),
+            }
+        )
+        if n == 0:
+            return empty
+        h = g["content_hash"].to_numpy()
+        s = g["source"].to_numpy()
+        new_h = np.empty(n, dtype=bool)
+        new_h[0] = True
+        new_h[1:] = h[1:] != h[:-1]
+        grp = np.cumsum(new_h) - 1
+        starts = np.flatnonzero(new_h)
+        sizes = np.diff(np.append(starts, n))
+        local = np.arange(n, dtype=np.int64) - starts[grp]
+        fan = sizes[grp] - 1 - local  # pair forward within the hash segment
+        total = int(fan.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n, dtype=np.int64), fan)
+        off0 = np.concatenate(([0], np.cumsum(fan)[:-1]))
+        b_idx = np.arange(total, dtype=np.int64) - np.repeat(off0, fan) + a_idx + 1
+        out = (
+            pd.DataFrame({"source_a": s[a_idx], "source_b": s[b_idx]})
+            .groupby(["source_a", "source_b"], sort=False)
+            .size()
+            .reset_index(name="shared_hashes")
+        )
+        out["shared_hashes"] = out["shared_hashes"].astype(np.int64)
+        return out
+
+    rows = partial_then_global(
+        docs.map_batches(prep, batch_format="pyarrow")
+        .groupby("__hpart")
+        .map_groups(kernel, batch_format="pandas"),
+        ["source_a", "source_b"],
+        ["shared_hashes"],
+    ).take_all()
+    if not rows:
+        return _LEAK_SCHEMA.empty_table()
+    rows = sorted((r["source_a"], r["source_b"], int(r["shared_hashes"])) for r in rows)
+    return pa.table(
+        {
+            "source_a": pa.array([r[0] for r in rows], pa.string()),
+            "source_b": pa.array([r[1] for r in rows], pa.string()),
+            "shared_hashes": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
