@@ -219,6 +219,12 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
             lambda sf: media_stage.media_phash_neardup_pairs(sf).count()
         ),
         "events_rolling_max_24h": windows.rolling_max_24h_by_type,
+        "q9_profit_by_nation_year": rel.q9_profit_by_nation_year,
+        "q16_supplier_variety": rel.q16_supplier_variety,
+        "q20_excess_shippers": rel.q20_excess_shippers,
+        "events_scd2_intervals": lambda sf: windows.scd2_type_intervals(sf).count(),
+        "events_type_drift_chi2": windows.type_drift_chi2,
+        "source_leakage_matrix": dedup.source_leakage_matrix,
     }
     # round-5 real-codec media paths (PNG inflate+unfilter, baseline JPEG
     # Huffman+IDCT in the actor pool).  PNG runs the FULL media corpus;
