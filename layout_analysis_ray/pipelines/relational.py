@@ -4077,10 +4077,31 @@ def q9_profit_by_nation_year(sf_dir: str):
             }
         )
 
-    return _partial_then_global(
+    rows = _partial_then_global(
         li.map_batches(partial, batch_format="pyarrow"),
         ["n_name", "l_year"],
         ["profit_e4", "n_rows"],
+    ).take_all()
+    # nations x years bounded: typed driver table (the empty-safe contract)
+    schema = pa.schema(
+        [
+            ("n_name", pa.string()),
+            ("l_year", pa.int64()),
+            ("profit_e4", pa.int64()),
+            ("n_rows", pa.int64()),
+        ]
+    )
+    rows = sorted(
+        (r["n_name"], int(r["l_year"]), int(r["profit_e4"]), int(r["n_rows"]))
+        for r in rows
+    )
+    return pa.table(
+        {
+            "n_name": pa.array([r[0] for r in rows], pa.string()),
+            "l_year": pa.array([r[1] for r in rows], pa.int64()),
+            "profit_e4": pa.array([r[2] for r in rows], pa.int64()),
+            "n_rows": pa.array([r[3] for r in rows], pa.int64()),
+        }
     )
 
 
@@ -4226,18 +4247,19 @@ def q16_supplier_variety(sf_dir: str):
             }
         )
 
-    from ..functions.schema import ensure_schema
-
-    return ensure_schema(
-        counts.map_batches(finish, batch_format="pyarrow"),
-        pa.schema(
-            [
-                ("p_brand", pa.string()),
-                ("p_type", pa.string()),
-                ("p_size", pa.int64()),
-                ("supplier_cnt", pa.int64()),
-            ]
-        ),
+    # brands x types x sizes bounded: typed driver table (empty-safe)
+    rows = counts.map_batches(finish, batch_format="pyarrow").take_all()
+    rows = sorted(
+        (r["p_brand"], r["p_type"], int(r["p_size"]), int(r["supplier_cnt"]))
+        for r in rows
+    )
+    return pa.table(
+        {
+            "p_brand": pa.array([r[0] for r in rows], pa.string()),
+            "p_type": pa.array([r[1] for r in rows], pa.string()),
+            "p_size": pa.array([r[2] for r in rows], pa.int64()),
+            "supplier_cnt": pa.array([r[3] for r in rows], pa.int64()),
+        }
     )
 
 

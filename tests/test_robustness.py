@@ -1173,3 +1173,106 @@ def test_embedding_top_component_exact_replication(ray_session):
     assert expl == {want_expl}
     # the top component explains a plausible, nontrivial share
     assert 0 < want_expl <= 1_000_000
+
+
+def test_round5_late_shapes_survive_degenerate_predicates(ray_session, monkeypatch):
+    """The late-round-5 family (q9/q11/q16/q20, leakage, SCD2, chi2) must
+    return typed empty/zero results when predicates select nothing — the
+    empty-Dataset schema-loss quirk applies to every new exchange."""
+    import layout_analysis_ray.pipelines.relational as rel
+    from layout_analysis_ray.functions import dedup, windows
+
+    sf = "/root/testdata/sf0.001"
+
+    monkeypatch.setattr(rel, "Q9_NAME_SUBSTR", "zzz_no_such_part")
+    t = rel.q9_profit_by_nation_year(sf).to_pandas()
+    assert list(t.columns) == ["n_name", "l_year", "profit_e4", "n_rows"]
+    assert len(t) == 0
+
+    monkeypatch.setattr(rel, "Q20_NAME_PREFIX", "zzz_no_such_part")
+    t = rel.q20_excess_shippers(sf).to_pandas()
+    assert list(t.columns) == ["s_suppkey", "s_name"]
+    assert len(t) == 0
+
+    # threshold above any mean multiple -> empty hotlist (driver-typed)
+    monkeypatch.setattr(rel, "Q11_NUM", 10**9)
+    t = rel.q11_part_value_hotlist(sf).to_pandas()
+    assert list(t.columns) == ["l_partkey", "value_e4"]
+    assert len(t) == 0
+
+    # exclusion filters that drop every part / every supplier
+    monkeypatch.setattr(rel, "Q16_SUPP_MOD", 1)  # k % 1 == 0 drops all
+    t = rel.q16_supplier_variety(sf).to_pandas()
+    assert list(t.columns) == ["p_brand", "p_type", "p_size", "supplier_cnt"]
+    assert len(t) == 0
+
+    # a prefix longer than any doc start makes every fingerprint unique
+    # per doc, so cross-source sharing still exists only where openings
+    # collide; force the degenerate case with an impossible token count
+    monkeypatch.setattr(dedup, "LEAK_PREFIX_TOKENS", 10**6)
+    t = dedup.source_leakage_matrix(sf).to_pandas()
+    assert list(t.columns) == ["source_a", "source_b", "shared_hashes"]
+    # full-text fingerprints: the corpus has no exact cross-source dups
+    assert len(t) == 0
+
+
+def test_scd2_intervals_contract(ray_session):
+    """SCD2 compaction invariants on the real corpus: n_events sums to the
+    event count, valid_from <= valid_to, runs tile each user's timeline
+    (next run's valid_from == this run's valid_to within a user)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions import windows
+
+    sf = "/root/testdata/sf0.001"
+    df = windows.scd2_type_intervals(sf).to_pandas()
+    n_events = pq.read_metadata(f"{sf}/events.parquet").num_rows
+    assert int(df["n_events"].sum()) == n_events
+    assert (df["valid_from"] <= df["valid_to"]).all()
+    df = df.sort_values(["user_id", "valid_from"]).reset_index(drop=True)
+    same_user = df["user_id"].to_numpy()[1:] == df["user_id"].to_numpy()[:-1]
+    nxt_from = df["valid_from"].to_numpy()[1:]
+    cur_to = df["valid_to"].to_numpy()[:-1]
+    assert (nxt_from[same_user] == cur_to[same_user]).all()
+    # adjacent runs of one user always change type (maximal runs)
+    cur_t = df["event_type"].to_numpy()[:-1]
+    nxt_t = df["event_type"].to_numpy()[1:]
+    assert (cur_t[same_user] != nxt_t[same_user]).all()
+
+
+def test_chi2_drift_zero_on_uniform_day(ray_session):
+    """A corpus whose every day has the same type mix must score chi2 == 0
+    for each day (the statistic's null case, exercised end to end)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions import windows
+
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        n_days, per_type = 3, 4
+        rows = {"event_type": [], "ts": []}
+        for day in range(n_days):
+            for t in ("a", "b"):
+                for i in range(per_type):
+                    rows["event_type"].append(t)
+                    rows["ts"].append(
+                        np.datetime64("2020-01-01", "us")
+                        + np.timedelta64(day, "D").astype("timedelta64[us]")
+                        + np.timedelta64(i, "h").astype("timedelta64[us]")
+                    )
+        pq.write_table(
+            pa.table(
+                {
+                    "event_type": pa.array(rows["event_type"], pa.string()),
+                    "ts": pa.array(rows["ts"], pa.timestamp("us")),
+                }
+            ),
+            os.path.join(d, "events.parquet"),
+        )
+        out = windows.type_drift_chi2(d).to_pandas()
+        assert len(out) == n_days
+        assert (out["chi2_scaled"] == 0).all()
