@@ -447,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_streaks": windows.user_hour_streaks,
         "events_scd2_intervals": windows.scd2_type_intervals,
         "events_type_drift_chi2": windows.type_drift_chi2,
+        "events_user_journey_paths": windows.user_journey_paths,
         "events_user_coverage": windows.user_coverage_intervals,
         "events_missing_hours": windows.missing_hours_by_type,
         "events_rolling_7d_users": windows.rolling_7d_users,
@@ -2083,6 +2084,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(len) AS BIGINT) AS max_streak_hours,
                    CAST(SUM(len) AS BIGINT) AS active_hours
             FROM streaks GROUP BY user_id ORDER BY user_id
+        """,
+        "events_user_journey_paths": """
+            WITH p AS (
+              SELECT user_id,
+                     array_to_string(
+                       list_slice(list(event_type ORDER BY ts, event_id),
+                                  1, 8), '>') AS path
+              FROM events GROUP BY user_id)
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM p GROUP BY 1 ORDER BY 1
         """,
         "events_type_drift_chi2": """
             -- exact integer chi-square per day vs the corpus type mix:

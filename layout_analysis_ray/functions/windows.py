@@ -2777,3 +2777,68 @@ def type_drift_chi2(sf_dir: str):
             "chi2_scaled": pa.array(out, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# User journey mining: first-K event-type path per user, path frequencies
+# ---------------------------------------------------------------------------
+
+JOURNEY_PREFIX_EVENTS = 8
+
+_JOURNEY_SCHEMA = pa.schema([("path", pa.string()), ("n_users", pa.int64())])
+
+
+def user_journey_paths(sf_dir: str):
+    """User-path mining: each user's journey is the '>'-joined sequence of
+    their first ``JOURNEY_PREFIX_EVENTS`` event types (by ts, event_id);
+    the result counts users per distinct journey — the onboarding-funnel
+    path report (SQL: ordered ``list()`` aggregate -> ``list_slice`` ->
+    ``array_to_string`` -> GROUP BY path).
+
+    Scale shape: ONE coarse user-hash exchange; the per-partition kernel
+    is fully vectorized (lexsort, per-user positional clip via
+    ``maximum.accumulate``, Arrow ``binary_join`` over offset-built lists
+    — no per-user Python), and collapses its partition to (path, n)
+    partials, so the final exchange is distinct-path-bounded
+    (<= |alphabet|^K, in practice far smaller), never user-proportional."""
+    from .core import partial_then_global as _partial_then_global
+
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id", "event_type"]).map_batches(
+        _add_user_part, batch_format="pyarrow"
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {"path": pd.Series([], dtype=object),
+                 "n_users": pd.Series([], dtype=np.int64)}
+            )
+        u = g["user_id"].to_numpy()
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = u[1:] != u[:-1]
+        pos = np.arange(n, dtype=np.int64)
+        first = np.zeros(n, dtype=np.int64)
+        first[new] = pos[new]
+        pos = pos - np.maximum.accumulate(first)
+        kept_counts = np.minimum(np.bincount(np.cumsum(new) - 1), JOURNEY_PREFIX_EVENTS)
+        head = pa.array(g["event_type"].to_numpy()[pos < JOURNEY_PREFIX_EVENTS])
+        offsets = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
+        paths = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), head), ">"
+        ).to_pandas()
+        out = paths.value_counts().reset_index()
+        out.columns = ["path", "n_users"]
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    return _ensure_schema(
+        _partial_then_global(
+            ds.groupby("__upart").map_groups(per_part, batch_format="pandas"),
+            ["path"],
+            ["n_users"],
+        ),
+        _JOURNEY_SCHEMA,
+    )
