@@ -107,6 +107,14 @@ def _media_phash_neardup_pairs(sf_dir: str):
     return media_phash_neardup_pairs(sf_dir)
 
 
+def _media_audio_features(sf_dir: str):
+    """Audio modality: real RIFF/PCM16 decode in an actor pool, exact
+    integer features (all scalar columns — directly rows-only checkable)."""
+    from layout_analysis_ray.stages.audio import media_audio_features
+
+    return media_audio_features(sf_dir)
+
+
 def _media_features(sf_dir: str):
     """Driver-facing projection: scalar columns only (the embedding vector
     stays inside the stage; e0_ppm summarizes it for the rows-only check)."""
@@ -315,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans_cluster_order": _extract_spans_cluster_order,
         "extract_spans_flood_order": _extract_spans_flood_order,
         "media_features": _media_features,
+        "media_audio_features": _media_audio_features,
         "media_features_demo": _media_features_demo,
         "media_features_png": _media_features_png,
         "media_features_jpeg": _media_features_jpeg,

@@ -226,6 +226,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_type_drift_chi2": windows.type_drift_chi2,
         "source_leakage_matrix": dedup.source_leakage_matrix,
     }
+    from layout_analysis_ray.stages.audio import media_audio_features
+
+    others["media_audio_features"] = (
+        lambda sf: media_audio_features(sf).count()
+    )
     # round-5 real-codec media paths (PNG inflate+unfilter, baseline JPEG
     # Huffman+IDCT in the actor pool).  PNG runs the FULL media corpus;
     # the JPEG entry is named for the deterministic 1/16 ref-hash sample

@@ -233,6 +233,7 @@ def test_queries_oracle_keys_consistent():
         "media_features_demo",
         "media_features_png",
         "media_features_jpeg",
+        "media_audio_features",
         "dedup_neardup_incremental_ingest",
         "media_deskew",
         "media_frame_sample",
