@@ -457,6 +457,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scd2_intervals": windows.scd2_type_intervals,
         "events_type_drift_chi2": windows.type_drift_chi2,
         "events_user_journey_paths": windows.user_journey_paths,
+        "events_time_to_purchase": windows.time_to_purchase_histogram,
+        "events_session_size_histogram": windows.session_size_histogram,
         "events_user_coverage": windows.user_coverage_intervals,
         "events_missing_hours": windows.missing_hours_by_type,
         "events_rolling_7d_users": windows.rolling_7d_users,
@@ -2093,6 +2095,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(len) AS BIGINT) AS max_streak_hours,
                    CAST(SUM(len) AS BIGINT) AS active_hours
             FROM streaks GROUP BY user_id ORDER BY user_id
+        """,
+        "events_time_to_purchase": """
+            WITH u AS (
+              SELECT user_id, MIN(epoch_us(ts)) AS f,
+                     MIN(CASE WHEN event_type = 'purchase'
+                              THEN epoch_us(ts) END) AS p
+              FROM events GROUP BY 1)
+            SELECT CAST(CASE WHEN p IS NULL THEN -1
+                             ELSE (p - f) // 3600000000 END AS BIGINT)
+                     AS hours_to_purchase,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM u GROUP BY 1 ORDER BY 1
+        """,
+        "events_session_size_histogram": """
+            -- 30-min-gap sessionization (strictly-greater gap, the shared
+            -- engine contract), then count sessions by event count
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events),
+            m AS (
+              SELECT user_id,
+                     SUM(CASE WHEN prev_ts IS NULL
+                              OR epoch_us(ts) - epoch_us(prev_ts)
+                                 > 1800000000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid,
+                     ts, event_id
+              FROM o),
+            z AS (SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM m GROUP BY 1, 2)
+            SELECT n AS session_events, CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM z GROUP BY 1 ORDER BY 1
         """,
         "events_user_journey_paths": """
             WITH p AS (

@@ -2842,3 +2842,141 @@ def user_journey_paths(sf_dir: str):
         ),
         _JOURNEY_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency: hours from a user's first event to their first purchase
+# ---------------------------------------------------------------------------
+
+_I64_MAX = np.iinfo(np.int64).max
+
+_TTP_SCHEMA = pa.schema(
+    [("hours_to_purchase", pa.int64()), ("n_users", pa.int64())]
+)
+
+
+def time_to_purchase_histogram(sf_dir: str):
+    """Conversion-latency distribution: per user, floor-hours between the
+    FIRST event ever and the FIRST 'purchase' event; users who never
+    purchase land in the -1 bucket — the activation-funnel report.
+
+    Scale shape: each batch folds to per-user (min ts, min purchase-ts)
+    partials (sentinel int64-max when the batch has no purchase), the
+    native groupby ``Min`` merges them map-side-combined, and the hour
+    histogram is a second partial+global pass over ONE row per user; the
+    driver sees only the hour-bounded histogram (typed, empty-safe)."""
+    from ray.data.aggregate import Min
+
+    from .core import partial_then_global
+
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())
+        is_p = pc.equal(batch["event_type"], "purchase")
+        p_us = pc.if_else(is_p, ts, pa.scalar(_I64_MAX, pa.int64()))
+        return (
+            pa.table({"user_id": batch["user_id"], "ts_us": ts, "p_us": p_us})
+            .group_by(["user_id"])
+            .aggregate([("ts_us", "min"), ("p_us", "min")])
+            .rename_columns(["user_id", "ts_us", "p_us"])
+        )
+
+    firsts = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("ts_us"), Min("p_us"))
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        f = batch["min(ts_us)"].to_numpy(zero_copy_only=False)
+        p = batch["min(p_us)"].to_numpy(zero_copy_only=False)
+        # purchase ⊆ events, so p >= f whenever a purchase exists and the
+        # latency is non-negative (floor == trunc division is safe)
+        hours = np.where(p == _I64_MAX, -1, (p - f) // HOUR_US)
+        u, c = np.unique(hours, return_counts=True)
+        return pa.table(
+            {
+                "hours_to_purchase": pa.array(u.astype(np.int64), pa.int64()),
+                "n_users": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = partial_then_global(
+        firsts.map_batches(bucketize, batch_format="pyarrow"),
+        ["hours_to_purchase"],
+        ["n_users"],
+    ).take_all()
+    if not rows:
+        return _TTP_SCHEMA.empty_table()
+    rows = sorted((int(r["hours_to_purchase"]), int(r["n_users"])) for r in rows)
+    return pa.table(
+        {
+            "hours_to_purchase": pa.array([r[0] for r in rows], pa.int64()),
+            "n_users": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session-size histogram: events per session, counted across the corpus
+# ---------------------------------------------------------------------------
+
+_SESSION_SIZE_SCHEMA = pa.schema(
+    [("session_events", pa.int64()), ("n_sessions", pa.int64())]
+)
+
+
+def session_size_histogram(sf_dir: str):
+    """Bounce-rate / engagement-depth report: how many sessions have 1
+    event, 2 events, ... (30-min inactivity gap, the shared ``sessionize``
+    contract — the 1-event bucket over the total IS the bounce rate).
+
+    Scale shape: the sessionize exchange and kernel (ONE coarse user-hash
+    shuffle, vectorized session breaks), but each partition collapses to
+    its (session size, count) histogram partials, so the final exchange
+    is size-domain-bounded; the driver sees the typed histogram only."""
+    from .core import partial_then_global
+
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id"]).map_batches(
+        _add_user_part, batch_format="pyarrow"
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {"session_events": pd.Series([], dtype=np.int64),
+                 "n_sessions": pd.Series([], dtype=np.int64)}
+            )
+        u = g["user_id"].to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gaps = np.diff(ts_us, prepend=ts_us[0])
+        new_session = new_user | (gaps > SESSION_GAP_S * 1_000_000)
+        sizes = np.diff(np.append(np.flatnonzero(new_session), n))
+        su, sc = np.unique(sizes, return_counts=True)
+        return pd.DataFrame(
+            {
+                "session_events": su.astype(np.int64),
+                "n_sessions": sc.astype(np.int64),
+            }
+        )
+
+    rows = partial_then_global(
+        ds.groupby("__upart").map_groups(per_part, batch_format="pandas"),
+        ["session_events"],
+        ["n_sessions"],
+    ).take_all()
+    if not rows:
+        return _SESSION_SIZE_SCHEMA.empty_table()
+    rows = sorted((int(r["session_events"]), int(r["n_sessions"])) for r in rows)
+    return pa.table(
+        {
+            "session_events": pa.array([r[0] for r in rows], pa.int64()),
+            "n_sessions": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
