@@ -458,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_drift_chi2": windows.type_drift_chi2,
         "events_user_journey_paths": windows.user_journey_paths,
         "events_time_to_purchase": windows.time_to_purchase_histogram,
+        "events_debounce_counts": windows.debounce_counts,
         "events_session_size_histogram": windows.session_size_histogram,
         "events_user_coverage": windows.user_coverage_intervals,
         "events_missing_hours": windows.missing_hours_by_type,
@@ -2095,6 +2096,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(len) AS BIGINT) AS max_streak_hours,
                    CAST(SUM(len) AS BIGINT) AS active_hours
             FROM streaks GROUP BY user_id ORDER BY user_id
+        """,
+        "events_debounce_counts": """
+            -- LAG-gap debounce: dropped when the same (user, type) chain
+            -- fired within the previous 30 s (raw-LAG semantics, the SQL
+            -- formulation — not anchored to the last KEPT event)
+            WITH o AS (
+              SELECT event_type,
+                     epoch_us(ts) - epoch_us(LAG(ts) OVER
+                       (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id)) AS gap_us
+              FROM events)
+            SELECT event_type,
+                   CAST(COUNT(*) FILTER (WHERE gap_us IS NULL
+                                            OR gap_us > 30000000)
+                        AS BIGINT) AS n_kept,
+                   CAST(COUNT(*) FILTER (WHERE gap_us IS NOT NULL
+                                           AND gap_us <= 30000000)
+                        AS BIGINT) AS n_dropped
+            FROM o GROUP BY 1 ORDER BY 1
         """,
         "events_time_to_purchase": """
             WITH u AS (

@@ -2980,3 +2980,78 @@ def session_size_histogram(sf_dir: str):
             "n_sessions": pa.array([r[1] for r in rows], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Debounce: windowed dedup of repeat (user, type) events
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_WINDOW_S = 30
+
+_DEBOUNCE_SCHEMA = pa.schema(
+    [("event_type", pa.string()), ("n_kept", pa.int64()), ("n_dropped", pa.int64())]
+)
+
+
+def debounce_counts(sf_dir: str):
+    """Windowed dedup (debounce): an event is DROPPED when the same user
+    fired the same event_type within the previous 30 s — the
+    double-click / retry-storm cleaning rule of every event pipeline.
+    Reports kept/dropped per type (SQL: LAG over (user, type) partitions
+    + a gap predicate).
+
+    Scale shape: ONE coarse user-hash exchange (all of a user's rows
+    co-locate, so every (user, type) chain is partition-local); the
+    kernel is one lexsort by (user, type, ts, event_id) + a shifted
+    same-chain gap mask; each partition collapses to per-type (kept,
+    dropped) partials, so the final exchange is type-alphabet-bounded."""
+    from .core import partial_then_global
+
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id", "event_type"]).map_batches(
+        _add_user_part, batch_format="pyarrow"
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=object),
+                 "n_kept": pd.Series([], dtype=np.int64),
+                 "n_dropped": pd.Series([], dtype=np.int64)}
+            )
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_chain = np.empty(n, dtype=bool)
+        new_chain[0] = True
+        new_chain[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        gaps = np.diff(ts_us, prepend=ts_us[0])
+        kept = new_chain | (gaps > DEBOUNCE_WINDOW_S * 1_000_000)
+        out = (
+            pd.DataFrame({"event_type": et, "kept": kept})
+            .groupby("event_type", sort=False)["kept"]
+            .agg(n_kept="sum", n_dropped=lambda s: int((~s).sum()))
+            .reset_index()
+        )
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        out["n_dropped"] = out["n_dropped"].astype(np.int64)
+        return out
+
+    rows = partial_then_global(
+        ds.groupby("__upart").map_groups(per_part, batch_format="pandas"),
+        ["event_type"],
+        ["n_kept", "n_dropped"],
+    ).take_all()
+    if not rows:
+        return _DEBOUNCE_SCHEMA.empty_table()
+    rows = sorted(
+        (r["event_type"], int(r["n_kept"]), int(r["n_dropped"])) for r in rows
+    )
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_kept": pa.array([r[1] for r in rows], pa.int64()),
+            "n_dropped": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
