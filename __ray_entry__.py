@@ -429,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "dedup_rate_by_source": dedup.dedup_rate_by_source,
         "source_leakage_matrix": dedup.source_leakage_matrix,
+        "dedup_prefix_containment_pairs": dedup.dedup_prefix_containment_pairs,
         "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_simhash_pairs": dedup.simhash_pairs,
@@ -875,6 +876,18 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '2000-06-01')
             GROUP BY 1 ORDER BY 1
+        """,
+        "dedup_prefix_containment_pairs": f"""
+            -- containment WITHIN opening-fingerprint buckets (the engine's
+            -- candidate contract, mirrored here so parity is exact)
+            WITH f AS (SELECT doc_id, text,
+                md5(array_to_string(list_slice({_TOKS}, 1, 5), ' ')) AS h
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM f a JOIN f b ON a.h = b.h AND a.doc_id <> b.doc_id
+            WHERE length(a.text) < length(b.text)
+              AND starts_with(b.text, a.text)
+            ORDER BY 1, 2
         """,
         "source_leakage_matrix": f"""
             WITH d AS (SELECT DISTINCT source,

@@ -1650,6 +1650,36 @@ _LEAK_SCHEMA = pa.schema(
 )
 
 
+def opening_fingerprint(text_col) -> pa.Array:
+    """md5 of each doc's first ``LEAK_PREFIX_TOKENS`` tokens joined by a
+    space — value-identical to the oracle's
+    ``md5(array_to_string(list_slice(toks, 1, 5), ' '))``.  Fully
+    vectorized: one RE2 tokenize pass, per-row positional clip via
+    ``maximum.accumulate``, Arrow ``binary_join``, the shared vectorized
+    md5 kernel.  Shared by the leakage matrix and the prefix-containment
+    pairer so the bucket function lives once."""
+    import pyarrow.compute as pc
+
+    from .hashing import md5_hex
+    from .text import _flat_tokens_arrow
+
+    parent, flat, n_rows = _flat_tokens_arrow(text_col)
+    counts = np.bincount(parent, minlength=n_rows)
+    kept = np.minimum(counts, LEAK_PREFIX_TOKENS)
+    pos = np.arange(len(parent), dtype=np.int64)
+    if len(parent):
+        first = np.zeros(len(parent), dtype=np.int64)
+        new = np.empty(len(parent), dtype=bool)
+        new[0] = True
+        new[1:] = parent[1:] != parent[:-1]
+        first[new] = pos[new]
+        pos = pos - np.maximum.accumulate(first)
+    head = flat.filter(pa.array(pos < LEAK_PREFIX_TOKENS))
+    offsets = np.concatenate(([0], np.cumsum(kept))).astype(np.int32)
+    prefix = pc.binary_join(pa.ListArray.from_arrays(pa.array(offsets), head), " ")
+    return md5_hex(prefix)
+
+
 def source_leakage_matrix(sf_dir: str):
     """Cross-source template-leakage audit: for every unordered source pair
     (a < b), the number of DISTINCT opening fingerprints (md5 of the first
@@ -1678,27 +1708,8 @@ def source_leakage_matrix(sf_dir: str):
     docs = _read_docs(sf_dir, ["source", "text"])
 
     def prep(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        parent, flat, n_rows = _flat_tokens_arrow(b["text"])
-        counts = np.bincount(parent, minlength=n_rows)
-        kept = np.minimum(counts, LEAK_PREFIX_TOKENS)
-        # keep each row's first LEAK_PREFIX_TOKENS tokens (parent is sorted)
-        pos = np.arange(len(parent), dtype=np.int64)
-        if len(parent):
-            first = np.zeros(len(parent), dtype=np.int64)
-            new = np.empty(len(parent), dtype=bool)
-            new[0] = True
-            new[1:] = parent[1:] != parent[:-1]
-            first[new] = pos[new]
-            pos = pos - np.maximum.accumulate(first)
-        head = flat.filter(pa.array(pos < LEAK_PREFIX_TOKENS))
-        offsets = np.concatenate(([0], np.cumsum(kept))).astype(np.int32)
-        prefix = pc.binary_join(
-            pa.ListArray.from_arrays(pa.array(offsets), head), " "
-        )
         t = pa.table(
-            {"content_hash": md5_hex(prefix), "source": b["source"]}
+            {"content_hash": opening_fingerprint(b["text"]), "source": b["source"]}
         ).group_by(["content_hash", "source"]).aggregate([])
         pref = str_hash_u60(t["content_hash"])
         return t.append_column(
@@ -1759,5 +1770,114 @@ def source_leakage_matrix(sf_dir: str):
             "source_a": pa.array([r[0] for r in rows], pa.string()),
             "source_b": pa.array([r[1] for r in rows], pa.string()),
             "shared_hashes": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-containment dedup: doc A is a strict prefix of doc B
+# ---------------------------------------------------------------------------
+
+_PREFIX_PAIRS_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+)
+
+
+def dedup_prefix_containment_pairs(sf_dir: str):
+    """Truncation-duplicate detection: pairs (doc_a, doc_b) where doc_a's
+    FULL text is a strict prefix of doc_b's (the classic crawl artifact —
+    the same page captured once truncated, once whole).  Candidate
+    generation is the shared ``opening_fingerprint`` bucket (docs sharing
+    their first-5-token opening), so the contract — mirrored EXACTLY by
+    the oracle's join on the same fingerprint — is containment WITHIN
+    opening-collision buckets; a prefix shorter than the fingerprint
+    window is out of scope by construction (documented recall bound, the
+    standard LSH-style candidate trade).
+
+    Scale shape: ONE exchange routed by a digest-of-fingerprint int64;
+    texts ship only for bucket members (collision-bounded, the
+    editdistance-pairs cost class).  Per partition: sort by (fingerprint,
+    byte length, doc_id), basket-style forward pair expansion within each
+    bucket (quadratic ONLY in bucket size — the standard LSH bound), then
+    a per-pair ``startswith`` check on strictly-shorter texts.  The pair
+    table is collision-bounded and returns typed from the driver."""
+    import pandas as pd
+
+    from .core import coarse_int_partition
+    from .hashing import str_hash_u60
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        h = opening_fingerprint(b["text"])
+        return pa.table(
+            {
+                "h": h,
+                "doc_id": b["doc_id"],
+                "text": b["text"],
+                "__hpart": pa.array(
+                    coarse_int_partition(str_hash_u60(h), LEAK_PARTITIONS)
+                ),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype=np.int64),
+             "doc_b": pd.Series([], dtype=np.int64)}
+        )
+        n = len(g)
+        if n == 0:
+            return empty
+        g = g.assign(__len=g["text"].str.len()).sort_values(
+            ["h", "__len", "doc_id"]
+        )
+        h = g["h"].to_numpy()
+        txt = g["text"].to_numpy()
+        ln = g["__len"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        new_h = np.empty(n, dtype=bool)
+        new_h[0] = True
+        new_h[1:] = h[1:] != h[:-1]
+        grp = np.cumsum(new_h) - 1
+        starts = np.flatnonzero(new_h)
+        sizes = np.diff(np.append(starts, n))
+        local = np.arange(n, dtype=np.int64) - starts[grp]
+        fan = sizes[grp] - 1 - local
+        total = int(fan.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n, dtype=np.int64), fan)
+        off0 = np.concatenate(([0], np.cumsum(fan)[:-1]))
+        b_idx = np.arange(total, dtype=np.int64) - np.repeat(off0, fan) + a_idx + 1
+        # strict-prefix check: strictly shorter AND startswith (bucket
+        # pairs only — the quadratic is bucket-bounded, not corpus)
+        keep = ln[a_idx] < ln[b_idx]
+        a_idx, b_idx = a_idx[keep], b_idx[keep]
+        hit = np.fromiter(
+            (tb.startswith(ta) for ta, tb in zip(txt[a_idx], txt[b_idx])),
+            dtype=bool,
+            count=len(a_idx),
+        )
+        return pd.DataFrame(
+            {
+                "doc_a": ids[a_idx[hit]].astype(np.int64),
+                "doc_b": ids[b_idx[hit]].astype(np.int64),
+            }
+        )
+
+    rows = (
+        docs.map_batches(prep, batch_format="pyarrow")
+        .groupby("__hpart")
+        .map_groups(kernel, batch_format="pandas")
+        .take_all()
+    )
+    if not rows:
+        return _PREFIX_PAIRS_SCHEMA.empty_table()
+    rows = sorted((int(r["doc_a"]), int(r["doc_b"])) for r in rows)
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
         }
     )
