@@ -471,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_gini": domains.source_lang_gini,
         "orders_table_profile": profile.table_profile,
         "copurchase_pagerank": rel.copurchase_pagerank,
+        "copurchase_triangles": rel.copurchase_triangles,
         "documents_assertions": domains.documents_assertions,
         "nation_revenue_share": rel.nation_revenue_share,
         "cust_order_gap_histogram": rel.cust_order_gap_histogram,
@@ -2618,6 +2619,16 @@ def oracle_sql() -> dict[str, str]:
                      ), 1, 15)) AS BIGINT))
                      % 9223372036854775808 AS BIGINT) AS fingerprint
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "copurchase_triangles": """
+            WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+                  FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM e e1 JOIN e e2 ON e1.y = e2.x
+                    JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y) AS n_triangles
         """,
         "copurchase_pagerank": """
             -- 2-round damped PageRank over the part co-purchase graph

@@ -225,6 +225,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_scd2_intervals": lambda sf: windows.scd2_type_intervals(sf).count(),
         "events_type_drift_chi2": windows.type_drift_chi2,
         "source_leakage_matrix": dedup.source_leakage_matrix,
+        "copurchase_triangles": rel.copurchase_triangles,
+        "dedup_prefix_containment_pairs": dedup.dedup_prefix_containment_pairs,
+        "events_user_journey_paths": windows.user_journey_paths,
+        "events_debounce_counts": windows.debounce_counts,
     }
     from layout_analysis_ray.stages.audio import media_audio_features
 

@@ -4398,3 +4398,236 @@ def nation_segment_listagg(sf_dir: str):
             "n_segments": pa.array([len(by_nat[n]) for n in names], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the co-purchase graph (degree-oriented)
+# ---------------------------------------------------------------------------
+
+TRI_PARTITIONS = 64
+
+_TRI_SCHEMA = pa.schema([("n_edges", pa.int64()), ("n_triangles", pa.int64())])
+
+
+def _pack_pair_part(b: pa.Table, cols=("x", "y")) -> pa.Table:
+    """Append the coarse pair-hash partition id for an (x, y) int table —
+    the part_pairs second-exchange key, shared by the triangle passes."""
+    x = b[cols[0]].to_numpy(zero_copy_only=False).astype(np.uint64)
+    y = b[cols[1]].to_numpy(zero_copy_only=False).astype(np.uint64)
+    mixed = (x ^ (y * np.uint64(0xC2B2AE3D27D4EB4F))).astype(np.int64)
+    return b.append_column(
+        "__ppart", pa.array(coarse_int_partition(mixed, TRI_PARTITIONS))
+    )
+
+
+def _forward_pairs(keys: np.ndarray):
+    """Basket-style forward pair expansion over sorted segment keys:
+    returns (a_idx, b_idx) index arrays pairing each row with every later
+    row of its segment (the part_pairs repeat/offset arithmetic, factored
+    for reuse by the triangle passes)."""
+    n = len(keys)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = keys[1:] != keys[:-1]
+    grp = np.cumsum(new) - 1
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, n))
+    local = np.arange(n, dtype=np.int64) - starts[grp]
+    fan = sizes[grp] - 1 - local
+    total = int(fan.sum())
+    if total == 0:
+        return None
+    a = np.repeat(np.arange(n, dtype=np.int64), fan)
+    off0 = np.concatenate(([0], np.cumsum(fan)[:-1]))
+    b = np.arange(total, dtype=np.int64) - np.repeat(off0, fan) + a + 1
+    return a, b
+
+
+def copurchase_triangles(sf_dir: str):
+    """Global triangle count of the co-purchase graph (parts are nodes, an
+    edge joins two parts bought in the same order) — the graph-analytics
+    clustering-structure metric, counted ONCE per triangle via the degree
+    orientation (node-iterator++): each edge points from its lower
+    (degree, id) endpoint to the higher, wedges expand only over
+    out-neighbors, and a wedge closes iff its (v, w) key is an oriented
+    edge.
+
+    Scale shape: three coarse int-key exchanges, none corpus-sized —
+    orderkey-hash for basket pair expansion (the part_pairs kernel),
+    pair-hash for edge dedup (np.unique per partition), src-hash for
+    wedge expansion — plus one (v, w)-hash exchange where wedges and
+    edges meet for the closure probe (sorted-array searchsorted per
+    partition).  The degree table is part-dimension-bounded and
+    broadcasts once via ``ray.put``; the orientation caps per-vertex
+    out-degree near sqrt(|E|), the textbook wedge-blow-up bound.  The
+    driver sees one scalar per partition."""
+    import pandas as pd
+    import ray
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    _xy_empty = {
+        "x": pd.Series([], dtype=np.int64),
+        "y": pd.Series([], dtype=np.int64),
+    }
+
+    def pair_expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"]).sort_values(
+            ["l_orderkey", "l_partkey"]
+        )
+        if len(g) == 0:
+            return pd.DataFrame(_xy_empty)
+        idx = _forward_pairs(g["l_orderkey"].to_numpy())
+        if idx is None:
+            return pd.DataFrame(_xy_empty)
+        pk = g["l_partkey"].to_numpy()
+        pairs = np.unique(pk[idx[0]] * (1 << 32) | pk[idx[1]])
+        return pd.DataFrame(
+            {
+                "x": (pairs >> 32).astype(np.int64),
+                "y": (pairs & ((1 << 32) - 1)).astype(np.int64),
+            }
+        )
+
+    def dedup_edges(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = np.unique(
+            g["x"].to_numpy().astype(np.int64) * (1 << 32)
+            + g["y"].to_numpy().astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "x": (pairs >> 32).astype(np.int64),
+                "y": (pairs & ((1 << 32) - 1)).astype(np.int64),
+            }
+        )
+
+    edges = (
+        li.map_batches(_basket_add_opart, batch_format="pyarrow")
+        .groupby("__opart")
+        .map_groups(pair_expand, batch_format="pandas")
+        .map_batches(_pack_pair_part, batch_format="pyarrow")
+        .groupby("__ppart")
+        .map_groups(dedup_edges, batch_format="pandas")
+        .materialize()  # reused: degree pass, orientation pass, probe side
+    )
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                b["x"].to_numpy(zero_copy_only=False),
+                b["y"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, c = np.unique(both, return_counts=True)
+        return pa.table(
+            {"node": pa.array(u, pa.int64()), "deg": pa.array(c, pa.int64())}
+        )
+
+    deg_rows = _partial_then_global(
+        edges.map_batches(deg_partial, batch_format="pyarrow"), ["node"], ["deg"]
+    ).take_all()
+    n_edges = edges.count()
+    if not deg_rows or n_edges == 0:
+        return pa.table(
+            {"n_edges": pa.array([0], pa.int64()),
+             "n_triangles": pa.array([0], pa.int64())}
+        )
+    nodes = np.array(sorted(int(r["node"]) for r in deg_rows), dtype=np.int64)
+    degmap = {int(r["node"]): int(r["deg"]) for r in deg_rows}
+    degs = np.array([degmap[k] for k in nodes], dtype=np.int64)
+    if nodes.max() >= (1 << 32):
+        raise ValueError("partkey exceeds the 32-bit pair-packing guard")
+    deg_ref = ray.put((nodes, degs))
+
+    def orient(b: pa.Table) -> pa.Table:
+        nd, dg = ray.get(deg_ref)
+        x = b["x"].to_numpy(zero_copy_only=False)
+        y = b["y"].to_numpy(zero_copy_only=False)
+        dx = dg[np.searchsorted(nd, x)]
+        dy = dg[np.searchsorted(nd, y)]
+        fwd = (dx < dy) | ((dx == dy))  # ties: x < y already, keep x->y
+        src = np.where(fwd, x, y)
+        dst = np.where(fwd, y, x)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "__spart": pa.array(coarse_int_partition(src, TRI_PARTITIONS)),
+            }
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+
+    def wedge_expand(g: pd.DataFrame) -> pd.DataFrame:
+        nd, dg = ray.get(deg_ref)
+        empty = pd.DataFrame(
+            {"v": pd.Series([], dtype=np.int64), "w": pd.Series([], dtype=np.int64)}
+        )
+        if len(g) == 0:
+            return empty
+        # out-neighbors ordered by the SAME (deg, id) key, so wedge (v, w)
+        # comes out already oriented and can match the oriented edge set
+        dkey = dg[np.searchsorted(nd, g["dst"].to_numpy())]
+        g = g.assign(__dk=dkey).sort_values(["src", "__dk", "dst"])
+        idx = _forward_pairs(g["src"].to_numpy())
+        if idx is None:
+            return empty
+        dst = g["dst"].to_numpy()
+        return pd.DataFrame(
+            {"v": dst[idx[0]].astype(np.int64), "w": dst[idx[1]].astype(np.int64)}
+        )
+
+    def tag_wedges(b: pa.Table) -> pa.Table:
+        t = _pack_pair_part(b, cols=("v", "w"))
+        key = pc.add(pc.multiply(pc.cast(t["v"], pa.int64()), 1 << 32), t["w"])
+        return pa.table(
+            {
+                "key": key,
+                "is_edge": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "__ppart": t["__ppart"],
+            }
+        )
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        t = _pack_pair_part(
+            pa.table({"x": b["src"], "y": b["dst"]})
+        )
+        key = pc.add(pc.multiply(pc.cast(t["x"], pa.int64()), 1 << 32), t["y"])
+        return pa.table(
+            {
+                "key": key,
+                "is_edge": pa.array(np.ones(b.num_rows, dtype=bool)),
+                "__ppart": t["__ppart"],
+            }
+        )
+
+    both = (
+        oriented.groupby("__spart")
+        .map_groups(wedge_expand, batch_format="pandas")
+        .map_batches(tag_wedges, batch_format="pyarrow")
+        .union(oriented.map_batches(tag_edges, batch_format="pyarrow"))
+    )
+
+    def count_closed(g: pd.DataFrame) -> pd.DataFrame:
+        is_e = g["is_edge"].to_numpy()
+        ek = np.sort(g["key"].to_numpy()[is_e])
+        wk = g["key"].to_numpy()[~is_e]
+        if len(ek) == 0 or len(wk) == 0:
+            n = 0
+        else:
+            i = np.clip(np.searchsorted(ek, wk), 0, len(ek) - 1)
+            n = int((ek[i] == wk).sum())
+        return pd.DataFrame({"n": pd.Series([n], dtype=np.int64)})
+
+    parts = (
+        both.groupby("__ppart")
+        .map_groups(count_closed, batch_format="pandas")
+        .take_all()
+    )
+    n_tri = sum(int(r["n"]) for r in parts)
+    return pa.table(
+        {
+            "n_edges": pa.array([int(n_edges)], pa.int64()),
+            "n_triangles": pa.array([n_tri], pa.int64()),
+        }
+    )
