@@ -1650,22 +1650,29 @@ _LEAK_SCHEMA = pa.schema(
 )
 
 
-def opening_fingerprint(text_col) -> pa.Array:
-    """md5 of each doc's first ``LEAK_PREFIX_TOKENS`` tokens joined by a
-    space — value-identical to the oracle's
-    ``md5(array_to_string(list_slice(toks, 1, 5), ' '))``.  Fully
-    vectorized: one RE2 tokenize pass, per-row positional clip via
+def opening_fingerprint(text_col, prefix_tokens: int | None = None) -> pa.Array:
+    """md5 of each doc's first ``prefix_tokens`` (default
+    ``LEAK_PREFIX_TOKENS``) tokens joined by a space — value-identical to
+    the oracle's ``md5(array_to_string(list_slice(toks, 1, 5), ' '))``.
+    Fully vectorized: one RE2 tokenize pass, per-row positional clip via
     ``maximum.accumulate``, Arrow ``binary_join``, the shared vectorized
     md5 kernel.  Shared by the leakage matrix and the prefix-containment
-    pairer so the bucket function lives once."""
+    pairer so the bucket function lives once.
+
+    Callers that build Ray UDF closures must read the module constant
+    DRIVER-side and pass it explicitly: a bare global read inside the
+    closure resolves in the WORKER's import of this module, where a
+    driver-side monkeypatch/override is invisible."""
     import pyarrow.compute as pc
 
     from .hashing import md5_hex
     from .text import _flat_tokens_arrow
 
+    if prefix_tokens is None:
+        prefix_tokens = LEAK_PREFIX_TOKENS
     parent, flat, n_rows = _flat_tokens_arrow(text_col)
     counts = np.bincount(parent, minlength=n_rows)
-    kept = np.minimum(counts, LEAK_PREFIX_TOKENS)
+    kept = np.minimum(counts, prefix_tokens)
     pos = np.arange(len(parent), dtype=np.int64)
     if len(parent):
         first = np.zeros(len(parent), dtype=np.int64)
@@ -1674,7 +1681,7 @@ def opening_fingerprint(text_col) -> pa.Array:
         new[1:] = parent[1:] != parent[:-1]
         first[new] = pos[new]
         pos = pos - np.maximum.accumulate(first)
-    head = flat.filter(pa.array(pos < LEAK_PREFIX_TOKENS))
+    head = flat.filter(pa.array(pos < prefix_tokens))
     offsets = np.concatenate(([0], np.cumsum(kept))).astype(np.int32)
     prefix = pc.binary_join(pa.ListArray.from_arrays(pa.array(offsets), head), " ")
     return md5_hex(prefix)
@@ -1706,10 +1713,16 @@ def source_leakage_matrix(sf_dir: str):
     from .text import _flat_tokens_arrow
 
     docs = _read_docs(sf_dir, ["source", "text"])
+    # driver-time read so an override is captured by value in the closure
+    # (a worker-side global read would miss it — see opening_fingerprint)
+    prefix_tokens = LEAK_PREFIX_TOKENS
 
     def prep(b: pa.Table) -> pa.Table:
         t = pa.table(
-            {"content_hash": opening_fingerprint(b["text"]), "source": b["source"]}
+            {
+                "content_hash": opening_fingerprint(b["text"], prefix_tokens),
+                "source": b["source"],
+            }
         ).group_by(["content_hash", "source"]).aggregate([])
         pref = str_hash_u60(t["content_hash"])
         return t.append_column(
@@ -1807,9 +1820,10 @@ def dedup_prefix_containment_pairs(sf_dir: str):
     from .hashing import str_hash_u60
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
+    prefix_tokens = LEAK_PREFIX_TOKENS  # driver-time read (see leakage matrix)
 
     def prep(b: pa.Table) -> pa.Table:
-        h = opening_fingerprint(b["text"])
+        h = opening_fingerprint(b["text"], prefix_tokens)
         return pa.table(
             {
                 "h": h,
