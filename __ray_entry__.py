@@ -448,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_redact_terms": text.redact_pattern,
         "decontaminate_ngrams": dedup.decontaminate_ngrams,
         "dedup_keep_best": dedup.dedup_keep_best,
+        "dedup_substring_spans": dedup.dedup_substring_spans,
         # source-level corpus composition (domain scorecard + balancing)
         "source_quality_report": domains.source_quality_report,
         "source_quality_floor_keep": domains.source_quality_floor_keep,
@@ -2805,6 +2806,34 @@ def oracle_sql() -> dict[str, str]:
                          AND (n - n_uniq) * 1000000 // n <= 600000
                    THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM s
+        """,
+        "dedup_substring_spans": f"""
+            -- Lee-et-al-style duplicate-substring spans: k=5-token grams
+            -- occurring in >= 2 distinct docs (SUBSTR_K / SUBSTR_MIN_DOCS);
+            -- key = 60-bit md5 prefix of the gram STRING (the engine
+            -- groups by the same function); islands over covered 1-based
+            -- token positions
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (
+              SELECT doc_id, i AS pos,
+                CAST(('0x' || substr(md5(
+                  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                  toks[i+3] || ' ' || toks[i+4]), 1, 15)) AS BIGINT) AS key
+              FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
+              WHERE len(toks) >= 5),
+            hot AS (SELECT key FROM g GROUP BY key
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            h AS (SELECT doc_id, pos FROM g
+                  WHERE key IN (SELECT key FROM hot)),
+            cov AS (SELECT DISTINCT doc_id, pos + d AS p
+                    FROM h, unnest(range(0, 5)) AS u2(d)),
+            isl AS (SELECT doc_id, p,
+                      p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+                        AS grp
+                    FROM cov)
+            SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+                   CAST(MAX(p) AS BIGINT) AS span_end
+            FROM isl GROUP BY doc_id, grp
         """,
         "decontaminate_ngrams": f"""
             -- eval split: id-hash digit >= 14; key = 60-bit md5 prefix of

@@ -183,6 +183,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "corpus_token_budget_cut": domains.corpus_token_budget_cut,
         "part_pairs_top": rel.part_pairs_top,
         "dedup_lines": dedup.dedup_lines,
+        "dedup_substring_spans": dedup.dedup_substring_spans,
         "dedup_neardup_incremental_ingest": (
             dedup_index.dedup_neardup_incremental_ingest
         ),

@@ -1895,3 +1895,249 @@ def dedup_prefix_containment_pairs(sf_dir: str):
             "doc_b": pa.array([r[1] for r in rows], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-substring spans: global dup-span detection (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 5  # gram width in tokens
+SUBSTR_MIN_DOCS = 2  # a gram is "hot" iff it appears in >= this many docs
+# under this many total per-doc-distinct gram rows, the driver folds the
+# hot set itself and broadcasts one sorted int64 array (8 B/row); above it
+# the fully distributed key-partition tier runs
+SUBSTR_BROADCAST_MAX_KEYS = 16_000_000
+SUBSTR_PARTS = 64
+
+_SUBSTR_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("span_start", pa.int64()),
+        ("span_end", pa.int64()),
+    ]
+)
+
+
+def _gram_pos_rows(batch: pa.Table, k: int):
+    """Every k-token gram occurrence of a batch with its 1-based token
+    position.  Returns ``(ids, seg, pos, key)`` — ``seg`` indexes into
+    ``ids``, ``key`` is the 60-bit md5 of the gram STRING (the oracle
+    groups by the same function, so collisions cannot diverge the two
+    sides).  Rows arrive sorted by (seg, pos) by construction: the flat
+    token array is in document order."""
+    import pyarrow.compute as pc
+
+    from .hashing import str_hash_u60
+    from .text import _flat_tokens_arrow
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    parent, flat, n_rows = _flat_tokens_arrow(batch["text"])
+    m = len(flat)
+    empty = (
+        ids,
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+    )
+    if m < k:
+        return empty
+    w = m - k + 1
+    valid = parent[:w] == parent[k - 1 :]
+    if not valid.any():
+        return empty
+    grams = pc.binary_join_element_wise(
+        *(flat.slice(i, w) for i in range(k)), " "
+    ).filter(pa.array(valid))
+    idx = np.flatnonzero(valid)
+    seg = parent[idx]
+    counts = np.bincount(parent, minlength=n_rows)
+    row_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    pos = (idx - row_start[seg] + 1).astype(np.int64)
+    return ids, seg, pos, str_hash_u60(grams)
+
+
+def _merge_islands(doc: np.ndarray, pos: np.ndarray, k: int):
+    """Maximal covered token spans from (doc, pos) gram hits SORTED by
+    (doc, pos), each hit covering [pos, pos+k-1].  Two hits belong to one
+    span iff their covered ranges overlap or touch (pos step <= k).
+    Returns ``(doc, span_start, span_end)`` per island."""
+    n = len(pos)
+    if n == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    brk = np.ones(n, dtype=bool)
+    brk[1:] = (doc[1:] != doc[:-1]) | (pos[1:] - pos[:-1] > k)
+    si = np.flatnonzero(brk)
+    ei = np.append(si[1:], n) - 1
+    return doc[si], pos[si], pos[ei] + k - 1
+
+
+def dedup_substring_spans(
+    sf_dir: str, broadcast_max_keys: int = SUBSTR_BROADCAST_MAX_KEYS
+):
+    """Global duplicate-substring detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+    pass, re-expressed over word k-grams): a token position is DUPLICATED
+    if it is covered by a ``SUBSTR_K``-gram occurring in at least
+    ``SUBSTR_MIN_DOCS`` distinct documents; the result is each document's
+    maximal duplicated spans as 1-based token ranges
+    ``(doc_id, span_start, span_end)`` — the spans a curation pass cuts
+    out of the training text.
+
+    Scale shape — two tiers, chosen by a MEASURED streaming probe of the
+    per-doc-distinct gram-key volume (mirrors ``decontaminate_ngrams``):
+
+    - broadcast tier: keys stream to the driver (8 B/row, bounded by the
+      probe), one ``np.unique(return_counts)`` folds the hot set (grams
+      repeated across >= MIN_DOCS docs — a tiny fraction of the corpus),
+      ``ray.put`` once; a second pass re-derives gram positions per batch,
+      marks hits by searchsorted and island-merges MAP-SIDE (a doc lives
+      wholly in one batch).  ZERO shuffle.
+    - distributed tier: (key, doc_id, pos) rows — 24 B/gram, text never
+      shuffles — one coarse key-hash exchange, per-partition lexsort
+      kernel keeps rows of hot keys (distinct-doc counts are exact:
+      a key's rows are co-partitioned), then one doc-hash exchange and a
+      vectorized per-partition island merge.
+
+    Tiers are equality-pinned against each other and the SQL oracle
+    (tests/test_dedup_lines.py)."""
+    import ray
+
+    from .schema import ensure_schema
+
+    k, min_docs = SUBSTR_K, SUBSTR_MIN_DOCS  # driver-time reads
+
+    def pair_keys(batch: pa.Table) -> pa.Table:
+        # distinct (doc, key) per batch — a doc lives in one batch, so
+        # batch-level distinct IS global per-doc distinct
+        ids, seg, pos, key = _gram_pos_rows(batch, k)
+        if len(key) == 0:
+            return pa.table({"key": pa.array([], pa.int64())})
+        order = np.lexsort((key, seg))
+        s2, k2 = seg[order], key[order]
+        first = np.ones(len(s2), dtype=bool)
+        first[1:] = (s2[1:] != s2[:-1]) | (k2[1:] != k2[:-1])
+        return pa.table({"key": pa.array(k2[first], pa.int64())})
+
+    keys_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        pair_keys, batch_format="pyarrow"
+    )
+    # streaming probe: counts rows without pinning them; the collection
+    # below re-executes the scan only when the volume is known-bounded
+    n_key_rows = keys_ds.count()
+    if n_key_rows == 0:
+        # typed empty short-circuit (a fully-empty Ray Dataset loses its
+        # schema in to_pandas/take_all; pa.Table keeps it)
+        return _SUBSTR_SCHEMA.empty_table()
+    if n_key_rows <= broadcast_max_keys:
+        parts = [
+            b["key"].to_numpy(zero_copy_only=False)
+            for b in keys_ds.iter_batches(batch_format="pyarrow")
+        ]
+        allk = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        uk, cnt = np.unique(allk, return_counts=True)
+        hot = uk[cnt >= min_docs]
+        if len(hot) == 0:
+            return _SUBSTR_SCHEMA.empty_table()
+        hot_ref = ray.put(hot)
+
+        def spans(batch: pa.Table) -> pa.Table:
+            hot = ray.get(hot_ref)  # zero-copy view of the shared array
+            ids, seg, pos, key = _gram_pos_rows(batch, k)
+            if len(key) == 0 or len(hot) == 0:
+                return _SUBSTR_SCHEMA.empty_table()
+            p = np.searchsorted(hot, key)
+            m = (p < len(hot)) & (hot[np.minimum(p, len(hot) - 1)] == key)
+            if not m.any():
+                return _SUBSTR_SCHEMA.empty_table()
+            # (seg, pos) are sorted by construction; islands merge map-side
+            d, s, e = _merge_islands(ids[seg[m]], pos[m], k)
+            return pa.table(
+                {
+                    "doc_id": pa.array(d, pa.int64()),
+                    "span_start": pa.array(s, pa.int64()),
+                    "span_end": pa.array(e, pa.int64()),
+                }
+            )
+
+        return ensure_schema(
+            _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+                spans, batch_format="pyarrow"
+            ),
+            _SUBSTR_SCHEMA,
+        )
+
+    return _substring_spans_distributed(sf_dir)
+
+
+def _substring_spans_distributed(sf_dir: str):
+    """Distributed tier of ``dedup_substring_spans`` — see its docstring."""
+    from .core import coarse_int_partition
+    from .schema import ensure_schema
+
+    k, min_docs = SUBSTR_K, SUBSTR_MIN_DOCS
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids, seg, pos, key = _gram_pos_rows(batch, k)
+        return pa.table(
+            {
+                "part": pa.array(coarse_int_partition(key, SUBSTR_PARTS)),
+                "key": pa.array(key, pa.int64()),
+                "doc_id": pa.array(ids[seg], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    def hot_hits(g: pd.DataFrame) -> pd.DataFrame:
+        """Keep gram occurrences whose key lives in >= min_docs distinct
+        docs — exact within the partition (a key's rows co-partition)."""
+        key = g["key"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        order = np.lexsort((doc, key))
+        k2, d2 = key[order], doc[order]
+        new_key = np.ones(len(k2), dtype=bool)
+        new_key[1:] = k2[1:] != k2[:-1]
+        new_pair = np.ones(len(k2), dtype=bool)
+        new_pair[1:] = new_key[1:] | (d2[1:] != d2[:-1])
+        seg_of = np.cumsum(new_key) - 1
+        ndocs = np.bincount(seg_of[new_pair], minlength=int(seg_of[-1]) + 1)
+        keep = (ndocs >= min_docs)[seg_of]
+        d_keep = d2[keep]
+        p_keep = pos[order][keep]
+        return pd.DataFrame(
+            {
+                "dpart": coarse_int_partition(d_keep, SUBSTR_PARTS),
+                "doc_id": d_keep,
+                "pos": p_keep,
+            }
+        )
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        order = np.lexsort((pos, doc))
+        d, s, e = _merge_islands(doc[order], pos[order], k)
+        return pd.DataFrame(
+            {
+                "doc_id": d.astype(np.int64),
+                "span_start": s.astype(np.int64),
+                "span_end": e.astype(np.int64),
+            }
+        )
+
+    # hits = duplicated-gram occurrences only — bounded by the corpus dup
+    # rate, so pinning them is cheap; the count probe lets an all-unique
+    # corpus short-circuit typed instead of losing the schema in the
+    # fully-empty second exchange
+    hits = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(hot_hits, batch_format="pandas")
+        .materialize()
+    )
+    if hits.count() == 0:
+        return _SUBSTR_SCHEMA.empty_table()
+    ds = hits.groupby("dpart").map_groups(islands, batch_format="pandas")
+    return ensure_schema(ds, _SUBSTR_SCHEMA)
