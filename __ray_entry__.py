@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_ngrams": dedup.decontaminate_ngrams,
         "dedup_keep_best": dedup.dedup_keep_best,
         "dedup_substring_spans": dedup.dedup_substring_spans,
+        "doc_dup_span_stats": dedup.doc_dup_span_stats,
         # source-level corpus composition (domain scorecard + balancing)
         "source_quality_report": domains.source_quality_report,
         "source_quality_floor_keep": domains.source_quality_floor_keep,
@@ -2834,6 +2835,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
                    CAST(MAX(p) AS BIGINT) AS span_end
             FROM isl GROUP BY doc_id, grp
+        """,
+        "doc_dup_span_stats": f"""
+            -- per-doc duplicated-token share under the
+            -- dedup_substring_spans criterion (hot = 5-gram in >= 2 docs)
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (
+              SELECT doc_id, i AS pos,
+                CAST(('0x' || substr(md5(
+                  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                  toks[i+3] || ' ' || toks[i+4]), 1, 15)) AS BIGINT) AS key
+              FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
+              WHERE len(toks) >= 5),
+            hot AS (SELECT key FROM g GROUP BY key
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            h AS (SELECT doc_id, pos FROM g
+                  WHERE key IN (SELECT key FROM hot)),
+            cov AS (SELECT DISTINCT doc_id, pos + d AS p
+                    FROM h, unnest(range(0, 5)) AS u2(d)),
+            dup AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov
+                    GROUP BY doc_id)
+            SELECT t.doc_id,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(COALESCE(dup.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+              CAST(COALESCE(dup.dup_tokens, 0) * 1000000 // len(toks)
+                AS BIGINT) AS dup_ppm
+            FROM t LEFT JOIN dup ON dup.doc_id = t.doc_id
+            WHERE len(toks) >= 1
         """,
         "decontaminate_ngrams": f"""
             -- eval split: id-hash digit >= 14; key = 60-bit md5 prefix of

@@ -184,6 +184,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "part_pairs_top": rel.part_pairs_top,
         "dedup_lines": dedup.dedup_lines,
         "dedup_substring_spans": dedup.dedup_substring_spans,
+        "doc_dup_span_stats": dedup.doc_dup_span_stats,
         "dedup_neardup_incremental_ingest": (
             dedup_index.dedup_neardup_incremental_ingest
         ),

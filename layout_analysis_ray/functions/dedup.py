@@ -1920,11 +1920,12 @@ _SUBSTR_SCHEMA = pa.schema(
 
 def _gram_pos_rows(batch: pa.Table, k: int):
     """Every k-token gram occurrence of a batch with its 1-based token
-    position.  Returns ``(ids, seg, pos, key)`` — ``seg`` indexes into
-    ``ids``, ``key`` is the 60-bit md5 of the gram STRING (the oracle
-    groups by the same function, so collisions cannot diverge the two
-    sides).  Rows arrive sorted by (seg, pos) by construction: the flat
-    token array is in document order."""
+    position.  Returns ``(ids, seg, pos, key, ntok)`` — ``seg`` indexes
+    into ``ids``, ``key`` is the 60-bit md5 of the gram STRING (the
+    oracle groups by the same function, so collisions cannot diverge the
+    two sides), ``ntok`` is the per-row token count (all rows, even those
+    too short for a gram).  Rows arrive sorted by (seg, pos) by
+    construction: the flat token array is in document order."""
     import pyarrow.compute as pc
 
     from .hashing import str_hash_u60
@@ -1932,12 +1933,14 @@ def _gram_pos_rows(batch: pa.Table, k: int):
 
     ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     parent, flat, n_rows = _flat_tokens_arrow(batch["text"])
+    counts = np.bincount(parent, minlength=n_rows).astype(np.int64)
     m = len(flat)
     empty = (
         ids,
         np.empty(0, np.int64),
         np.empty(0, np.int64),
         np.empty(0, np.int64),
+        counts,
     )
     if m < k:
         return empty
@@ -1950,10 +1953,9 @@ def _gram_pos_rows(batch: pa.Table, k: int):
     ).filter(pa.array(valid))
     idx = np.flatnonzero(valid)
     seg = parent[idx]
-    counts = np.bincount(parent, minlength=n_rows)
     row_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
     pos = (idx - row_start[seg] + 1).astype(np.int64)
-    return ids, seg, pos, str_hash_u60(grams)
+    return ids, seg, pos, str_hash_u60(grams), counts
 
 
 def _merge_islands(doc: np.ndarray, pos: np.ndarray, k: int):
@@ -2005,12 +2007,61 @@ def dedup_substring_spans(
 
     from .schema import ensure_schema
 
-    k, min_docs = SUBSTR_K, SUBSTR_MIN_DOCS  # driver-time reads
+    k = SUBSTR_K  # driver-time read
+
+    # streaming probe: counts rows without pinning them; the collection
+    # inside the helper re-executes the scan only when the volume is
+    # known-bounded
+    hot = _substr_hot_keys(sf_dir, k, SUBSTR_MIN_DOCS, broadcast_max_keys)
+    if hot is None:
+        return _substring_spans_distributed(sf_dir)
+    if len(hot) == 0:
+        # typed empty short-circuit (a fully-empty Ray Dataset loses its
+        # schema in to_pandas/take_all; pa.Table keeps it)
+        return _SUBSTR_SCHEMA.empty_table()
+    hot_ref = ray.put(hot)
+
+    def spans(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)  # zero-copy view of the shared array
+        ids, seg, pos, key, _ntok = _gram_pos_rows(batch, k)
+        if len(key) == 0:
+            return _SUBSTR_SCHEMA.empty_table()
+        p = np.searchsorted(hot, key)
+        m = (p < len(hot)) & (hot[np.minimum(p, len(hot) - 1)] == key)
+        if not m.any():
+            return _SUBSTR_SCHEMA.empty_table()
+        # (seg, pos) are sorted by construction; islands merge map-side
+        d, s, e = _merge_islands(ids[seg[m]], pos[m], k)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "span_start": pa.array(s, pa.int64()),
+                "span_end": pa.array(e, pa.int64()),
+            }
+        )
+
+    return ensure_schema(
+        _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            spans, batch_format="pyarrow"
+        ),
+        _SUBSTR_SCHEMA,
+    )
+
+
+def _substr_hot_keys(
+    sf_dir: str, k: int, min_docs: int, broadcast_max_keys: int
+):
+    """Hot-key discovery for the broadcast tiers of the duplicate-substring
+    family.  Streams a count probe of the per-doc-distinct gram-key rows;
+    over the cutover returns ``None`` (caller takes the distributed tier),
+    otherwise collects the rows (8 B each, probe-bounded), folds them with
+    one ``np.unique(return_counts)`` and returns the SORTED int64 array of
+    keys occurring in >= ``min_docs`` distinct docs."""
 
     def pair_keys(batch: pa.Table) -> pa.Table:
         # distinct (doc, key) per batch — a doc lives in one batch, so
         # batch-level distinct IS global per-doc distinct
-        ids, seg, pos, key = _gram_pos_rows(batch, k)
+        ids, seg, pos, key, _ntok = _gram_pos_rows(batch, k)
         if len(key) == 0:
             return pa.table({"key": pa.array([], pa.int64())})
         order = np.lexsort((key, seg))
@@ -2022,52 +2073,15 @@ def dedup_substring_spans(
     keys_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         pair_keys, batch_format="pyarrow"
     )
-    # streaming probe: counts rows without pinning them; the collection
-    # below re-executes the scan only when the volume is known-bounded
-    n_key_rows = keys_ds.count()
-    if n_key_rows == 0:
-        # typed empty short-circuit (a fully-empty Ray Dataset loses its
-        # schema in to_pandas/take_all; pa.Table keeps it)
-        return _SUBSTR_SCHEMA.empty_table()
-    if n_key_rows <= broadcast_max_keys:
-        parts = [
-            b["key"].to_numpy(zero_copy_only=False)
-            for b in keys_ds.iter_batches(batch_format="pyarrow")
-        ]
-        allk = np.concatenate(parts) if parts else np.empty(0, np.int64)
-        uk, cnt = np.unique(allk, return_counts=True)
-        hot = uk[cnt >= min_docs]
-        if len(hot) == 0:
-            return _SUBSTR_SCHEMA.empty_table()
-        hot_ref = ray.put(hot)
-
-        def spans(batch: pa.Table) -> pa.Table:
-            hot = ray.get(hot_ref)  # zero-copy view of the shared array
-            ids, seg, pos, key = _gram_pos_rows(batch, k)
-            if len(key) == 0 or len(hot) == 0:
-                return _SUBSTR_SCHEMA.empty_table()
-            p = np.searchsorted(hot, key)
-            m = (p < len(hot)) & (hot[np.minimum(p, len(hot) - 1)] == key)
-            if not m.any():
-                return _SUBSTR_SCHEMA.empty_table()
-            # (seg, pos) are sorted by construction; islands merge map-side
-            d, s, e = _merge_islands(ids[seg[m]], pos[m], k)
-            return pa.table(
-                {
-                    "doc_id": pa.array(d, pa.int64()),
-                    "span_start": pa.array(s, pa.int64()),
-                    "span_end": pa.array(e, pa.int64()),
-                }
-            )
-
-        return ensure_schema(
-            _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-                spans, batch_format="pyarrow"
-            ),
-            _SUBSTR_SCHEMA,
-        )
-
-    return _substring_spans_distributed(sf_dir)
+    if keys_ds.count() > broadcast_max_keys:
+        return None
+    parts = [
+        b["key"].to_numpy(zero_copy_only=False)
+        for b in keys_ds.iter_batches(batch_format="pyarrow")
+    ]
+    allk = np.concatenate(parts) if parts else np.empty(0, np.int64)
+    uk, cnt = np.unique(allk, return_counts=True)
+    return uk[cnt >= min_docs]
 
 
 def _substring_spans_distributed(sf_dir: str):
@@ -2078,7 +2092,7 @@ def _substring_spans_distributed(sf_dir: str):
     k, min_docs = SUBSTR_K, SUBSTR_MIN_DOCS
 
     def rows(batch: pa.Table) -> pa.Table:
-        ids, seg, pos, key = _gram_pos_rows(batch, k)
+        ids, seg, pos, key, _ntok = _gram_pos_rows(batch, k)
         return pa.table(
             {
                 "part": pa.array(coarse_int_partition(key, SUBSTR_PARTS)),
@@ -2141,3 +2155,182 @@ def _substring_spans_distributed(sf_dir: str):
         return _SUBSTR_SCHEMA.empty_table()
     ds = hits.groupby("dpart").map_groups(islands, batch_format="pandas")
     return ensure_schema(ds, _SUBSTR_SCHEMA)
+
+
+_DUPSTATS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("dup_tokens", pa.int64()),
+        ("dup_ppm", pa.int64()),
+    ]
+)
+
+
+def doc_dup_span_stats(
+    sf_dir: str, broadcast_max_keys: int = SUBSTR_BROADCAST_MAX_KEYS
+):
+    """Per-document duplicated-token share: for every doc with >= 1 token,
+    how many of its token positions are covered by a cross-doc-duplicated
+    ``SUBSTR_K``-gram (the ``dedup_substring_spans`` criterion) and the
+    integer-ppm share — the per-doc boilerplate metric a curation pass
+    thresholds on before cutting or down-weighting.
+
+    Output: (doc_id, n_tokens, dup_tokens, dup_ppm) with
+    dup_ppm = dup_tokens * 1e6 // n_tokens.
+
+    Scale shape mirrors ``dedup_substring_spans``: broadcast tier marks
+    hits and sums island lengths MAP-SIDE (zero shuffle); distributed
+    tier reuses the two-exchange hit pipeline plus one marker row per doc
+    (pos = -n_tokens, the ``dedup_lines`` marker idiom) unioned before
+    the doc-hash exchange so zero-dup docs still emit.  Tiers and the
+    SQL oracle are equality-pinned (tests/test_dedup_lines.py)."""
+    import ray
+
+    from .schema import ensure_schema
+
+    k = SUBSTR_K
+
+    hot = _substr_hot_keys(sf_dir, k, SUBSTR_MIN_DOCS, broadcast_max_keys)
+    if hot is None:
+        return _dup_span_stats_distributed(sf_dir)
+    hot_ref = ray.put(hot)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)  # zero-copy view of the shared array
+        ids, seg, pos, key, ntok = _gram_pos_rows(batch, k)
+        dup = np.zeros(len(ids), dtype=np.int64)
+        if len(key) and len(hot):
+            p = np.searchsorted(hot, key)
+            m = (p < len(hot)) & (hot[np.minimum(p, len(hot) - 1)] == key)
+            if m.any():
+                # seg values are row indices, so islands land per row
+                d, s, e = _merge_islands(seg[m], pos[m], k)
+                np.add.at(dup, d, e - s + 1)
+        keep = ntok >= 1
+        n_t = ntok[keep]
+        dd = dup[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_tokens": pa.array(n_t, pa.int64()),
+                "dup_tokens": pa.array(dd, pa.int64()),
+                "dup_ppm": pa.array(dd * 1_000_000 // n_t, pa.int64()),
+            }
+        )
+
+    # materialize the slim result (32 B/doc, spillable — the dedup_lines
+    # trade: bytes for a typed-empty guard without a second stats pass)
+    ds = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(stats, batch_format="pyarrow")
+        .materialize()
+    )
+    if ds.count() == 0:
+        # typed empty short-circuit (a fully-empty Ray Dataset loses its
+        # schema in to_pandas/take_all; pa.Table keeps it)
+        return _DUPSTATS_SCHEMA.empty_table()
+    return ensure_schema(ds, _DUPSTATS_SCHEMA)
+
+
+def _dup_span_stats_distributed(sf_dir: str):
+    """Distributed tier of ``doc_dup_span_stats`` — see its docstring."""
+    from .core import coarse_int_partition
+    from .schema import ensure_schema
+
+    k, min_docs = SUBSTR_K, SUBSTR_MIN_DOCS
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids, seg, pos, key, _ntok = _gram_pos_rows(batch, k)
+        return pa.table(
+            {
+                "part": pa.array(coarse_int_partition(key, SUBSTR_PARTS)),
+                "key": pa.array(key, pa.int64()),
+                "doc_id": pa.array(ids[seg], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    def hot_hits(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        order = np.lexsort((doc, key))
+        k2, d2 = key[order], doc[order]
+        new_key = np.ones(len(k2), dtype=bool)
+        new_key[1:] = k2[1:] != k2[:-1]
+        new_pair = np.ones(len(k2), dtype=bool)
+        new_pair[1:] = new_key[1:] | (d2[1:] != d2[:-1])
+        seg_of = np.cumsum(new_key) - 1
+        ndocs = np.bincount(seg_of[new_pair], minlength=int(seg_of[-1]) + 1)
+        keep = (ndocs >= min_docs)[seg_of]
+        d_keep = d2[keep]
+        return pd.DataFrame(
+            {
+                "dpart": coarse_int_partition(d_keep, SUBSTR_PARTS),
+                "doc_id": d_keep,
+                "pos": pos[order][keep],
+            }
+        )
+
+    def markers(batch: pa.Table) -> pa.Table:
+        # one row per doc with >= 1 token, pos = -n_tokens (hit rows are
+        # always >= 1, so the sign separates the streams after the union)
+        ids, _seg, _pos, _key, ntok = _gram_pos_rows(batch, k)
+        keep = ntok >= 1
+        ids, ntok = ids[keep], ntok[keep]
+        return pa.table(
+            {
+                "dpart": pa.array(coarse_int_partition(ids, SUBSTR_PARTS)),
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(-ntok, pa.int64()),
+            }
+        )
+
+    hits = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(hot_hits, batch_format="pandas")
+        .map_batches(
+            lambda b: b.select(["dpart", "doc_id", "pos"]),
+            batch_format="pyarrow",
+        )
+    )
+    marker_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        markers, batch_format="pyarrow"
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        is_mark = pos <= 0
+        morder = np.argsort(doc[is_mark], kind="stable")
+        mdoc = doc[is_mark][morder]
+        ntok = -pos[is_mark][morder]
+        hdoc = doc[~is_mark]
+        hpos = pos[~is_mark]
+        dup = np.zeros(len(mdoc), dtype=np.int64)
+        if len(hdoc):
+            order = np.lexsort((hpos, hdoc))
+            d, s, e = _merge_islands(hdoc[order], hpos[order], k)
+            # every hit doc has >= k tokens, hence exactly one marker row
+            np.add.at(dup, np.searchsorted(mdoc, d), e - s + 1)
+        return pd.DataFrame(
+            {
+                "doc_id": mdoc,
+                "n_tokens": ntok,
+                "dup_tokens": dup,
+                "dup_ppm": dup * 1_000_000 // ntok,
+            }
+        )
+
+    ds = (
+        marker_ds.union(hits)
+        .groupby("dpart")
+        .map_groups(kernel, batch_format="pandas")
+        .materialize()  # slim per-doc rows; typed-empty guard as above
+    )
+    if ds.count() == 0:
+        return _DUPSTATS_SCHEMA.empty_table()
+    return ensure_schema(ds, _DUPSTATS_SCHEMA)

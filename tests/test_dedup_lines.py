@@ -219,3 +219,43 @@ def test_dedup_substring_spans_degenerate_keeps_schema(ray_session, tmp_path):
         t = dedup_substring_spans(sf, **kw).to_pandas()
         assert list(t.columns) == ["doc_id", "span_start", "span_end"], kw
         assert len(t) == 0, kw
+
+
+def test_doc_dup_span_stats_tiers_and_consistency(ray_session):
+    """Both tiers agree; stats are consistent with dedup_substring_spans
+    (per-doc dup_tokens == total covered span length); docs without dup
+    spans appear with dup_tokens 0."""
+    from layout_analysis_ray.functions.dedup import (
+        dedup_substring_spans,
+        doc_dup_span_stats,
+    )
+
+    broad = _norm(doc_dup_span_stats(SF).to_pandas())
+    dist = _norm(doc_dup_span_stats(SF, broadcast_max_keys=-1).to_pandas())
+    pd.testing.assert_frame_equal(broad, dist)
+    assert (broad["dup_tokens"] <= broad["n_tokens"]).all()
+    assert (broad["dup_tokens"] == 0).any() and (broad["dup_tokens"] > 0).any()
+
+    spans = dedup_substring_spans(SF).to_pandas()
+    spans["len"] = spans["span_end"] - spans["span_start"] + 1
+    per_doc = spans.groupby("doc_id")["len"].sum()
+    got = broad.set_index("doc_id")["dup_tokens"]
+    assert (got.loc[per_doc.index] == per_doc).all()
+    assert (got.drop(per_doc.index) == 0).all()
+
+
+def test_doc_dup_span_stats_degenerate_keeps_schema(ray_session, tmp_path):
+    """Zero-token corpora (empty / NULL / punctuation-only texts) emit no
+    rows but keep the typed schema in both tiers."""
+    from layout_analysis_ray.functions.dedup import doc_dup_span_stats
+
+    sf = _write_docs(tmp_path, [(1, ""), (2, None), (3, "!!! ???")])
+    for kw in ({}, {"broadcast_max_keys": -1}):
+        t = doc_dup_span_stats(sf, **kw).to_pandas()
+        assert list(t.columns) == [
+            "doc_id",
+            "n_tokens",
+            "dup_tokens",
+            "dup_ppm",
+        ], kw
+        assert len(t) == 0, kw
