@@ -564,7 +564,7 @@ def simhash_pairs(sf_dir: str):
 # n-gram Jaccard (SQL-checkable variant over consecutive doc pairs)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_consecutive(sf_dir: str):
+def ngram_jaccard_consecutive(sf_dir: str, materialize_sides: bool = False):
     """Jaccard (ppm, floor) between distinct 3-gram shingle sets of doc i and
     doc i+1 — a fully SQL-mirrorable slice of n-gram near-dedup (the
     all-pairs variant is gated by MinHash candidates above).
@@ -577,7 +577,17 @@ def ngram_jaccard_consecutive(sf_dir: str):
     Post-join the jaccard is one vectorized lexsort/bincount kernel per
     partition — no per-pair Python sets.  64-bit hashing keeps collision
     odds negligible (a 31-bit space would visibly corrupt counts at SF>=1).
-    Nothing is ever materialized on the driver."""
+    Nothing is ever materialized on the driver.
+
+    The join consumes the shingle table twice, so the lazy plan runs the
+    tokenize+hash scan once PER SIDE.  ``materialize_sides=True`` pins
+    the slim packed table instead (the dedup_lines trade: spillable
+    bytes for a scan) — but an interleaved A/B at sf0.1/32 CPUs measured
+    the barrier it introduces as a net LOSS (~3.34 s vs ~3.18 s,
+    BASELINE.md round-5 notes): both recomputed sides stream
+    concurrently INTO the join, so the duplicate scan hides behind the
+    join's own exchange.  Default stays False; flip it when the
+    tokenize pass, not the exchange, dominates (very long documents)."""
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         from .text import flat_shingles
@@ -610,6 +620,8 @@ def ngram_jaccard_consecutive(sf_dir: str):
     docs = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         shingle_rows, batch_format="pyarrow"
     )
+    if materialize_sides:
+        docs = docs.materialize()
 
     def as_left(batch: pa.Table) -> pa.Table:
         return pa.table(
