@@ -150,16 +150,20 @@ def kth_smallest(make_ds, ranks: list[int], _stats=None) -> dict[int, int]:
                 raise AssertionError("rank not found in histogram")
 
 
+def _pin(make_ds):
+    """Materialize the narrow dataset once (8-17 B/row, spillable) and
+    return a thunk over the pinned blocks.  The histogram-narrowing
+    passes are sequential, so the materialize barrier is free — the
+    stats pass and every narrowing pass then scan object-store blocks
+    instead of re-decoding parquet (or re-running an upstream derive
+    map) per pass.  Measured interleaved at sf0.1/32 CPUs: 2.72-2.87 s
+    vs 3.16-3.62 s streaming (BASELINE.md round-5 notes)."""
+    ds = make_ds().materialize()
+    return lambda: ds
+
+
 def _quantile_table(make_ds, qs_ppm) -> pa.Table:
-    # materialize the narrow int64 column once (8 B/row, spillable) so the
-    # stats pass + every narrowing pass scan pinned blocks instead of
-    # re-decoding parquet — measured interleaved at sf0.1/32 CPUs:
-    # 2.72-2.87 s vs 3.16-3.62 s streaming (BASELINE.md round-5 notes)
-    narrow = make_ds().materialize()
-
-    def pinned():
-        return narrow
-
+    pinned = _pin(make_ds)
     stats = _min_max_count(pinned)
     n = stats[2]
     ranks = {q: (q * n + 999_999) // 1_000_000 for q in qs_ppm}
@@ -228,13 +232,14 @@ def events_value_winsorized(sf_dir: str) -> "object":
             lambda b: pa.table({"v": _cents(b["value"])}), batch_format="pyarrow"
         )
 
-    stats = _min_max_count(make_ds)
+    pinned = _pin(make_ds)
+    stats = _min_max_count(pinned)
     n = stats[2]
     ranks = {
         q: (q * n + 999_999) // 1_000_000
         for q in (WINSOR_LO_PPM, WINSOR_HI_PPM)
     }
-    vals = kth_smallest(make_ds, sorted(set(ranks.values())), _stats=stats)
+    vals = kth_smallest(pinned, sorted(set(ranks.values())), _stats=stats)
     lo_cut = vals[ranks[WINSOR_LO_PPM]]
     hi_cut = vals[ranks[WINSOR_HI_PPM]]
 
@@ -274,6 +279,7 @@ def _interp_quartiles(make_ds) -> pa.Table:
     adjacent ranks land in the same histogram bin, so the pass count stays
     ~log_B(range).  No floats anywhere, so the oracle hash matches
     bit-for-bit."""
+    make_ds = _pin(make_ds)
     stats = _min_max_count(make_ds)
     n = stats[2]
     want: dict[int, tuple[int, int, int]] = {}
@@ -503,7 +509,7 @@ def events_value_median_by_type(sf_dir: str) -> pa.Table:
             batch_format="pyarrow",
         )
 
-    med = grouped_quantile(make_ds, 500_000)
+    med = grouped_quantile(_pin(make_ds), 500_000)
     keys = sorted(med)
     return pa.table(
         {
@@ -536,6 +542,7 @@ def events_value_median_interp_by_type(sf_dir: str) -> pa.Table:
 
     from ray.data.aggregate import Count, Max, Min
 
+    make_ds = _pin(make_ds)
     stats_rows = (
         make_ds().groupby("g").aggregate(Min("v"), Max("v"), Count()).take_all()
     )
@@ -582,10 +589,11 @@ def events_value_quartile(sf_dir: str):
             lambda b: pa.table({"v": _cents(b["value"])}), batch_format="pyarrow"
         )
 
-    stats = _min_max_count(make_ds)
+    pinned = _pin(make_ds)
+    stats = _min_max_count(pinned)
     n = stats[2]
     ranks = {q: (q * n + 999_999) // 1_000_000 for q in (250_000, 500_000, 750_000)}
-    vals = kth_smallest(make_ds, sorted(set(ranks.values())), _stats=stats)
+    vals = kth_smallest(pinned, sorted(set(ranks.values())), _stats=stats)
     b1, b2, b3 = (vals[ranks[q]] for q in (250_000, 500_000, 750_000))
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -625,13 +633,16 @@ def events_value_mad_by_type(sf_dir: str) -> pa.Table:
             f"{sf_dir}/events.parquet", columns=["event_type", "value"]
         ).map_batches(base, batch_format="pyarrow")
 
-    med = grouped_quantile(make_ds, 500_000)
+    # one pin serves BOTH narrowings: the abs-deviation pass derives from
+    # the pinned (g, v) blocks (cheap numpy sub/abs) instead of re-decoding
+    # and re-filtering parquet per pass
+    pinned = _pin(make_ds)
+    med = grouped_quantile(pinned, 500_000)
     keys = sorted(med)
     key_arr = pa.array(keys, pa.string())
     med_arr = np.array([med[k] for k in keys], dtype=np.int64)
 
     def absdev(b: pa.Table) -> pa.Table:
-        b = base(b)
         idx = pc.index_in(b["g"], value_set=key_arr)
         gi = np.asarray(
             pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
@@ -640,9 +651,7 @@ def events_value_mad_by_type(sf_dir: str) -> pa.Table:
         return pa.table({"g": b["g"], "v": pa.array(np.abs(v - med_arr[gi]))})
 
     def make_abs_ds():
-        return rd.read_parquet(
-            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
-        ).map_batches(absdev, batch_format="pyarrow")
+        return pinned().map_batches(absdev, batch_format="pyarrow")
 
     mad = grouped_quantile(make_abs_ds, 500_000)
     return pa.table(

@@ -864,7 +864,7 @@ def embedding_norm_quantiles(sf_dir: str):
 
     Scale shape: map-only row reduction (one row per vector) feeding
     <= log_B(range) streaming scans; the result is three typed rows."""
-    from .quantiles import _min_max_count, kth_smallest
+    from .quantiles import _min_max_count, _pin, kth_smallest
 
     def make_ds():
         def prep(batch: pa.Table) -> pa.Table:
@@ -880,12 +880,16 @@ def embedding_norm_quantiles(sf_dir: str):
 
         return _read_emb(sf_dir).map_batches(prep, batch_format="pyarrow")
 
-    stats = _min_max_count(make_ds)
+    # pin the 8 B/row sqnorm column once: without it every narrowing pass
+    # re-decodes the WIDE embedding list column and redoes the fixed-point
+    # square — the costliest re-derive of any narrowing consumer
+    pinned = _pin(make_ds)
+    stats = _min_max_count(pinned)
     n = stats[2]
     if n == 0:
         return _NORM_Q_SCHEMA.empty_table()
     ranks = {q: (q * n + 999_999) // 1_000_000 for q in NORM_Q_PPMS}
-    vals = kth_smallest(make_ds, sorted(set(ranks.values())), _stats=stats)
+    vals = kth_smallest(pinned, sorted(set(ranks.values())), _stats=stats)
     return pa.table(
         {
             "q_ppm": pa.array(list(NORM_Q_PPMS), pa.int64()),
