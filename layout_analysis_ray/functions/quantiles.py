@@ -328,34 +328,40 @@ def lineitem_price_quartiles_interp(sf_dir: str) -> pa.Table:
 # Per-group exact quantiles (same narrowing, histogram keyed by group)
 # ---------------------------------------------------------------------------
 
-def grouped_quantile(
-    make_ds, q_ppm: int, rank_fn=None, return_counts=False, _stats_rows=None,
-    weighted=False,
+def grouped_quantile_multi(
+    make_ds, rank_fns: dict, *, weighted=False, _stats_rows=None,
 ):
-    """Exact q-quantile PER GROUP of a dataset with columns (g: string,
-    v: int64): one grouped Min/Max/Count aggregate, then histogram passes
-    where each group narrows its own interval — all groups advance in the
-    SAME pass, so the scan count stays ~log_B(range) regardless of group
-    count.
+    """Exact MULTI-rank quantiles PER GROUP of a dataset with columns
+    (g: string, v: int64): one grouped Min/Max/Count aggregate, then
+    histogram passes where every unresolved (label, group) pair narrows
+    its own interval — ALL labels and ALL groups advance in the SAME
+    pass, so the scan count stays ~log_B(range) regardless of how many
+    quantiles are requested (the whole point: callers needing two or
+    three boundaries per group pay for one narrowing, not two or three).
+
+    ``rank_fns`` maps label -> (n -> 1-based rank).  Returns
+    ``(by_label, counts_by_g)`` where ``by_label[label][g]`` is the
+    label's order statistic for group g and ``counts_by_g[g]`` is the
+    group's row count (total weight when ``weighted``).
+
+    Interval bookkeeping: within one group, every label starts on the
+    same [min, max] interval and each pass replaces an interval with one
+    bin of ITS OWN equal-width grid — so by induction all of a group's
+    live intervals are pairwise equal-or-disjoint.  Deduping equal ones
+    leaves <= len(rank_fns) disjoint "slots" per group, and each row
+    lands in at most one slot: the hist kernel stays one vectorized
+    (rows x slots-per-group) compare, slots-per-group a small constant.
 
     The per-pass driver state is one merged histogram of <= N_BUCKETS x
-    unresolved-groups rows and the interval table is ~24 B/group (broadcast
-    inside the map closure; swap to ray.put above ~10^5 groups).  For very
-    high group cardinality shrink N_BUCKETS — more passes, bounded driver
-    rows.
-
-    ``rank_fn(n) -> 1-based rank`` overrides the default ceil(q_ppm*n/1e6)
-    convention (used by the interpolated variants, which need the two
-    adjacent order statistics).  With ``return_counts`` the result is
-    {g: (value, n)} instead of {g: value}.  ``_stats_rows`` (the grouped
-    Min/Max/Count take_all rows) lets callers running several narrowings
-    over the same dataset pay for that first scan once.
+    live-slots rows and the slot table is ~24 B/slot (broadcast inside
+    the map closure; swapped to ray.put above ~10^5 slots).  For very
+    high group cardinality shrink N_BUCKETS — more passes, bounded
+    driver rows.
 
     With ``weighted=True`` the dataset carries a third int64 column ``w``
-    (positive weights) and the q-quantile is over CUMULATIVE WEIGHT: the
-    smallest v whose running weight reaches ceil(q_ppm * W / 1e6), W the
-    group's total weight — the SQL ``SUM(w) OVER (ORDER BY v)`` threshold.
-    Ranks/offsets simply count weight instead of rows; the histogram pass
+    (positive weights) and ranks count CUMULATIVE WEIGHT: the smallest v
+    whose running weight reaches rank_fn(W), W the group's total weight —
+    the SQL ``SUM(w) OVER (ORDER BY v)`` threshold.  The histogram pass
     bin-sums weights (exact: per-block weight sums stay far below 2^53,
     and the cross-block merge is a native int64 Sum).
     """
@@ -369,48 +375,66 @@ def grouped_quantile(
         .aggregate(Min("v"), Max("v"), Sum("w") if weighted else Count())
         .take_all()
     )
-    # state per group: (lo, hi, offset, target_rank)
+    # state per (label, group): (lo, hi, offset, target_rank)
     state = {}
     counts_by_g: dict[str, int] = {}
     for r in rows:
         n = int(r["sum(w)"] if weighted else r["count()"])
         counts_by_g[r["g"]] = n
-        k = rank_fn(n) if rank_fn is not None else (q_ppm * n + 999_999) // 1_000_000
-        if weighted and n == 0:
-            # all-zero-weight group: the SQL threshold `cum >= 0` is met at
-            # the group's first value, so it resolves to min(v) with no
-            # histogram pass (the weighted hist would never emit its bins)
-            state[r["g"]] = (int(r["min(v)"]), int(r["min(v)"]), 0, k)
-        else:
-            state[r["g"]] = (int(r["min(v)"]), int(r["max(v)"]), 0, k)
-    resolved: dict[str, int] = {}
+        for lbl, fn in rank_fns.items():
+            k = fn(n)
+            if weighted and n == 0:
+                # all-zero-weight group: the SQL threshold `cum >= 0` is
+                # met at the group's first value, so it resolves to min(v)
+                # with no histogram pass (the weighted hist would never
+                # emit its bins)
+                state[(lbl, r["g"])] = (int(r["min(v)"]), int(r["min(v)"]), 0, k)
+            else:
+                state[(lbl, r["g"])] = (int(r["min(v)"]), int(r["max(v)"]), 0, k)
+    resolved: dict[tuple, int] = {}
 
     while True:
-        for g, (lo, hi, _o, _k) in list(state.items()):
+        for key, (lo, hi, _o, _k) in list(state.items()):
             if lo == hi:
-                resolved[g] = lo
-                del state[g]
+                resolved[key] = lo
+                del state[key]
         if not state:
-            if return_counts:
-                return {g: (v, counts_by_g[g]) for g, v in resolved.items()}
-            return resolved
+            by_label = {lbl: {} for lbl in rank_fns}
+            for (lbl, g), v in resolved.items():
+                by_label[lbl][g] = v
+            return by_label, counts_by_g
 
-        groups = sorted(state)
+        # dedupe each group's live intervals into disjoint slots
+        slot_map: dict[str, list] = {}
+        for (lbl, g), (lo, hi, _o, _k) in state.items():
+            ivs = slot_map.setdefault(g, [])
+            if (lo, hi) not in ivs:
+                ivs.append((lo, hi))
+        groups = sorted(slot_map)
         g_idx = {g: i for i, g in enumerate(groups)}
+        for g in groups:
+            slot_map[g].sort()
+        n_slots = max(len(slot_map[g]) for g in groups)
+        # padded (group x slot) matrices; pad rows are the empty range
+        # lo=0 > hi=-1 so no value ever matches a pad slot
+        lo_mat = np.zeros((len(groups), n_slots), dtype=np.int64)
+        hi_mat = np.full((len(groups), n_slots), -1, dtype=np.int64)
+        for g in groups:
+            for s, (lo, hi) in enumerate(slot_map[g]):
+                lo_mat[g_idx[g], s] = lo
+                hi_mat[g_idx[g], s] = hi
+        w_mat = np.maximum(1, -((-(hi_mat - lo_mat + 1)) // N_BUCKETS))
         # type-inferred: group keys are strings for the per-key queries,
         # a constant int64 for single-group weighted callers
         group_arr = pa.array(groups)
-        lo_arr = np.array([state[g][0] for g in groups], dtype=np.int64)
-        hi_arr = np.array([state[g][1] for g in groups], dtype=np.int64)
-        w_arr = np.maximum(1, -((-(hi_arr - lo_arr + 1)) // N_BUCKETS))
 
-        # interval table travels in the task closure while it's tiny; above
+        # slot table travels in the task closure while it's tiny; above
         # the documented bound it graduates to one object-store put so huge
         # group counts aren't re-shipped per task.
-        if len(groups) > GROUPED_BROADCAST_ROWS:
+        if lo_mat.size > GROUPED_BROADCAST_ROWS:
             import ray
 
-            _ref = ray.put((group_arr, lo_arr, hi_arr, w_arr))
+            _ref = ray.put((group_arr, lo_mat, hi_mat, w_mat))
 
             def _fetch():
                 import ray as _ray
@@ -418,21 +442,26 @@ def grouped_quantile(
                 return _ray.get(_ref)
 
         else:
-            _local = (group_arr, lo_arr, hi_arr, w_arr)
+            _local = (group_arr, lo_mat, hi_mat, w_mat)
 
             def _fetch():
                 return _local
 
         def hist(batch: pa.Table) -> pa.Table:
-            ga, lo_a, hi_a, w_a = _fetch()
+            ga, lo_m, hi_m, w_m = _fetch()
             # Arrow hash-kernel group lookup — no Python-object conversion
             idx = pc.index_in(batch["g"], value_set=ga)
             known = np.asarray(pc.is_valid(idx).to_numpy(zero_copy_only=False))
-            iv_i = np.asarray(
+            gi = np.asarray(
                 pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
             ).astype(np.int64)
             v = batch["v"].to_numpy(zero_copy_only=False)
-            inr = known & (v >= lo_a[iv_i]) & (v <= hi_a[iv_i])
+            # (rows x slots-per-group) containment — slots are disjoint,
+            # so each row matches at most one
+            vs = v[:, None]
+            in_slot = (vs >= lo_m[gi]) & (vs <= hi_m[gi])
+            s = in_slot.argmax(axis=1)
+            inr = known & in_slot.any(axis=1)
             if not inr.any():
                 return pa.table(
                     {
@@ -441,9 +470,10 @@ def grouped_quantile(
                         "cnt": pa.array([], pa.int64()),
                     }
                 )
-            ivs = iv_i[inr]
-            b = (v[inr] - lo_a[ivs]) // w_a[ivs]
-            comp = ivs * np.int64(N_BUCKETS) + b
+            gis, ss = gi[inr], s[inr]
+            b = (v[inr] - lo_m[gis, ss]) // w_m[gis, ss]
+            slot_global = gis * np.int64(lo_m.shape[1]) + ss
+            comp = slot_global * np.int64(N_BUCKETS) + b
             if weighted:
                 wv = batch["w"].to_numpy(zero_copy_only=False)
                 ws = wv[inr]
@@ -479,21 +509,50 @@ def grouped_quantile(
         for r in merged:
             counts.setdefault(int(r["iv"]), {})[int(r["bucket"])] = int(r["sum(cnt)"])
 
-        for g in groups:
-            lo, hi, off, k = state[g]
-            i = g_idx[g]
-            w = int(w_arr[i])
+        for key in list(state):
+            lo, hi, off, k = state[key]
+            g = key[1]
+            i = g_idx[g] * n_slots + slot_map[g].index((lo, hi))
+            w = int(w_mat.flat[i])
             cum = 0
             target = k - off
             for b in sorted(counts.get(i, {})):
                 c = counts[i][b]
                 if cum + c >= target:
                     new_lo = lo + b * w
-                    state[g] = (new_lo, min(hi, new_lo + w - 1), off + cum, k)
+                    state[key] = (new_lo, min(hi, new_lo + w - 1), off + cum, k)
                     break
                 cum += c
             else:  # pragma: no cover
-                raise AssertionError(f"rank not found for group {g!r}")
+                raise AssertionError(f"rank not found for {key!r}")
+
+
+def grouped_quantile(
+    make_ds, q_ppm: int, rank_fn=None, return_counts=False, _stats_rows=None,
+    weighted=False,
+):
+    """Exact q-quantile PER GROUP — the single-rank wrapper over
+    ``grouped_quantile_multi`` (see there for the narrowing machinery).
+
+    ``rank_fn(n) -> 1-based rank`` overrides the default ceil(q_ppm*n/1e6)
+    convention (used by the interpolated variants, which need the two
+    adjacent order statistics).  With ``return_counts`` the result is
+    {g: (value, n)} instead of {g: value}.  ``_stats_rows`` (the grouped
+    Min/Max/Count take_all rows) lets callers running several narrowings
+    over the same dataset pay for that first scan once — though callers
+    wanting several RANKS should pass them all to
+    ``grouped_quantile_multi`` and share the histogram passes too.
+    """
+    fn = rank_fn if rank_fn is not None else (
+        lambda n: (q_ppm * n + 999_999) // 1_000_000
+    )
+    by_label, counts_by_g = grouped_quantile_multi(
+        make_ds, {"q": fn}, weighted=weighted, _stats_rows=_stats_rows
+    )
+    res = by_label["q"]
+    if return_counts:
+        return {g: (v, counts_by_g[g]) for g, v in res.items()}
+    return res
 
 
 def events_value_median_by_type(sf_dir: str) -> pa.Table:
@@ -525,11 +584,9 @@ def events_value_median_interp_by_type(sf_dir: str) -> pa.Table:
     group of n values the median position is (n-1)/2, so the value is
         2*a + (b - a) * ((n-1) % 2)
     where a is the ((n-1)//2 + 1)-th order statistic and b the next one.
-    Two grouped narrowings (all groups advance together in each) sharing
-    ONE grouped Min/Max/Count scan; no per-group sort, no floats.  (A
-    single narrowing tracking both ranks per group would save the second
-    set of histogram scans — the per-(group, rank) interval bookkeeping
-    isn't worth it at the current scan count, documented trade.)"""
+    ONE multi-rank grouped narrowing resolves both order statistics for
+    every group in the same histogram passes (``grouped_quantile_multi``
+    slot bookkeeping); no per-group sort, no floats."""
     import ray.data as rd
 
     def make_ds():
@@ -540,29 +597,18 @@ def events_value_median_interp_by_type(sf_dir: str) -> pa.Table:
             batch_format="pyarrow",
         )
 
-    from ray.data.aggregate import Count, Max, Min
-
-    make_ds = _pin(make_ds)
-    stats_rows = (
-        make_ds().groupby("g").aggregate(Min("v"), Max("v"), Count()).take_all()
+    by_label, counts = grouped_quantile_multi(
+        _pin(make_ds),
+        {
+            "lo": lambda n: (n - 1) // 2 + 1,
+            "hi": lambda n: min((n - 1) // 2 + 1 + ((n - 1) % 2), n),
+        },
     )
-    lo_stat = grouped_quantile(
-        make_ds,
-        0,
-        rank_fn=lambda n: (n - 1) // 2 + 1,
-        return_counts=True,
-        _stats_rows=stats_rows,
-    )
-    hi_stat = grouped_quantile(
-        make_ds,
-        0,
-        rank_fn=lambda n: min((n - 1) // 2 + 1 + ((n - 1) % 2), n),
-        _stats_rows=stats_rows,
-    )
+    lo_stat, hi_stat = by_label["lo"], by_label["hi"]
     keys = sorted(lo_stat)
     med = []
     for g in keys:
-        a, n = lo_stat[g]
+        a, n = lo_stat[g], counts[g]
         b = hi_stat[g]
         med.append(2 * a + (b - a) * ((n - 1) % 2))
     return pa.table(

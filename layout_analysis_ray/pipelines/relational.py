@@ -3592,7 +3592,7 @@ def cust_rfm_segments(sf_dir: str):
     Scale shape: per-customer (r, f, m) via map-side Arrow group_by
     partials and one custkey exchange (Sum/Sum/Max merge), materialized
     as a 32 B/customer narrow table; the six tercile boundaries come
-    from ONE ``grouped_quantile`` narrowing per quantile over the table
+    from ONE shared multi-rank ``grouped_quantile_multi`` narrowing over the table
     melted to (metric, value) — all three metrics advance in the same
     histogram passes; the assignment pass is a map-only compare against
     six broadcast ints folding straight to segment partials, so the
@@ -3600,7 +3600,7 @@ def cust_rfm_segments(sf_dir: str):
     import pandas as pd
     from ray.data.aggregate import Max, Sum
 
-    from ..functions.quantiles import grouped_quantile
+    from ..functions.quantiles import grouped_quantile_multi
 
     orders = _read(
         sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"]
@@ -3677,8 +3677,17 @@ def cust_rfm_segments(sf_dir: str):
     )
     if not stats_rows:
         return out_schema.empty_table()
-    b1 = grouped_quantile(make_ds, RFM_Q1_PPM, _stats_rows=stats_rows)
-    b2 = grouped_quantile(make_ds, RFM_Q2_PPM, _stats_rows=stats_rows)
+    # both tercile boundaries of all three metrics resolve in ONE shared
+    # multi-rank narrowing (each pass scans the melted table once)
+    by_label, _ = grouped_quantile_multi(
+        make_ds,
+        {
+            "b1": lambda n: (RFM_Q1_PPM * n + 999_999) // 1_000_000,
+            "b2": lambda n: (RFM_Q2_PPM * n + 999_999) // 1_000_000,
+        },
+        _stats_rows=stats_rows,
+    )
+    b1, b2 = by_label["b1"], by_label["b2"]
 
     def assign(batch: pa.Table) -> pa.Table:
         tiers = {}

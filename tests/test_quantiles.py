@@ -339,3 +339,80 @@ def test_grouped_weighted_quantile_zero_weight_group(ray_session):
     got = grouped_quantile(lambda: rd.from_arrow(tbl), 500_000, weighted=True)
     # 'a': W=4, k=2 -> cum(1)=1 < 2, cum(2)=2 -> median 2; 'z': min v = 4
     assert got == {"a": 2, "z": 4}
+
+
+def test_grouped_quantile_multi_vs_bruteforce(ray_session):
+    """Several ranks per group resolve in ONE shared narrowing and match the
+    per-group sorted brute force — wide domains, a 1-row group, and ranks
+    that diverge into different bins (the disjoint-slot path) all together."""
+    import ray.data as rd
+
+    from layout_analysis_ray.functions.quantiles import grouped_quantile_multi
+
+    rng = np.random.default_rng(23)
+    gs, vs = [], []
+    for g, arr in {
+        "a": rng.integers(-(10**9), 10**9, 701),
+        "b": np.full(50, 13),
+        "c": np.array([10**12]),
+        "d": rng.integers(0, 1000, 256),
+    }.items():
+        gs += [g] * len(arr)
+        vs.append(arr.astype(np.int64))
+    vals = np.concatenate(vs)
+    t = pa.table({"g": pa.array(gs, pa.string()), "v": pa.array(vals, pa.int64())})
+
+    q_ppms = {"p10": 100_000, "p50": 500_000, "p90": 900_000}
+    rank_fns = {
+        lbl: (lambda q: lambda n: (q * n + 999_999) // 1_000_000)(q)
+        for lbl, q in q_ppms.items()
+    }
+    by_label, counts = grouped_quantile_multi(
+        lambda: rd.from_arrow(t).repartition(5), rank_fns
+    )
+    garr = np.asarray(gs)
+    for g in set(gs):
+        sv = np.sort(vals[garr == g])
+        assert counts[g] == len(sv)
+        for lbl, q in q_ppms.items():
+            k = (q * len(sv) + 999_999) // 1_000_000
+            assert by_label[lbl][g] == int(sv[k - 1]), (g, lbl)
+
+
+def test_grouped_quantile_multi_weighted_vs_bruteforce(ray_session):
+    """Weighted multi-rank: two cumulative-weight thresholds per group in one
+    narrowing, including an all-zero-weight group (resolves to min v)."""
+    import ray.data as rd
+
+    from layout_analysis_ray.functions.quantiles import grouped_quantile_multi
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    g = rng.choice(["a", "b"], n).tolist() + ["z", "z"]
+    v = np.concatenate([rng.integers(-500, 500, n), [9, 4]]).astype(np.int64)
+    w = np.concatenate([rng.integers(1, 20, n), [0, 0]]).astype(np.int64)
+    tbl = pa.table(
+        {
+            "g": pa.array(g, pa.string()),
+            "v": pa.array(v, pa.int64()),
+            "w": pa.array(w, pa.int64()),
+        }
+    )
+    q_ppms = {"q25": 250_000, "q75": 750_000}
+    rank_fns = {
+        lbl: (lambda q: lambda n_: (q * n_ + 999_999) // 1_000_000)(q)
+        for lbl, q in q_ppms.items()
+    }
+    by_label, _ = grouped_quantile_multi(
+        lambda: rd.from_arrow(tbl).repartition(7), rank_fns, weighted=True
+    )
+    garr = np.asarray(g)
+    for key in ("a", "b"):
+        m = garr == key
+        order = np.argsort(v[m], kind="stable")
+        sv, sw = v[m][order], w[m][order]
+        for lbl, q in q_ppms.items():
+            k = (q * int(sw.sum()) + 999_999) // 1_000_000
+            exp = int(sv[np.searchsorted(np.cumsum(sw), k)])
+            assert by_label[lbl][key] == exp, (key, lbl)
+    assert by_label["q25"]["z"] == 4 and by_label["q75"]["z"] == 4
