@@ -414,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_confusion": text.lang_confusion,
         "doc_length_histogram": text.doc_length_histogram,
         "doc_repetition_stats": text.repetition_stats,
+        "doc_lm_quality": text.lm_quality,
         "doc_bigram_top": text.bigram_top,
         "source_token_jaccard": text.source_token_jaccard,
         "doc_ntile_by_chars": text.ntile_by_chars,
@@ -2807,6 +2808,24 @@ def oracle_sql() -> dict[str, str]:
                          AND (n - n_uniq) * 1000000 // n <= 600000
                    THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM s
+        """,
+        "doc_lm_quality": """
+            -- CCNet-style LM quality: corpus-trained char-bigram model,
+            -- per-doc mean transition probability in exact integer ppm
+            -- (char == byte on this ASCII corpus; functions/text.py
+            -- lm_quality).  Docs with < 2 chars have no transitions.
+            WITH pairs AS (
+              SELECT doc_id, substr(text, i, 1) AS a, substr(text, i, 2) AS ab
+              FROM documents, unnest(generate_series(1, length(text) - 1)) AS u(i)),
+            big AS (SELECT ab, COUNT(*) AS c2 FROM pairs GROUP BY ab),
+            pre AS (SELECT a, COUNT(*) AS c1 FROM pairs GROUP BY a),
+            pppm AS (
+              SELECT ab, CAST(c2 * 1000000 // c1 AS BIGINT) AS p_ppm
+              FROM big JOIN pre ON substr(big.ab, 1, 1) = pre.a)
+            SELECT p.doc_id, COUNT(*) AS n_trans,
+                   CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS lm_score_ppm
+            FROM pairs p JOIN pppm USING (ab)
+            GROUP BY p.doc_id
         """,
         "dedup_substring_spans": f"""
             -- Lee-et-al-style duplicate-substring spans: k=5-token grams

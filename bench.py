@@ -231,6 +231,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "dedup_prefix_containment_pairs": dedup.dedup_prefix_containment_pairs,
         "events_user_journey_paths": windows.user_journey_paths,
         "events_debounce_counts": windows.debounce_counts,
+        "doc_lm_quality": text.lm_quality,
     }
     from layout_analysis_ray.stages.audio import media_audio_features
 

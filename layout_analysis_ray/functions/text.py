@@ -1306,3 +1306,142 @@ def redact_pattern(
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         redact, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# LM-based quality scoring (CCNet-style perplexity filter, exact integers)
+# ---------------------------------------------------------------------------
+
+def _utf8_bytes_and_offsets(col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy view of a string column as (uint8 byte buffer slice,
+    per-row int64 offsets RELATIVE to that slice).  NULLs are treated as
+    empty strings (caller fills them first)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data[offs[0] : offs[-1]], offs - offs[0]
+
+
+def _byte_pairs(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All within-doc adjacent byte pairs of a string column, encoded as
+    one int32 code a*256+b per pair, plus the per-doc transition spans.
+
+    Returns (codes, start, n_trans): ``codes`` is the flat pair-code array
+    with CROSS-doc pairs already removed by construction of the offsets,
+    ``start[i]``/``n_trans[i]`` delimit doc i's slice of ``codes``.
+    """
+    d, off = _utf8_bytes_and_offsets(col)
+    n_docs = len(off) - 1
+    if len(d) < 2:
+        return (
+            np.empty(0, np.int32),
+            np.zeros(n_docs, np.int64),
+            np.zeros(n_docs, np.int64),
+        )
+    pairs = d[:-1].astype(np.int32) * 256 + d[1:]
+    # doc i's transitions live at global positions off[i] .. off[i+1]-2;
+    # position off[i+1]-1 (its last byte) pairs with the NEXT doc's first
+    # byte and must not count.  Compact those holes away so reduceat-style
+    # spans stay contiguous.
+    n_trans = np.maximum(off[1:] - off[:-1] - 1, 0)
+    keep = np.ones(len(pairs), dtype=bool)
+    ends = off[1:] - 1
+    keep[ends[(ends >= 0) & (ends < len(pairs))]] = False
+    codes = pairs[keep]
+    start = np.concatenate([[0], np.cumsum(n_trans)[:-1]])
+    return codes, start, n_trans
+
+
+def lm_bigram_model(sf_dir: str) -> np.ndarray:
+    """Train a corpus-wide byte-bigram transition model: one distributed
+    counting pass (constant-size 65536-bin histogram partials, native Sum
+    merge, the driver sees <= 65536 rows regardless of corpus size) folded
+    into the integer transition-probability table
+        p_ppm[a*256+b] = count(a,b) * 10^6 // count(a,*)
+    computed with exact arbitrary-precision Python ints (count * 10^6 can
+    pass int64 at 100 TB; there are only <= 65536 divisions)."""
+    import ray.data as rd  # noqa: F401 — symmetry with siblings
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        codes, _s, _n = _byte_pairs(pc.fill_null(batch["text"], ""))
+        if not len(codes):
+            return pa.table(
+                {"bin": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        binc = np.bincount(codes, minlength=65536)
+        nz = np.nonzero(binc)[0]
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64)),
+                "cnt": pa.array(binc[nz].astype(np.int64)),
+            }
+        )
+
+    rows = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("cnt"))
+        .take_all()
+    )
+    big = [0] * 65536
+    for r in rows:
+        big[int(r["bin"])] = int(r["sum(cnt)"])
+    prefix = [0] * 256
+    for code, c in enumerate(big):
+        prefix[code >> 8] += c
+    p_ppm = np.zeros(65536, dtype=np.int64)
+    for code, c in enumerate(big):
+        if c:
+            p_ppm[code] = c * 1_000_000 // prefix[code >> 8]
+    return p_ppm
+
+
+def lm_quality(sf_dir: str):
+    """CCNet-style LM quality score per document, exact integer ppm: train
+    the byte-bigram model on the corpus itself (``lm_bigram_model``), then
+    score every doc by its MEAN transition probability
+        lm_score_ppm = (sum over transitions of p_ppm[pair]) // n_trans.
+    Low scores flag gibberish / boilerplate / wrong-charset docs exactly
+    like a perplexity filter (monotone transform of it under this model),
+    but every value is an integer so the DuckDB oracle hashes bit-for-bit.
+
+    Scale shape: pass 1 is map-only with CONSTANT 65536-bin partials and a
+    constant-size driver fold; pass 2 broadcasts the 512 KiB p_ppm table
+    via one ``ray.put`` and is map-only — zero row shuffles end to end.
+    Per-doc sums stay under int64 (n_trans * 10^6 < 2^63 for any doc under
+    ~9e12 bytes).  Byte-level == char-level on ASCII corpora (what the
+    oracle asserts); non-UTF-8-single-byte text still scores
+    deterministically, just over UTF-8 bytes.  Docs with < 2 bytes have no
+    transitions and are excluded (the oracle's generate_series is empty).
+    """
+    import ray
+
+    p_ref = ray.put(lm_bigram_model(sf_dir))
+
+    def score(batch: pa.Table) -> pa.Table:
+        p_ppm = ray.get(p_ref)
+        codes, start, n_trans = _byte_pairs(pc.fill_null(batch["text"], ""))
+        csum = np.concatenate([[0], np.cumsum(p_ppm[codes])])
+        doc_sum = csum[start + n_trans] - csum[start]
+        keep = n_trans > 0
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "n_trans": pa.array(n_trans[keep], pa.int64()),
+                "lm_score_ppm": pa.array(
+                    doc_sum[keep] // n_trans[keep], pa.int64()
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )

@@ -153,3 +153,64 @@ def test_mad_even_count_lower_middle(ray_session, tmp_path):
     assert out.loc["a", "mad_cents"] == 100
     assert out.loc["b", "median_cents"] == 500
     assert out.loc["b", "mad_cents"] == 0
+
+
+def test_lm_quality_bruteforce(ray_session, tmp_path):
+    """Byte-bigram LM score vs a dict-based brute force on a corpus with
+    empty, 1-char, repeated-pattern and unique-gibberish docs — including
+    the model-training pass (pair counts must not cross doc boundaries)."""
+    from layout_analysis_ray.functions.text import lm_quality
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, ""),
+        (4, "x"),
+        (5, "qzqzqzqz"),
+        (6, "the mat on the cat"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        lm_quality(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    big: dict[tuple[str, str], int] = {}
+    pre: dict[str, int] = {}
+    for _id, t in rows:
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            pre[a] = pre.get(a, 0) + 1
+    exp = []
+    for _id, t in rows:
+        if len(t) < 2:
+            continue
+        ps = [big[(a, b)] * 1_000_000 // pre[a] for a, b in zip(t, t[1:])]
+        exp.append((_id, len(ps), sum(ps) // len(ps)))
+    assert list(map(tuple, got.itertuples(index=False))) == exp
+
+
+def test_lm_quality_flags_gibberish(ray_session):
+    """Semantic gate on the real corpus: a doc of uniform-random characters
+    must score far below the corpus median (the filter's whole point)."""
+    import pyarrow.parquet as pq_
+
+    from layout_analysis_ray.functions.text import lm_bigram_model, _byte_pairs
+
+    sf = "/root/testdata/sf0.001"
+    p_ppm = lm_bigram_model(sf)
+
+    def score(text: str) -> int:
+        codes, _s, _n = _byte_pairs(pa.array([text], pa.string()))
+        return int(p_ppm[codes].sum() // len(codes))
+
+    texts = pq_.read_table(f"{sf}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    corpus_scores = sorted(score(t) for t in texts if len(t) >= 2)
+    median = corpus_scores[len(corpus_scores) // 2]
+    rng = np.random.default_rng(5)
+    gibberish = "".join(chr(c) for c in rng.integers(33, 127, 400))
+    assert score(gibberish) < median // 5
