@@ -415,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": text.doc_length_histogram,
         "doc_repetition_stats": text.repetition_stats,
         "doc_lm_quality": text.lm_quality,
+        "doc_chunks": text.chunk_documents,
         "doc_bigram_top": text.bigram_top,
         "source_token_jaccard": text.source_token_jaccard,
         "doc_ntile_by_chars": text.ntile_by_chars,
@@ -2826,6 +2827,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS lm_score_ppm
             FROM pairs p JOIN pppm USING (ab)
             GROUP BY p.doc_id
+        """,
+        "doc_chunks": f"""
+            -- fixed-size overlapping token windows (64 every 48, the
+            -- functions/text.py CHUNK_TOKS/CHUNK_STRIDE literals); chunk
+            -- hash = md5 of the space-joined window, list_slice 1-based
+            -- inclusive
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            c AS (
+              SELECT doc_id, toks, i AS chunk_idx, i * 48 AS start_tok,
+                     LEAST(64, len(toks) - i * 48) AS n_toks
+              FROM t, unnest(range(0, (len(toks) + 47) // 48)) AS u(i))
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(start_tok AS BIGINT) AS start_tok,
+                   CAST(n_toks AS BIGINT) AS n_toks,
+                   md5(array_to_string(
+                     list_slice(toks, start_tok + 1, start_tok + n_toks),
+                     ' ')) AS chunk_hash
+            FROM c
         """,
         "dedup_substring_spans": f"""
             -- Lee-et-al-style duplicate-substring spans: k=5-token grams

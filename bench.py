@@ -232,6 +232,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_user_journey_paths": windows.user_journey_paths,
         "events_debounce_counts": windows.debounce_counts,
         "doc_lm_quality": text.lm_quality,
+        "doc_chunks": lambda sf: text.chunk_documents(sf).count(),
     }
     from layout_analysis_ray.stages.audio import media_audio_features
 

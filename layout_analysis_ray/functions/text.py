@@ -1445,3 +1445,78 @@ def lm_quality(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size overlapping token-window chunking (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+# window of CHUNK_TOKS tokens every CHUNK_STRIDE tokens (the 25%-overlap
+# convention); mirrored as literals in the doc_chunks oracle SQL
+CHUNK_TOKS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_batch(
+    batch: pa.Table, chunk_toks: int = CHUNK_TOKS, stride: int = CHUNK_STRIDE
+) -> pa.Table:
+    """Overlapping token-window chunks for every doc in the batch:
+    chunk i covers tokens [i*stride, min(i*stride + chunk_toks, n_toks)),
+    one chunk per start < n_toks (zero-token docs yield nothing), plus
+    the md5 of the space-joined chunk tokens (the downstream dedup /
+    embedding key).
+
+    Fully vectorized: one tokenizer pass, repeat/offset arithmetic for the
+    flat take indices (tokens duplicate ~chunk/stride x across overlapping
+    windows), ONE ``pc.binary_join`` for all chunk strings, one vectorized
+    md5 pass (``hashing.md5_hex``)."""
+    from .hashing import md5_hex
+
+    parent, flat, n_rows = _flat_tokens_arrow(batch["text"])
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_idx", pa.int64()),
+            ("start_tok", pa.int64()),
+            ("n_toks", pa.int64()),
+            ("chunk_hash", pa.string()),
+        ]
+    )
+    ntok = np.bincount(parent, minlength=n_rows).astype(np.int64)
+    n_chunks = -(-ntok // stride)  # ceil; 0 chunks for 0-token docs
+    total = int(n_chunks.sum())
+    if total == 0:
+        return out_schema.empty_table()
+    doc_start = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+    chunk0 = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+    crow = np.repeat(np.arange(n_rows, dtype=np.int64), n_chunks)
+    cidx = np.arange(total, dtype=np.int64) - np.repeat(chunk0, n_chunks)
+    cstart = cidx * stride
+    clen = np.minimum(chunk_toks, ntok[crow] - cstart)
+    toff = np.concatenate([[0], np.cumsum(clen)])
+    take = (
+        np.arange(toff[-1], dtype=np.int64)
+        - np.repeat(toff[:-1], clen)
+        + np.repeat(doc_start[crow] + cstart, clen)
+    )
+    lists = pa.ListArray.from_arrays(
+        pa.array(toff, pa.int32()), flat.take(pa.array(take))
+    )
+    return pa.table(
+        {
+            "doc_id": pc.take(pc.cast(batch["doc_id"], pa.int64()), pa.array(crow)),
+            "chunk_idx": pa.array(cidx, pa.int64()),
+            "start_tok": pa.array(cstart, pa.int64()),
+            "n_toks": pa.array(clen, pa.int64()),
+            "chunk_hash": pc.cast(md5_hex(pc.binary_join(lists, " ")), pa.string()),
+        }
+    )
+
+
+def chunk_documents(sf_dir: str):
+    """Context-window chunking of the corpus — map-only, zero shuffle; the
+    only expansion is the bounded ~chunk/stride token duplication inside
+    each batch (chunks never cross docs, docs never cross batches)."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunk_batch, batch_format="pyarrow"
+    )

@@ -214,3 +214,53 @@ def test_lm_quality_flags_gibberish(ray_session):
     rng = np.random.default_rng(5)
     gibberish = "".join(chr(c) for c in rng.integers(33, 127, 400))
     assert score(gibberish) < median // 5
+
+
+def test_chunk_documents_bruteforce(ray_session, tmp_path):
+    """Overlapping token windows vs a per-doc Python brute force: exact
+    starts/lengths/hashes, including a 0-token doc (no chunks), a doc
+    shorter than one window, one exactly at a stride boundary, and one
+    spanning several windows."""
+    import hashlib
+    import re
+
+    from layout_analysis_ray.functions.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKS,
+        chunk_documents,
+    )
+
+    rows = [
+        (1, "  ...  "),
+        (2, "one two three"),
+        (3, " ".join(f"tok{i}" for i in range(CHUNK_STRIDE))),
+        (4, " ".join(f"w{i % 7}x{i}" for i in range(3 * CHUNK_STRIDE + 5))),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        chunk_documents(sf)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    exp = []
+    for _id, t in rows:
+        toks = re.findall("[a-z0-9]+", t.lower())
+        s = 0
+        while s < len(toks):
+            w = toks[s : s + CHUNK_TOKS]
+            exp.append(
+                (
+                    _id,
+                    s // CHUNK_STRIDE,
+                    s,
+                    len(w),
+                    hashlib.md5(" ".join(w).encode()).hexdigest(),
+                )
+            )
+            s += CHUNK_STRIDE
+    assert list(map(tuple, got.itertuples(index=False))) == exp
+    # overlap invariant: consecutive chunks of doc 4 share CHUNK_TOKS -
+    # CHUNK_STRIDE token positions
+    d4 = got[got.doc_id == 4]
+    assert len(d4) == 4 and d4.n_toks.iloc[0] == CHUNK_TOKS
