@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": text.repetition_stats,
         "doc_lm_quality": text.lm_quality,
         "doc_chunks": text.chunk_documents,
+        "doc_lm_ppl_buckets": text.lm_ppl_buckets,
         "doc_bigram_top": text.bigram_top,
         "source_token_jaccard": text.source_token_jaccard,
         "doc_ntile_by_chars": text.ntile_by_chars,
@@ -2827,6 +2828,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS lm_score_ppm
             FROM pairs p JOIN pppm USING (ab)
             GROUP BY p.doc_id
+        """,
+        "doc_lm_ppl_buckets": """
+            -- CCNet head/middle/tail split per language: LM score as in
+            -- doc_lm_quality, cut at the lang's exact tercile order
+            -- statistics (ceil(q*n) ranks, LM_Q1/Q2_PPM literals), the
+            -- value-boundary convention (ties share a bucket)
+            WITH pairs AS (
+              SELECT doc_id, substr(text, i, 1) AS a, substr(text, i, 2) AS ab
+              FROM documents, unnest(generate_series(1, length(text) - 1)) AS u(i)),
+            big AS (SELECT ab, COUNT(*) AS c2 FROM pairs GROUP BY ab),
+            pre AS (SELECT a, COUNT(*) AS c1 FROM pairs GROUP BY a),
+            pppm AS (
+              SELECT ab, CAST(c2 * 1000000 // c1 AS BIGINT) AS p_ppm
+              FROM big JOIN pre ON substr(big.ab, 1, 1) = pre.a),
+            scored AS (
+              SELECT p.doc_id, d.lang,
+                     CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS lm_score_ppm
+              FROM pairs p JOIN pppm USING (ab)
+              JOIN documents d ON p.doc_id = d.doc_id
+              WHERE d.lang IS NOT NULL
+              GROUP BY p.doc_id, d.lang),
+            ranked AS (
+              SELECT lang, lm_score_ppm,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY lm_score_ppm) AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM scored),
+            cuts AS (
+              SELECT lang,
+                MAX(CASE WHEN rn = (333334 * n + 999999) // 1000000
+                    THEN lm_score_ppm END) AS b1,
+                MAX(CASE WHEN rn = (666667 * n + 999999) // 1000000
+                    THEN lm_score_ppm END) AS b2
+              FROM ranked GROUP BY lang)
+            SELECT s.doc_id, s.lang, s.lm_score_ppm,
+                   CASE WHEN s.lm_score_ppm > c.b2 THEN 'head'
+                        WHEN s.lm_score_ppm > c.b1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored s JOIN cuts c USING (lang)
         """,
         "doc_chunks": f"""
             -- fixed-size overlapping token windows (64 every 48, the

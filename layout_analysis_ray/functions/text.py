@@ -1520,3 +1520,85 @@ def chunk_documents(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         chunk_batch, batch_format="pyarrow"
     )
+
+
+# CCNet bucket cut points (head/middle/tail thirds per language),
+# engine-wide exact-rank convention; mirrored as literals in the oracle
+LM_Q1_PPM = 333_334
+LM_Q2_PPM = 666_667
+
+
+def lm_ppl_buckets(sf_dir: str):
+    """The full CCNet curation split: every doc bucketed head / middle /
+    tail WITHIN ITS LANGUAGE by LM quality score (high mean transition
+    probability == low perplexity == head), cut at the language's exact
+    tercile boundaries — the value-boundary convention (ties share a
+    bucket), not positional NTILE.
+
+    Scale shape: one constant-partial model pass (``lm_bigram_model``),
+    one scoring pass materialized as a ~24 B/doc (doc_id, lang, score)
+    narrow table, BOTH tercile boundaries of every language resolved in
+    ONE shared ``grouped_quantile_multi`` narrowing over that table, and
+    a map-only assignment against the broadcast per-lang cut pairs.  No
+    row ever shuffles.  NULL-lang docs and docs with < 2 bytes (no
+    transitions) are excluded (oracle mirrors both)."""
+    import ray
+
+    from .quantiles import grouped_quantile_multi
+
+    p_ref = ray.put(lm_bigram_model(sf_dir))
+
+    def score(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["lang"]))
+        p_ppm = ray.get(p_ref)
+        codes, start, n_trans = _byte_pairs(pc.fill_null(batch["text"], ""))
+        csum = np.concatenate([[0], np.cumsum(p_ppm[codes])])
+        doc_sum = csum[start + n_trans] - csum[start]
+        keep = n_trans > 0
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "g": batch["lang"].filter(pa.array(keep)),
+                "v": pa.array(doc_sum[keep] // n_trans[keep], pa.int64()),
+            }
+        )
+
+    scored = (
+        _read_docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(score, batch_format="pyarrow")
+        .materialize()
+    )
+    by_label, _ = grouped_quantile_multi(
+        lambda: scored,
+        {
+            "b1": lambda n: (LM_Q1_PPM * n + 999_999) // 1_000_000,
+            "b2": lambda n: (LM_Q2_PPM * n + 999_999) // 1_000_000,
+        },
+    )
+    b1, b2 = by_label["b1"], by_label["b2"]
+    langs = sorted(b1)
+    lang_arr = pa.array(langs, pa.string())
+    b1_arr = np.array([b1[g] for g in langs], dtype=np.int64)
+    b2_arr = np.array([b2[g] for g in langs], dtype=np.int64)
+    buckets = np.array(["tail", "middle", "head"], dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        gi = np.asarray(
+            pc.fill_null(
+                pc.index_in(batch["g"], value_set=lang_arr), 0
+            ).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        tier = (v > b1_arr[gi]).astype(np.int64) + (v > b2_arr[gi])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["g"],
+                "lm_score_ppm": batch["v"],
+                "bucket": pa.array(buckets[tier], pa.string()),
+            }
+        )
+
+    return scored.map_batches(assign, batch_format="pyarrow")

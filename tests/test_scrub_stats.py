@@ -264,3 +264,47 @@ def test_chunk_documents_bruteforce(ray_session, tmp_path):
     # CHUNK_STRIDE token positions
     d4 = got[got.doc_id == 4]
     assert len(d4) == 4 and d4.n_toks.iloc[0] == CHUNK_TOKS
+
+
+def test_lm_ppl_buckets_planted(ray_session, tmp_path):
+    """CCNet split on a planted two-lang corpus: per-lang exact tercile
+    boundaries with the value-boundary tie convention (every doc tied on
+    a boundary value shares the lower bucket)."""
+    import pyarrow.parquet as pq_
+
+    from layout_analysis_ray.functions.text import lm_ppl_buckets
+
+    rows = []
+    # lang A: 6 clean english-ish docs + 3 gibberish ones
+    for i, t in enumerate(
+        ["the cat sat on the mat", "the mat sat on the cat",
+         "the cat and the mat", "a cat sat", "the cat sat", "a mat on a cat",
+         "zqxj vwpk qzqz", "xjzq wkpv zzqq", "qqzz jxqv pkwv"]
+    ):
+        rows.append((i, t, "en"))
+    # lang B: 4 identical docs -> all scores tie -> b1 == b2 == score ->
+    # every doc is 'tail' (nothing strictly above a boundary)
+    for i in range(4):
+        rows.append((100 + i, "bon jour bon jour", "fr"))
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = lm_ppl_buckets(str(tmp_path)).to_pandas()
+    fr = got[got.lang == "fr"]
+    assert len(fr) == 4 and set(fr.bucket) == {"tail"}
+    en = got[got.lang == "en"].sort_values("lm_score_ppm")
+    # gibberish docs must land in tail, the cleanest docs in head
+    gib = en[en.doc_id.isin([6, 7, 8])]
+    assert set(gib.bucket) == {"tail"}
+    assert "head" in set(en.bucket)
+    # value-boundary convention: bucket is monotone in score
+    order = {"tail": 0, "middle": 1, "head": 2}
+    tiers = en.bucket.map(order).to_numpy()
+    assert (np.diff(tiers) >= 0).all()
