@@ -2955,7 +2955,10 @@ _PAGERANK_SCHEMA = pa.schema(
 )
 
 
-def copurchase_pagerank(sf_dir: str, iters: int = PR_ITERS, k: int = PR_TOPK):
+def copurchase_pagerank(
+    sf_dir: str, iters: int = PR_ITERS, k: int = PR_TOPK,
+    dense_reduce: bool = True,
+):
     """Iterative PageRank over the part co-purchase graph: nodes are
     parts, an undirected edge joins two parts bought in the same order
     at least once, PR_ITERS damped power-iteration rounds in EXACT
@@ -2971,12 +2974,19 @@ def copurchase_pagerank(sf_dir: str, iters: int = PR_ITERS, k: int = PR_TOPK):
     edges, never lineitem.  Each round broadcasts the (node, contrib)
     vector via ``ray.put`` (node-DIMENSION-sized — the documented
     partitioning assumption; a corpus-scale node set would hash-shard
-    the rank vector instead), scatters contributions map-side with one
-    searchsorted lookup per edge batch, and reduces per-dst partials
-    through ``partial_then_global`` — one row per node per block crosses
-    the exchange, never per edge.  int64 throughout: contributions are
-    bounded by the conserved total mass (n_nodes x 1e6), so the damped
-    sum fits far below 2^63 for any dimension-sized node set."""
+    the rank vector instead) and scatters contributions map-side with
+    one searchsorted lookup per edge batch.  The per-round reduce
+    (default, ``dense_reduce=True``) emits ONE dense int64 vector per
+    block and sums them on the driver — dimension-bounded by exactly
+    the same assumption the rank broadcast already makes, and it
+    removes the per-iteration all-to-all (measured ~2.4x end to end,
+    BASELINE.md round-5 notes).  ``dense_reduce=False`` keeps the
+    ``partial_then_global`` exchange tier (one row per node per block)
+    — the path a hash-sharded-rank variant would grow from; tiers
+    equality-pinned by test_pagerank_reduce_tiers_identical.  int64
+    throughout: contributions are bounded by the conserved total mass
+    (n_nodes x 1e6), so the damped sum fits far below 2^63 for any
+    dimension-sized node set."""
     import ray
 
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
@@ -3028,22 +3038,45 @@ def copurchase_pagerank(sf_dir: str, iters: int = PR_ITERS, k: int = PR_TOPK):
     for _ in range(iters):
         contrib_ref = ray.put((nodes, rank // deg))
 
-        def scatter(b: pa.Table, _ref=contrib_ref) -> pa.Table:
-            nd, cv = ray.get(_ref)
-            src = b["src"].to_numpy(zero_copy_only=False)
-            c = cv[np.searchsorted(nd, src)]
-            # per-dst combine happens inside _partial_then_global's
-            # map-side partial; emit raw scatter rows
-            return pa.table({"dst": b["dst"], "c": pa.array(c)})
+        if dense_reduce:
 
-        sums = _partial_then_global(
-            edges.map_batches(scatter, batch_format="pyarrow"), ["dst"], ["c"]
-        ).take_all()
-        recv = np.zeros(len(nodes), dtype=np.int64)
-        idx = np.searchsorted(
-            nodes, np.array([int(r["dst"]) for r in sums], dtype=np.int64)
-        )
-        recv[idx] = np.array([int(r["c"]) for r in sums], dtype=np.int64)
+            def scatter_dense(b: pa.Table, _ref=contrib_ref) -> pa.Table:
+                nd, cv = ray.get(_ref)
+                src = b["src"].to_numpy(zero_copy_only=False)
+                dst = b["dst"].to_numpy(zero_copy_only=False)
+                vec = np.zeros(len(nd), dtype=np.int64)
+                np.add.at(
+                    vec,
+                    np.searchsorted(nd, dst),
+                    cv[np.searchsorted(nd, src)],
+                )
+                return pa.table({"vec": pa.array([vec.tobytes()], pa.binary())})
+
+            recv = np.zeros(len(nodes), dtype=np.int64)
+            for r in edges.map_batches(
+                scatter_dense, batch_format="pyarrow"
+            ).take_all():
+                recv += np.frombuffer(r["vec"], dtype=np.int64)
+        else:
+
+            def scatter(b: pa.Table, _ref=contrib_ref) -> pa.Table:
+                nd, cv = ray.get(_ref)
+                src = b["src"].to_numpy(zero_copy_only=False)
+                c = cv[np.searchsorted(nd, src)]
+                # per-dst combine happens inside _partial_then_global's
+                # map-side partial; emit raw scatter rows
+                return pa.table({"dst": b["dst"], "c": pa.array(c)})
+
+            sums = _partial_then_global(
+                edges.map_batches(scatter, batch_format="pyarrow"),
+                ["dst"],
+                ["c"],
+            ).take_all()
+            recv = np.zeros(len(nodes), dtype=np.int64)
+            idx = np.searchsorted(
+                nodes, np.array([int(r["dst"]) for r in sums], dtype=np.int64)
+            )
+            recv[idx] = np.array([int(r["c"]) for r in sums], dtype=np.int64)
         rank = PR_BASE_PPM + (PR_DAMP_PPM * recv) // PR_SCALE
 
     order = np.lexsort((nodes, -rank))[:k]

@@ -618,3 +618,15 @@ def test_skyline_kernel_null_brand_rows_all_survive():
     got = _skyline_kernel(df)
     # both NULL rows survive; B1's (200, 5) is dominated by (100, 10)
     assert sorted(got["p_partkey"].tolist()) == [0, 1, 2]
+
+
+def test_pagerank_reduce_tiers_identical(ray_session):
+    """The dense-vector driver reduce and the partial_then_global exchange
+    tier must produce bit-identical ranks (integer sums are associative;
+    a fork here would silently change the oracle-checked result)."""
+    from layout_analysis_ray.pipelines.relational import copurchase_pagerank
+
+    sf = "/root/testdata/sf0.001"
+    a = copurchase_pagerank(sf, dense_reduce=True).to_pandas()
+    b = copurchase_pagerank(sf, dense_reduce=False).to_pandas()
+    assert a.equals(b)
