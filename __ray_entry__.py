@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_quality": text.lm_quality,
         "doc_chunks": text.chunk_documents,
         "doc_lm_ppl_buckets": text.lm_ppl_buckets,
+        "doc_hashed_features": text.hashed_features,
         "doc_bigram_top": text.bigram_top,
         "source_token_jaccard": text.source_token_jaccard,
         "doc_ntile_by_chars": text.ntile_by_chars,
@@ -2828,6 +2829,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS lm_score_ppm
             FROM pairs p JOIN pppm USING (ab)
             GROUP BY p.doc_id
+        """,
+        "doc_hashed_features": f"""
+            -- hashing-trick bag-of-words: bucket = md5-u60(token) % 1024
+            -- (functions/text.py FEATURE_HASH_DIM; the engine-wide
+            -- str_hash_u60 string-key convention)
+            WITH u AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)
+                        % 1024 AS BIGINT) AS feat_idx,
+                   COUNT(*) AS cnt
+            FROM u GROUP BY 1, 2
         """,
         "doc_lm_ppl_buckets": """
             -- CCNet head/middle/tail split per language: LM score as in

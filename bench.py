@@ -234,6 +234,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_lm_quality": text.lm_quality,
         "doc_chunks": lambda sf: text.chunk_documents(sf).count(),
         "doc_lm_ppl_buckets": lambda sf: text.lm_ppl_buckets(sf).count(),
+        "doc_hashed_features": lambda sf: text.hashed_features(sf).count(),
     }
     from layout_analysis_ray.stages.audio import media_audio_features
 

@@ -1602,3 +1602,47 @@ def lm_ppl_buckets(sf_dir: str):
         )
 
     return scored.map_batches(assign, batch_format="pyarrow")
+
+
+# hashing-trick feature space size; mirrored as a literal in the oracle
+FEATURE_HASH_DIM = 1024
+
+
+def hashed_features(sf_dir: str, dim: int = FEATURE_HASH_DIM):
+    """Hashing-trick bag-of-words featurization (Weinberger et al.): every
+    token lands in bucket ``md5-u60(token) % dim`` and the doc's sparse
+    feature vector is the per-bucket count — the classic fixed-width
+    vectorizer a downstream classifier/quality model trains on, emitted
+    as (doc_id, feat_idx, cnt) sparse rows.
+
+    Map-only, zero shuffle (docs never cross batches): one vectorized
+    tokenize, ONE md5 pass (``hashing.str_hash_u60``, the engine-wide
+    string-key convention), and one np.unique over packed
+    (row, bucket) codes per batch."""
+    from .hashing import str_hash_u60
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        parent, flat, _n = _flat_tokens_arrow(batch["text"])
+        ids = pc.cast(batch["doc_id"], pa.int64())
+        if not len(parent):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "feat_idx": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        bucket = str_hash_u60(flat) % dim
+        comp = parent * np.int64(dim) + bucket
+        uniq, cnt = np.unique(comp, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pc.take(ids, pa.array(uniq // dim)),
+                "feat_idx": pa.array(uniq % dim, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        featurize, batch_format="pyarrow"
+    )

@@ -308,3 +308,40 @@ def test_lm_ppl_buckets_planted(ray_session, tmp_path):
     order = {"tail": 0, "middle": 1, "head": 2}
     tiers = en.bucket.map(order).to_numpy()
     assert (np.diff(tiers) >= 0).all()
+
+
+def test_hashed_features_bruteforce(ray_session, tmp_path):
+    """Hashing-trick featurizer vs a per-doc Python brute force, including
+    bucket collisions (counts add) and an empty doc (no rows)."""
+    import hashlib
+
+    from layout_analysis_ray.functions.text import (
+        FEATURE_HASH_DIM,
+        hashed_features,
+    )
+
+    rows = [(1, "the cat the cat sat"), (2, ""), (3, "a b c a")]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        hashed_features(sf)
+        .to_pandas()
+        .sort_values(["doc_id", "feat_idx"])
+        .reset_index(drop=True)
+    )
+
+    def bucket(w):
+        return (
+            int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") >> 4
+        ) % FEATURE_HASH_DIM
+
+    exp = {}
+    for _id, t in rows:
+        for w in t.split():
+            k = (_id, bucket(w))
+            exp[k] = exp.get(k, 0) + 1
+    assert (
+        sorted(map(tuple, got.itertuples(index=False)))
+        == sorted((d, f, c) for (d, f), c in exp.items())
+    )
+    # total feature mass == total tokens
+    assert got.cnt.sum() == sum(len(t.split()) for _, t in rows)
