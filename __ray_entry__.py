@@ -490,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_benford_first_digit": stats.events_benford_first_digit,
         "events_hourly_spike_by_type": windows.hourly_spike_by_type,
         "events_rolling_max_24h": windows.rolling_max_24h_by_type,
+        "events_user_value_decayed": windows.user_value_decayed,
         "embedding_label_quality": similarity.embedding_label_quality,
         "cap_docs_per_source": domains.cap_docs_per_source,
         "domain_mix_sample": domains.domain_mix_sample,
@@ -2419,6 +2420,21 @@ def oracle_sql() -> dict[str, str]:
                         // lag(revenue_cents) OVER (ORDER BY yyyymm)
                      AS BIGINT) AS growth_ppm
             FROM m ORDER BY yyyymm
+        """,
+        "events_user_value_decayed": """
+            -- step half-life decay (1 day, functions/windows.py
+            -- DECAY_HALF_LIFE_DAYS): floor-halve each event's cents once
+            -- per day of age vs the corpus max ts, shift capped at 62;
+            -- age in exact floor microsecond-days (NOT calendar
+            -- date_diff)
+            WITH m AS (SELECT MAX(ts) AS mx FROM events)
+            SELECT user_id,
+              CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                   // (CAST(1 AS BIGINT) <<
+                       LEAST((epoch_us(mx) - epoch_us(ts)) // 86400000000,
+                             62))) AS BIGINT) AS decayed_cents,
+              COUNT(*) AS n_events
+            FROM events, m GROUP BY user_id
         """,
         "events_rolling_max_24h": """
             -- sliding extrema over the hour-grain series: max hourly

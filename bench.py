@@ -221,6 +221,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
             lambda sf: media_stage.media_phash_neardup_pairs(sf).count()
         ),
         "events_rolling_max_24h": windows.rolling_max_24h_by_type,
+        "events_user_value_decayed": windows.user_value_decayed,
         "q9_profit_by_nation_year": rel.q9_profit_by_nation_year,
         "q16_supplier_variety": rel.q16_supplier_variety,
         "q20_excess_shippers": rel.q20_excess_shippers,

@@ -3055,3 +3055,64 @@ def debounce_counts(sf_dir: str):
             "n_dropped": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+# step half-life of the decayed-value feature (value halves every N days);
+# mirrored as literals in the user_value_decayed oracle
+DECAY_HALF_LIFE_DAYS = 1
+DAY_US = 86_400_000_000
+
+
+def user_value_decayed(sf_dir: str):
+    """Time-decayed user value (the feature-store recency feature): every
+    event's cents are halved once per DECAY_HALF_LIFE_DAYS of age relative
+    to the corpus's max timestamp, then summed per user —
+        decayed_cents = sum over events of value_cents >> min(age_days, 62)
+    Exact integers end to end: a right shift of a non-negative int IS the
+    floor halving, so the engine and the oracle's ``// (1 << age)`` agree
+    bit-for-bit (shift capped at 62 to stay in int64; anything that old
+    contributes 0 cents anyway).
+
+    Scale shape: one native Max(ts) pass, then ONE map with per-batch
+    Arrow group_by partials and a user-grain exchange
+    (``partial_then_global``) — one row per user per block, never per
+    event."""
+    from ray.data.aggregate import Max
+
+    from .core import partial_then_global
+
+    mx = _read_events(sf_dir, ["ts"]).map_batches(
+        lambda b: pa.table({"ts_us": b["ts"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).aggregate(Max("ts_us"))["max(ts_us)"]
+    if mx is None:
+        return pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("decayed_cents", pa.int64()),
+                ("n_events", pa.int64()),
+            ]
+        ).empty_table()
+    max_us = int(mx)
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        age = np.minimum(
+            (max_us - ts_us) // (DECAY_HALF_LIFE_DAYS * DAY_US), 62
+        )
+        cents = cents_np(b["value"])
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "decayed_cents": pa.array(cents >> age, pa.int64()),
+                "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return partial_then_global(
+        _read_events(sf_dir, ["user_id", "ts", "value"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        ["user_id"],
+        ["decayed_cents", "n_events"],
+    )

@@ -119,3 +119,47 @@ def test_range_join_salted_rejects_narrow_bucket(hotkey_dir):
 
     with pytest.raises(ValueError):
         range_join_after_purchase_salted(hotkey_dir, bucket_us=RANGE_JOIN_WINDOW_US)
+
+
+def test_user_value_decayed_bruteforce(ray_session, tmp_path):
+    """Step half-life decay vs brute force on planted timestamps sitting
+    exactly ON and just inside day boundaries, plus an age past the
+    62-shift cap."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from layout_analysis_ray.functions.windows import (
+        DAY_US,
+        user_value_decayed,
+    )
+
+    mx = pd.Timestamp("2024-06-30 12:00:00")
+    rows = [
+        (1, mx, 8.00),                                    # age 0 -> 800
+        (1, mx - pd.Timedelta(microseconds=1), 8.00),     # age 0 -> 800
+        (1, mx - pd.Timedelta(days=1), 8.00),             # age 1 -> 400
+        (2, mx - pd.Timedelta(days=2, microseconds=-1), 8.01),  # age 1 -> 400
+        (2, mx - pd.Timedelta(days=3), 0.07),             # age 3 -> 0
+        (3, mx - pd.Timedelta(days=200 * 365), 99.99),    # cap -> 0
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        user_value_decayed(str(tmp_path))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, got.itertuples(index=False))) == [
+        (1, 2000, 3),
+        (2, 400, 2),
+        (3, 0, 1),
+    ]
