@@ -2858,25 +2858,31 @@ def oracle_sql() -> dict[str, str]:
             FROM u GROUP BY 1, 2
         """,
         "doc_lm_ppl_buckets": """
-            -- CCNet head/middle/tail split per language: LM score as in
-            -- doc_lm_quality, cut at the lang's exact tercile order
+            -- CCNet head/middle/tail split per language: LM score under
+            -- the doc's LANGUAGE'S bigram model (one model per lang, the
+            -- CCNet convention), cut at the lang's exact tercile order
             -- statistics (ceil(q*n) ranks, LM_Q1/Q2_PPM literals), the
             -- value-boundary convention (ties share a bucket)
             WITH pairs AS (
-              SELECT doc_id, substr(text, i, 1) AS a, substr(text, i, 2) AS ab
-              FROM documents, unnest(generate_series(1, length(text) - 1)) AS u(i)),
-            big AS (SELECT ab, COUNT(*) AS c2 FROM pairs GROUP BY ab),
-            pre AS (SELECT a, COUNT(*) AS c1 FROM pairs GROUP BY a),
+              SELECT doc_id, lang,
+                     substr(text, i, 1) AS a, substr(text, i, 2) AS ab
+              FROM documents,
+                   unnest(generate_series(1, length(text) - 1)) AS u(i)
+              WHERE lang IS NOT NULL),
+            big AS (
+              SELECT lang, ab, COUNT(*) AS c2 FROM pairs GROUP BY lang, ab),
+            pre AS (
+              SELECT lang, a, COUNT(*) AS c1 FROM pairs GROUP BY lang, a),
             pppm AS (
-              SELECT ab, CAST(c2 * 1000000 // c1 AS BIGINT) AS p_ppm
-              FROM big JOIN pre ON substr(big.ab, 1, 1) = pre.a),
+              SELECT big.lang, ab,
+                     CAST(c2 * 1000000 // c1 AS BIGINT) AS p_ppm
+              FROM big JOIN pre
+                ON substr(big.ab, 1, 1) = pre.a AND big.lang = pre.lang),
             scored AS (
-              SELECT p.doc_id, d.lang,
+              SELECT p.doc_id, p.lang,
                      CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS lm_score_ppm
-              FROM pairs p JOIN pppm USING (ab)
-              JOIN documents d ON p.doc_id = d.doc_id
-              WHERE d.lang IS NOT NULL
-              GROUP BY p.doc_id, d.lang),
+              FROM pairs p JOIN pppm USING (lang, ab)
+              GROUP BY p.doc_id, p.lang),
             ranked AS (
               SELECT lang, lm_score_ppm,
                      row_number() OVER (PARTITION BY lang

@@ -1528,39 +1528,119 @@ LM_Q1_PPM = 333_334
 LM_Q2_PPM = 666_667
 
 
+def lm_bigram_models_by_lang(sf_dir: str) -> dict:
+    """Per-LANGUAGE byte-bigram transition models (the CCNet convention —
+    one KenLM per language; a global model would bias whole languages
+    into the tail bucket).  Same constant-size machinery as
+    ``lm_bigram_model``: partials are (lang, bin, cnt) rows bounded by
+    lang-alphabet x 65536 regardless of corpus size, merged by native
+    Sum; NULL-lang docs are excluded.  Returns {lang: int64[65536] p_ppm}.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["lang"]))
+        langs = batch["lang"]
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        uniq = pc.unique(langs)
+        out_g, out_b, out_c = [], [], []
+        for lang in uniq.to_pylist():  # <= lang-alphabet iterations
+            sel = batch.filter(pc.equal(langs, lang))
+            codes, _s, _n = _byte_pairs(pc.fill_null(sel["text"], ""))
+            if not len(codes):
+                continue
+            binc = np.bincount(codes, minlength=65536)
+            nz = np.nonzero(binc)[0]
+            out_g.append(np.full(len(nz), lang, dtype=object))
+            out_b.append(nz.astype(np.int64))
+            out_c.append(binc[nz].astype(np.int64))
+        if not out_g:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "bin": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "g": pa.array(np.concatenate(out_g), pa.string()),
+                "bin": pa.array(np.concatenate(out_b)),
+                "cnt": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    rows = (
+        _read_docs(sf_dir, ["text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "bin"])
+        .aggregate(Sum("cnt"))
+        .take_all()
+    )
+    big: dict[str, list] = {}
+    for r in rows:
+        big.setdefault(r["g"], [0] * 65536)[int(r["bin"])] = int(r["sum(cnt)"])
+    models = {}
+    for lang, counts in big.items():
+        prefix = [0] * 256
+        for code, c in enumerate(counts):
+            prefix[code >> 8] += c
+        p = np.zeros(65536, dtype=np.int64)
+        for code, c in enumerate(counts):
+            if c:
+                p[code] = c * 1_000_000 // prefix[code >> 8]
+        models[lang] = p
+    return models
+
+
 def lm_ppl_buckets(sf_dir: str):
     """The full CCNet curation split: every doc bucketed head / middle /
-    tail WITHIN ITS LANGUAGE by LM quality score (high mean transition
-    probability == low perplexity == head), cut at the language's exact
-    tercile boundaries — the value-boundary convention (ties share a
-    bucket), not positional NTILE.
+    tail WITHIN ITS LANGUAGE by LM quality score under ITS LANGUAGE'S
+    model (high mean transition probability == low perplexity == head),
+    cut at the language's exact tercile boundaries — the value-boundary
+    convention (ties share a bucket), not positional NTILE.
 
-    Scale shape: one constant-partial model pass (``lm_bigram_model``),
-    one scoring pass materialized as a ~24 B/doc (doc_id, lang, score)
-    narrow table, BOTH tercile boundaries of every language resolved in
-    ONE shared ``grouped_quantile_multi`` narrowing over that table, and
-    a map-only assignment against the broadcast per-lang cut pairs.  No
-    row ever shuffles.  NULL-lang docs and docs with < 2 bytes (no
-    transitions) are excluded (oracle mirrors both)."""
+    Scale shape: one per-lang model pass (``lm_bigram_models_by_lang``,
+    partials bounded by lang-alphabet x 65536), one scoring pass
+    materialized as a ~24 B/doc (doc_id, lang, score) narrow table (the
+    model dict ships once via ``ray.put``; the inner loop is over langs
+    PRESENT IN THE BATCH, each scored vectorized), BOTH tercile
+    boundaries of every language resolved in ONE shared
+    ``grouped_quantile_multi`` narrowing over that table, and a map-only
+    assignment against the broadcast per-lang cut pairs.  No row ever
+    shuffles.  NULL-lang docs and docs with < 2 bytes (no transitions)
+    are excluded (oracle mirrors both)."""
     import ray
 
     from .quantiles import grouped_quantile_multi
 
-    p_ref = ray.put(lm_bigram_model(sf_dir))
+    p_ref = ray.put(lm_bigram_models_by_lang(sf_dir))
 
     def score(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.is_valid(batch["lang"]))
-        p_ppm = ray.get(p_ref)
+        models = ray.get(p_ref)
         codes, start, n_trans = _byte_pairs(pc.fill_null(batch["text"], ""))
-        csum = np.concatenate([[0], np.cumsum(p_ppm[codes])])
-        doc_sum = csum[start + n_trans] - csum[start]
+        langs_col = batch["lang"]
+        if isinstance(langs_col, pa.ChunkedArray):
+            langs_col = langs_col.combine_chunks()
+        doc_sum = np.zeros(len(n_trans), dtype=np.int64)
+        for lang in pc.unique(langs_col).to_pylist():
+            p_ppm = models.get(lang)
+            if p_ppm is None:  # pragma: no cover — model pass saw every lang
+                continue
+            csum = np.concatenate([[0], np.cumsum(p_ppm[codes])])
+            m = np.asarray(
+                pc.equal(langs_col, lang).to_numpy(zero_copy_only=False)
+            )
+            doc_sum[m] = (csum[start + n_trans] - csum[start])[m]
         keep = n_trans > 0
         return pa.table(
             {
                 "doc_id": pc.cast(batch["doc_id"], pa.int64()).filter(
                     pa.array(keep)
                 ),
-                "g": batch["lang"].filter(pa.array(keep)),
+                "g": langs_col.filter(pa.array(keep)),
                 "v": pa.array(doc_sum[keep] // n_trans[keep], pa.int64()),
             }
         )
