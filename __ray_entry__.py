@@ -371,6 +371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_top_customers": rel.q10_returned_top_customers,
         "q8_market_share": rel.q8_market_share,
         "q12_priority_by_returnflag": rel.q12_priority_by_returnflag,
+        "q13_custdist": rel.q13_custdist,
+        "q22_global_balance": rel.q22_global_balance,
         "lineitem_unpivot": rel.lineitem_unpivot,
         # stream-shaped windows
         "events_tumbling_1h": windows.tumbling_hourly,
@@ -654,6 +656,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM j GROUP BY 1, 2, 3
             ORDER BY 1, 2, 3
+        """,
+        "q13_custdist": """
+            -- Q13 adaptation: status <> 'F' stands in for the comment
+            -- NOT LIKE; zero-order customers kept by the outer join
+            WITH c_orders AS (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+              GROUP BY c_custkey)
+            SELECT c_count, COUNT(*) AS custdist
+            FROM c_orders GROUP BY c_count
+        """,
+        "q22_global_balance": """
+            -- Q22 adaptation: mean-positive-balance compare is
+            -- CROSS-MULTIPLIED (no division); inactivity = no order on or
+            -- after Q22_CUTOFF (pipelines/relational.py literal)
+            WITH t AS (
+              SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+                     COUNT(*) AS n
+              FROM customer
+              WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+              COUNT(*) AS n_cust,
+              CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                AS sum_acctbal_cents
+            FROM customer, t
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > s
+              AND c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_nationkey
         """,
         "q10_returned_top_customers": """
             WITH per_cust AS (

@@ -225,6 +225,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "q9_profit_by_nation_year": rel.q9_profit_by_nation_year,
         "q16_supplier_variety": rel.q16_supplier_variety,
         "q20_excess_shippers": rel.q20_excess_shippers,
+        "q13_custdist": rel.q13_custdist,
+        "q22_global_balance": rel.q22_global_balance,
         "events_scd2_intervals": lambda sf: windows.scd2_type_intervals(sf).count(),
         "events_type_drift_chi2": windows.type_drift_chi2,
         "source_leakage_matrix": dedup.source_leakage_matrix,

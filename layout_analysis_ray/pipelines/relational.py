@@ -4673,3 +4673,173 @@ def copurchase_triangles(sf_dir: str):
             "n_triangles": pa.array([n_tri], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Q13 / Q22 adaptations (the last two classic TPC-H shapes)
+# ---------------------------------------------------------------------------
+
+Q13_EXCLUDE_STATUS = "F"
+Q22_CUTOFF = "2000-01-01"
+
+_Q13_SCHEMA = pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())])
+
+
+def q13_custdist(sf_dir: str):
+    """TPC-H Q13 adaptation — the customer order-count DISTRIBUTION:
+    count each customer's non-'F'-status orders (the status predicate
+    stands in for Q13's comment NOT LIKE), keep zero-order customers via
+    the left-outer join, then fold to (c_count, custdist).
+
+    Scale shape: order counts cross as custkey PARTIALS (one row per
+    custkey per block, never per order) and are materialized
+    (customer-dimension-sized) so the empty-side probe costs no second
+    scan; the outer join is the hash-partition ``Dataset.join``; the
+    histogram folds map-side to a <= max-orders-per-customer exchange.
+    The all-excluded corpus short-circuits to [(0, n_customers)] BEFORE
+    the join (the Ray 2.49 empty-side ArrowInvalid guard, CLAUDE.md)."""
+    counts = _partial_then_global(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+        .map_batches(
+            lambda b: (
+                lambda f: pa.table(
+                    {
+                        "o_custkey": f["o_custkey"],
+                        "n_orders": pa.array(
+                            np.ones(f.num_rows, dtype=np.int64)
+                        ),
+                    }
+                )
+            )(
+                b.filter(
+                    pc.not_equal(b["o_orderstatus"], Q13_EXCLUDE_STATUS)
+                )
+            ),
+            batch_format="pyarrow",
+        ),
+        ["o_custkey"],
+        ["n_orders"],
+    ).materialize()
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    if counts.count() == 0:
+        return pa.table(
+            {
+                "c_count": pa.array([0], pa.int64()),
+                "custdist": pa.array([cust.count()], pa.int64()),
+            },
+            schema=_Q13_SCHEMA,
+        )
+    joined = cust.join(
+        counts,
+        "left_outer",
+        num_partitions=16,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_count": pc.cast(
+                    pc.fill_null(batch["n_orders"], pa.scalar(0, pa.int64())),
+                    pa.int64(),
+                ),
+                "custdist": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    rows = _partial_then_global(
+        joined.map_batches(hist_partial, batch_format="pyarrow"),
+        ["c_count"],
+        ["custdist"],
+    ).take_all()
+    rows.sort(key=lambda r: int(r["c_count"]))
+    return pa.Table.from_pylist(rows, schema=_Q13_SCHEMA)
+
+
+_Q22_SCHEMA = pa.schema(
+    [
+        ("c_nationkey", pa.int64()),
+        ("n_cust", pa.int64()),
+        ("sum_acctbal_cents", pa.int64()),
+    ]
+)
+
+
+def q22_global_balance(sf_dir: str):
+    """TPC-H Q22 adaptation — rich, recently-inactive customers per
+    nation: account balance above the mean POSITIVE balance (the global
+    scalar subquery) and no order on/after Q22_CUTOFF (the 7-years-
+    inactive anti-join), grouped by c_nationkey with headcount and total
+    balance cents.
+
+    Exactness: the mean compare is CROSS-MULTIPLIED
+    (bal_cents * n_pos > sum_pos_cents) so no division happens anywhere;
+    positivity is cents > 0 on both sides (the half-cent row is handled
+    identically).  Scale shape: one native Sum/Count pass for the
+    scalar, one broadcast distinct-recent-buyer key set
+    (customer-dimension-bounded, the anti_join_customers policy), one
+    map-only filter folding to nation partials.  The result is
+    driver-bounded (nation grain) and can be legitimately empty, so it
+    ends take_all + typed from_pylist (CLAUDE.md empty-schema
+    invariant)."""
+    import ray
+
+    cust_bal = _read(sf_dir, "customer", columns=["c_acctbal"]).map_batches(
+        lambda b: (
+            lambda c: pa.table(
+                {
+                    "pos_cents": pa.array(c[c > 0], pa.int64()),
+                    "one": pa.array(np.ones(int((c > 0).sum()), np.int64)),
+                }
+            )
+        )(_cents(b["c_acctbal"]).to_numpy(zero_copy_only=False)),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Count, Sum
+
+    stats = cust_bal.aggregate(Sum("pos_cents"), Count())
+    sum_pos = int(stats["sum(pos_cents)"] or 0)
+    n_pos = int(stats["count()"] or 0)
+
+    recent = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    cutoff = np.datetime64(Q22_CUTOFF, "us")
+    recent_keys = pa.array(
+        sorted(
+            recent.map_batches(
+                lambda b: b.filter(
+                    pc.greater_equal(b["o_orderdate"], pa.scalar(cutoff))
+                ),
+                batch_format="pyarrow",
+            ).unique("o_custkey")
+        ),
+        pa.int64(),
+    )
+    keys_ref = ray.put(recent_keys)
+
+    def sel(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        cents = _cents(batch["c_acctbal"]).to_numpy(zero_copy_only=False)
+        rich = cents * n_pos > sum_pos
+        inactive = pc.invert(
+            pc.is_in(batch["c_custkey"], value_set=keys)
+        ).to_numpy(zero_copy_only=False)
+        m = rich & inactive
+        return pa.table(
+            {
+                "c_nationkey": pc.cast(batch["c_nationkey"], pa.int64())
+                .filter(pa.array(m)),
+                "n_cust": pa.array(np.ones(int(m.sum()), np.int64)),
+                "sum_acctbal_cents": pa.array(cents[m], pa.int64()),
+            }
+        )
+
+    rows = _partial_then_global(
+        _read(
+            sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+        ).map_batches(sel, batch_format="pyarrow"),
+        ["c_nationkey"],
+        ["n_cust", "sum_acctbal_cents"],
+    ).take_all()
+    rows.sort(key=lambda r: int(r["c_nationkey"]))
+    return pa.Table.from_pylist(rows, schema=_Q22_SCHEMA)

@@ -1276,3 +1276,60 @@ def test_chi2_drift_zero_on_uniform_day(ray_session):
         out = windows.type_drift_chi2(d).to_pandas()
         assert len(out) == n_days
         assert (out["chi2_scaled"] == 0).all()
+
+
+def test_q13_q22_degenerate_predicates(ray_session, monkeypatch, tmp_path):
+    """Q13 must short-circuit to [(0, n_customers)] when every order is
+    excluded (the pre-join empty-side guard — Ray 2.49's join raises on an
+    empty side), and Q22 must return its typed empty table when the cutoff
+    makes every customer 'active'."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import layout_analysis_ray.pipelines.relational as rel
+
+    sf = "/root/testdata/sf0.001"
+
+    # real corpus: the distribution is total over customers
+    t = rel.q13_custdist(sf).to_pandas()
+    assert list(t.columns) == ["c_count", "custdist"]
+    n_cust = pq.read_table(
+        f"{sf}/customer.parquet", columns=["c_custkey"]
+    ).num_rows
+    assert int(t.custdist.sum()) == n_cust
+
+    # planted all-'F' corpus: counts side is EMPTY -> pre-join short-circuit
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_nationkey": pa.array([0, 1, 2], pa.int64()),
+                "c_acctbal": pa.array([10.0, 20.0, -5.0], pa.float64()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 2], pa.int64()),
+                "o_orderstatus": pa.array(["F", "F", "F"], pa.string()),
+                "o_orderdate": pa.array(
+                    [np.datetime64("1996-01-01", "us")] * 3,
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    t = rel.q13_custdist(str(tmp_path)).to_pandas()
+    assert list(map(tuple, t.itertuples(index=False))) == [(0, 3)]
+
+    # Q22: cutoff before every order -> every buyer is recent-active;
+    # only customer 3 never ordered but its balance is negative -> typed
+    # empty result
+    monkeypatch.setattr(rel, "Q22_CUTOFF", "1990-01-01")
+    t = rel.q22_global_balance(str(tmp_path)).to_pandas()
+    assert list(t.columns) == ["c_nationkey", "n_cust", "sum_acctbal_cents"]
+    assert len(t) == 0
