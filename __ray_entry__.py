@@ -515,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_skew_vs_happy": evaluate.eval_skew_vs_happy,
         "split_train_test": sampling.train_test_split_hash,
         "weighted_sample": sampling.weighted_sample,
+        "sample_exact_k": sampling.sample_exact_k,
         "importance_weights": sampling.importance_weights,
         "page_xml_export": pagexml.page_xml_export,
         # sketches (approximate; pytest gates vs exact answers)
@@ -3095,6 +3096,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # keep iff h * 20000 < n_chars * 16^8  (P(keep) = n_chars/20000)
+        "sample_exact_k": """
+            -- exact-size deterministic sample: bottom-100 by md5 of the
+            -- decimal doc_id (functions/sampling.py SAMPLE_EXACT_K)
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                     AS BIGINT) AS sample_rank
+            FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 100
+        """,
         "weighted_sample": """
             SELECT doc_id, n_chars FROM documents
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

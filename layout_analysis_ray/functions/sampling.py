@@ -157,3 +157,45 @@ def importance_weights(sf_dir: str):
         )
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+SAMPLE_EXACT_K = 100
+
+
+def sample_exact_k(sf_dir: str, k: int = SAMPLE_EXACT_K):
+    """Deterministic EXACT-SIZE sample: the k documents whose
+    md5(doc_id-as-string) sorts first, with their 1-based sample rank —
+    the 'give me exactly K rows, stable across runs and cluster shapes'
+    companion to the rate-based hash splits (T3/T5 family).
+
+    Scale shape: per-block partial bottom-k by (md5_hex, doc_id) — at
+    most k rows per block cross the single merge, never the table.  The
+    md5 hex STRING is the sort key on both sides (lexicographic hex ==
+    the oracle's ORDER BY md5(...)); doc_id breaks md5 ties (collisions
+    only, astronomically rare, deterministic either way)."""
+    import ray.data as rd
+
+    from .hashing import md5_hex_of_ids
+    from .core import partial_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "h": md5_hex_of_ids(ids),
+            }
+        )
+
+    out = partial_topk(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        ["h", "doc_id"],
+        [True, True],
+        k,
+        rank_col="sample_rank",
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "sample_rank"]), batch_format="pyarrow"
+    )

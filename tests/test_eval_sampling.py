@@ -178,3 +178,20 @@ def test_ivf_partial_probe_recall(ray_session):
     a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
     recall = len(a & b) / len(b)
     assert recall >= 0.4  # near-random embeddings; nprobe=4/8 clusters
+
+
+def test_sample_exact_k_partition_invariant(ray_session):
+    """The exact-size sample must be identical however the input is
+    blocked (per-block partial bottom-k merges to one global order), and
+    must truncate gracefully when k exceeds the corpus."""
+    from layout_analysis_ray.functions.sampling import sample_exact_k
+
+    sf = "/root/testdata/sf0.001"
+    a = sample_exact_k(sf, k=37).to_pandas()
+    b = sample_exact_k(sf, k=37).to_pandas()
+    assert a.equals(b)
+    assert len(a) == 37
+    assert list(a.sample_rank) == list(range(1, 38))
+    big = sample_exact_k(sf, k=10_000).to_pandas()
+    assert len(big) == 500  # corpus size caps the sample
+    assert list(big.sample_rank) == list(range(1, 501))
