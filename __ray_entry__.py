@@ -428,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sentence_stats": text.doc_sentence_stats,
         # corpus pipelines: cleaning chain + sequence packing
         "corpus_clean_keep": corpus.corpus_clean_keep,
+        "corpus_filter_funnel": corpus.corpus_filter_funnel,
         "pack_sequences": corpus.pack_sequences,
         "pack_sequences_global": corpus.pack_sequences_global,
         "corpus_prepare": corpus.corpus_prepare,
@@ -1654,6 +1655,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, tf, CAST(score AS BIGINT) AS score,
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 3
+        """,
+        "corpus_filter_funnel": f"""
+            -- dataset-card retention funnel; stage-2 thresholds are the
+            -- doc_repetition_stats literals (shared repetition_ppms
+            -- kernel), stage 3 = distinct md5(text) of stage-2 survivors
+            WITH u AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+            c AS (SELECT doc_id, w, COUNT(*) AS cnt FROM u GROUP BY 1, 2),
+            s AS (SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS n_uniq,
+                         MAX(cnt) AS top
+                  FROM c GROUP BY 1),
+            flags AS (
+              SELECT d.doc_id, d.text,
+                (s.doc_id IS NOT NULL) AS s1,
+                COALESCE(s.top * 1000000 // s.n <= 200000
+                         AND (s.n - s.n_uniq) * 1000000 // s.n <= 600000,
+                         FALSE) AS s2
+              FROM documents d LEFT JOIN s USING (doc_id))
+            SELECT CAST(stage AS BIGINT) AS stage,
+                   CAST(n_docs AS BIGINT) AS n_docs FROM (
+              SELECT 0 AS stage, COUNT(*) AS n_docs FROM flags
+              UNION ALL SELECT 1, COUNT(*) FROM flags WHERE s1
+              UNION ALL SELECT 2, COUNT(*) FROM flags WHERE s2
+              UNION ALL SELECT 3, COUNT(DISTINCT md5(COALESCE(text, '')))
+                        FROM flags WHERE s2)
         """,
         "corpus_clean_keep": f"""
             WITH lc AS (

@@ -217,21 +217,17 @@ REP_TOP_TOKEN_MAX_PPM = 200_000
 REP_DUP_TOKEN_MAX_PPM = 600_000
 
 
-def repetition_batch(batch: pa.Table) -> pa.Table:
-    """Within-doc repetition stats in exact integer ppm:
-
-    - dup_token_ppm = (tokens - distinct tokens) / tokens
-    - top_token_ppm = occurrences of the most frequent token / tokens
-    - keep = 1 when both are at or under the Gopher-style bounds
-
-    Docs with zero tokens are dropped (the oracle's unnest GROUP BY has no
-    row for them; an empty doc is no-keep by definition).  Vectorized: one
+def repetition_ppms(text_col):
+    """The Gopher repetition kernel for a whole batch column — lives here
+    exactly once (``repetition_batch`` AND ``corpus_filter_funnel`` call
+    it, so the filter semantics cannot fork).  Returns per-row
+    ``(n_tok, dup_ppm, top_ppm, keep)``; zero-token rows get ppms 0 and
+    keep 0 (callers decide whether to drop them).  Vectorized: one
     factorize over the flat tokens, unique (row, code) pairs with counts
-    via one int64 sort, per-row max by ``np.maximum.at``.
-    """
+    via one int64 sort, per-row max by ``np.maximum.at``."""
     import pandas as pd
 
-    parent, toks, n = _flat_tokens(batch["text"])
+    parent, toks, n = _flat_tokens(text_col)
     n_tok = np.bincount(parent, minlength=n).astype(np.int64)
     codes, uniques = pd.factorize(toks)
     stride = np.int64(len(uniques) + 1)
@@ -246,8 +242,24 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
     dup_ppm = (n_tok - n_uniq) * 1_000_000 // nz
     top_ppm = top * 1_000_000 // nz
     keep = (
-        (top_ppm <= REP_TOP_TOKEN_MAX_PPM) & (dup_ppm <= REP_DUP_TOKEN_MAX_PPM)
+        (top_ppm <= REP_TOP_TOKEN_MAX_PPM)
+        & (dup_ppm <= REP_DUP_TOKEN_MAX_PPM)
+        & (n_tok > 0)
     ).astype(np.int64)
+    return n_tok, dup_ppm, top_ppm, keep
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Within-doc repetition stats in exact integer ppm:
+
+    - dup_token_ppm = (tokens - distinct tokens) / tokens
+    - top_token_ppm = occurrences of the most frequent token / tokens
+    - keep = 1 when both are at or under the Gopher-style bounds
+
+    Docs with zero tokens are dropped (the oracle's unnest GROUP BY has no
+    row for them; an empty doc is no-keep by definition).  Kernel shared
+    with the funnel report via ``repetition_ppms``."""
+    n_tok, dup_ppm, top_ppm, keep = repetition_ppms(batch["text"])
     has = n_tok > 0
     return pa.table(
         {

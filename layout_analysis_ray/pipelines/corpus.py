@@ -724,3 +724,105 @@ def corpus_filter_funnel(sf_dir: str):
             "n_docs": pa.array(counts, pa.int64()),
         }
     )
+
+
+_FUNNEL_SCHEMA = pa.schema([("stage", pa.int64()), ("n_docs", pa.int64())])
+
+
+def corpus_filter_funnel(sf_dir: str):
+    """The dataset-card retention funnel: how many documents survive each
+    successive curation stage —
+        stage 0  all documents
+        stage 1  tokenizable (>= 1 token)
+        stage 2  Gopher repetition keep (shared ``repetition_ppms``
+                 kernel — the SAME thresholds as doc_repetition_stats)
+        stage 3  exact-content dedup applied to stage-2 survivors
+                 (distinct md5(text); each duplicate class survives once)
+
+    Scale shape: ONE fused scan computes every flag and emits (a) three
+    int64 count partials per batch and (b) batch-deduped md5 rows for
+    stage-2 survivors only; the counts fold through a native Sum and the
+    dedup is one distinct-hash-grain exchange counted without the text
+    ever shuffling.  The result is 4 driver-bounded rows (typed table
+    per the empty-schema invariant)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import repetition_ppms
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def flags(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_tok, _dup, _top, keep = repetition_ppms(text)
+        s2 = keep.astype(bool)
+        hashes = pc.unique(
+            md5_hex(pc.fill_null(text, "")).filter(pa.array(s2))
+            if s2.any()
+            else pa.array([], pa.string())
+        )
+        counts = pa.table(
+            {
+                "kind": pa.array([0, 1, 2], pa.int64()),
+                "h": pa.array(["", "", ""], pa.string()),
+                "n": pa.array(
+                    [batch.num_rows, int((n_tok > 0).sum()), int(s2.sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+        hrows = pa.table(
+            {
+                "kind": pa.array(np.full(len(hashes), 3, dtype=np.int64)),
+                "h": pc.cast(hashes, pa.string()),
+                "n": pa.array(np.ones(len(hashes), dtype=np.int64)),
+            }
+        )
+        return pa.concat_tables([counts, hrows])
+
+    if docs.count() == 0:  # parquet-metadata count; also guards the
+        # empty-Dataset groupby quirk (CLAUDE.md) in the distinct stage
+        return pa.table(
+            {
+                "stage": pa.array([0, 1, 2, 3], pa.int64()),
+                "n_docs": pa.array([0, 0, 0, 0], pa.int64()),
+            },
+            schema=_FUNNEL_SCHEMA,
+        )
+    # materialized once (narrow: 3 count rows + batch-deduped 33 B hash
+    # rows per block, distributed) so the two consumers share the scan
+    part = docs.map_batches(flags, batch_format="pyarrow").materialize()
+
+    count_rows = (
+        part.map_batches(
+            lambda b: b.filter(pc.less(b["kind"], 3)), batch_format="pyarrow"
+        )
+        .groupby("kind")
+        .aggregate(Sum("n"))
+        .take_all()
+    )  # exactly 3 driver rows
+    counts = {0: 0, 1: 0, 2: 0}
+    for r in count_rows:
+        counts[int(r["kind"])] = int(r["sum(n)"])
+    # distinct survivors: group at hash grain DISTRIBUTED, the driver
+    # sees only the group count (never the hashes).  No stage-2
+    # survivors -> skip the groupby (empty-Dataset quirk, CLAUDE.md)
+    counts[3] = (
+        part.map_batches(
+            lambda b: b.filter(pc.equal(b["kind"], 3)), batch_format="pyarrow"
+        )
+        .groupby("h")
+        .count()
+        .count()
+        if counts[2]
+        else 0
+    )
+    return pa.table(
+        {
+            "stage": pa.array(sorted(counts), pa.int64()),
+            "n_docs": pa.array([counts[k] for k in sorted(counts)], pa.int64()),
+        },
+        schema=_FUNNEL_SCHEMA,
+    )

@@ -345,3 +345,26 @@ def test_hashed_features_bruteforce(ray_session, tmp_path):
     )
     # total feature mass == total tokens
     assert got.cnt.sum() == sum(len(t.split()) for _, t in rows)
+
+
+def test_corpus_filter_funnel_planted(ray_session, tmp_path):
+    """Funnel on a planted corpus: an untokenizable doc drops at stage 1,
+    a hyper-repetitive doc at stage 2, and exact duplicates collapse to
+    one class at stage 3."""
+    from layout_analysis_ray.pipelines.corpus import corpus_filter_funnel
+
+    rows = [
+        (1, "  !!!  "),                      # no tokens -> drops at s1
+        (2, "spam " * 50),                   # top-token 100% -> drops at s2
+        (3, "the quick brown fox jumps"),
+        (4, "the quick brown fox jumps"),    # exact dup of 3
+        (5, "a different clean document with many more unique words"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = corpus_filter_funnel(sf).to_pandas()
+    assert list(map(tuple, got.itertuples(index=False))) == [
+        (0, 5),
+        (1, 4),
+        (2, 3),
+        (3, 2),
+    ]
