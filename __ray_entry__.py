@@ -494,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_spike_by_type": windows.hourly_spike_by_type,
         "events_rolling_max_24h": windows.rolling_max_24h_by_type,
         "events_user_value_decayed": windows.user_value_decayed,
+        "events_dow_hour_heatmap": windows.dow_hour_heatmap,
         "embedding_label_quality": similarity.embedding_label_quality,
         "cap_docs_per_source": domains.cap_docs_per_source,
         "domain_mix_sample": domains.domain_mix_sample,
@@ -2479,6 +2480,14 @@ def oracle_sql() -> dict[str, str]:
                         // lag(revenue_cents) OVER (ORDER BY yyyymm)
                      AS BIGINT) AS growth_ppm
             FROM m ORDER BY yyyymm
+        """,
+        "events_dow_hour_heatmap": """
+            -- dayofweek: Sunday = 0 (matches the engine's
+            -- (epoch_days + 4) % 7); tz-naive timestamps on both sides
+            SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "events_user_value_decayed": """
             -- step half-life decay (1 day, functions/windows.py

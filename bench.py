@@ -224,6 +224,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ),
         "events_rolling_max_24h": windows.rolling_max_24h_by_type,
         "events_user_value_decayed": windows.user_value_decayed,
+        "events_dow_hour_heatmap": windows.dow_hour_heatmap,
         "sample_exact_k": sampling.sample_exact_k,
         "q9_profit_by_nation_year": rel.q9_profit_by_nation_year,
         "q16_supplier_variety": rel.q16_supplier_variety,

@@ -3116,3 +3116,32 @@ def user_value_decayed(sf_dir: str):
         ["user_id"],
         ["decayed_cents", "n_events"],
     )
+
+
+def dow_hour_heatmap(sf_dir: str):
+    """Traffic heatmap by (day-of-week, hour-of-day) — the ops-dashboard
+    calendar grid.  DOW is computed in pure epoch integer arithmetic,
+    (epoch_days + 4) % 7 with Sunday = 0 (1970-01-01 was a Thursday = 4),
+    matching DuckDB's ``dayofweek``; hour is (epoch_us // HOUR_US) % 24.
+    Timestamps are tz-naive microseconds on both sides, so no timezone
+    ever enters.  Map-side (dow, hour) partials -> one <= 168-key
+    exchange."""
+    from .core import partial_then_global
+
+    ds = _read_events(sf_dir, ["ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = us // DAY_US
+        return pa.table(
+            {
+                "dow": pa.array((days + 4) % 7, pa.int64()),
+                "hour": pa.array(us // HOUR_US % 24, pa.int64()),
+                "n_events": pa.array(np.ones(len(us), dtype=np.int64)),
+            }
+        )
+
+    return partial_then_global(
+        ds.map_batches(prep, batch_format="pyarrow"), ["dow", "hour"],
+        ["n_events"],
+    )
