@@ -416,3 +416,26 @@ def test_grouped_quantile_multi_weighted_vs_bruteforce(ray_session):
             exp = int(sv[np.searchsorted(np.cumsum(sw), k)])
             assert by_label[lbl][key] == exp, (key, lbl)
     assert by_label["q25"]["z"] == 4 and by_label["q75"]["z"] == 4
+
+
+def test_grouped_quantile_multi_put_tier(ray_session, monkeypatch):
+    """Force the slot table over GROUPED_BROADCAST_ROWS so the ray.put
+    graduation path runs; results must match the closure tier exactly."""
+    import ray.data as rd
+
+    from layout_analysis_ray.functions import quantiles as Q
+
+    rng = np.random.default_rng(31)
+    gs = [f"g{i:03d}" for i in rng.integers(0, 40, 3000)]
+    vs = rng.integers(-(10**6), 10**6, 3000).astype(np.int64)
+    t = pa.table({"g": pa.array(gs, pa.string()), "v": pa.array(vs, pa.int64())})
+    rank_fns = {
+        "p25": lambda n: (250_000 * n + 999_999) // 1_000_000,
+        "p75": lambda n: (750_000 * n + 999_999) // 1_000_000,
+    }
+    base, _ = Q.grouped_quantile_multi(lambda: rd.from_arrow(t), rank_fns)
+    monkeypatch.setattr(Q, "GROUPED_BROADCAST_ROWS", 1)
+    put, _ = Q.grouped_quantile_multi(
+        lambda: rd.from_arrow(t).repartition(4), rank_fns
+    )
+    assert put == base
