@@ -428,7 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sentence_stats": text.doc_sentence_stats,
         # corpus pipelines: cleaning chain + sequence packing
         "corpus_clean_keep": corpus.corpus_clean_keep,
-        "corpus_filter_funnel": corpus.corpus_filter_funnel,
+        "corpus_filter_funnel_gopher": corpus.corpus_filter_funnel_gopher,
         "pack_sequences": corpus.pack_sequences,
         "pack_sequences_global": corpus.pack_sequences_global,
         "corpus_prepare": corpus.corpus_prepare,
@@ -1657,7 +1657,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 3
         """,
-        "corpus_filter_funnel": f"""
+        "corpus_filter_funnel_gopher": f"""
             -- dataset-card retention funnel; stage-2 thresholds are the
             -- doc_repetition_stats literals (shared repetition_ppms
             -- kernel), stage 3 = distinct md5(text) of stage-2 survivors

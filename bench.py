@@ -165,6 +165,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "pack_sequences": corpus.pack_sequences,
         "corpus_prepare": corpus.corpus_prepare,
         "corpus_filter_funnel": corpus.corpus_filter_funnel,
+        "corpus_filter_funnel_gopher": corpus.corpus_filter_funnel_gopher,
         "events_first_last_per_user": windows.first_last_event_per_user,
         "doc_tfidf_top_terms": text.tfidf_top_terms,
         "events_range_sum_1h": windows.range_sum_1h,
@@ -192,7 +193,6 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ),
         "q12_priority_by_returnflag": rel.q12_priority_by_returnflag,
         "dedup_editdistance_pairs": dedup.dedup_editdistance_pairs,
-        "corpus_filter_funnel": corpus.corpus_filter_funnel,
         "lineitem_unpivot": lambda sf: rel.lineitem_unpivot(sf).count(),
         "events_dense_rank_by_type": windows.dense_rank_by_type,
         "events_cume_dist_by_type": windows.cume_dist_by_type,

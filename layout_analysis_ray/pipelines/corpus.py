@@ -726,10 +726,12 @@ def corpus_filter_funnel(sf_dir: str):
     )
 
 
-_FUNNEL_SCHEMA = pa.schema([("stage", pa.int64()), ("n_docs", pa.int64())])
+_FUNNEL_GOPHER_SCHEMA = pa.schema(
+    [("stage", pa.int64()), ("n_docs", pa.int64())]
+)
 
 
-def corpus_filter_funnel(sf_dir: str):
+def corpus_filter_funnel_gopher(sf_dir: str):
     """The dataset-card retention funnel: how many documents survive each
     successive curation stage —
         stage 0  all documents
@@ -789,7 +791,7 @@ def corpus_filter_funnel(sf_dir: str):
                 "stage": pa.array([0, 1, 2, 3], pa.int64()),
                 "n_docs": pa.array([0, 0, 0, 0], pa.int64()),
             },
-            schema=_FUNNEL_SCHEMA,
+            schema=_FUNNEL_GOPHER_SCHEMA,
         )
     # materialized once (narrow: 3 count rows + batch-deduped 33 B hash
     # rows per block, distributed) so the two consumers share the scan
@@ -824,5 +826,5 @@ def corpus_filter_funnel(sf_dir: str):
             "stage": pa.array(sorted(counts), pa.int64()),
             "n_docs": pa.array([counts[k] for k in sorted(counts)], pa.int64()),
         },
-        schema=_FUNNEL_SCHEMA,
+        schema=_FUNNEL_GOPHER_SCHEMA,
     )

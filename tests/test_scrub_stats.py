@@ -351,7 +351,9 @@ def test_corpus_filter_funnel_planted(ray_session, tmp_path):
     """Funnel on a planted corpus: an untokenizable doc drops at stage 1,
     a hyper-repetitive doc at stage 2, and exact duplicates collapse to
     one class at stage 3."""
-    from layout_analysis_ray.pipelines.corpus import corpus_filter_funnel
+    from layout_analysis_ray.pipelines.corpus import (
+        corpus_filter_funnel_gopher,
+    )
 
     rows = [
         (1, "  !!!  "),                      # no tokens -> drops at s1
@@ -361,7 +363,7 @@ def test_corpus_filter_funnel_planted(ray_session, tmp_path):
         (5, "a different clean document with many more unique words"),
     ]
     sf = _write_docs(tmp_path, rows)
-    got = corpus_filter_funnel(sf).to_pandas()
+    got = corpus_filter_funnel_gopher(sf).to_pandas()
     assert list(map(tuple, got.itertuples(index=False))) == [
         (0, 5),
         (1, 4),
