@@ -429,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus pipelines: cleaning chain + sequence packing
         "corpus_clean_keep": corpus.corpus_clean_keep,
         "corpus_filter_funnel_gopher": corpus.corpus_filter_funnel_gopher,
+        "pack_fragmentation_report": corpus.pack_fragmentation_report,
         "pack_sequences": corpus.pack_sequences,
         "pack_sequences_global": corpus.pack_sequences_global,
         "corpus_prepare": corpus.corpus_prepare,
@@ -1739,6 +1740,34 @@ def oracle_sql() -> dict[str, str]:
               CAST(tok_before // 2048 AS BIGINT) AS seq_id,
               CAST(tok_before % 2048 AS BIGINT) AS seq_offset
             FROM c
+        """,
+        "pack_fragmentation_report": f"""
+            -- windows spanned by a doc starting at in-window offset o
+            -- with n tokens: (o + n - 1) // 2048 + 1; zero-token docs
+            -- occupy no window (pipelines/corpus.py literals)
+            WITH t AS (
+              SELECT doc_id,
+                CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                CAST(strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                  AS BIGINT) AS part
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                SUM(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS tok_before
+              FROM t),
+            f AS (
+              SELECT ((tok_before % 2048) + n_tokens - 1) // 2048 + 1 AS w
+              FROM c WHERE n_tokens > 0)
+            SELECT COUNT(*) AS n_docs,
+              CAST(SUM(CASE WHEN w >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_split,
+              CAST(SUM(CASE WHEN w >= 2 THEN 1 ELSE 0 END) * 1000000
+                   // COUNT(*) AS BIGINT) AS split_ppm,
+              CAST(MAX(w) AS BIGINT) AS max_windows
+            FROM f
         """,
         "pack_sequences_global": f"""
             WITH t AS (

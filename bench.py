@@ -166,6 +166,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "corpus_prepare": corpus.corpus_prepare,
         "corpus_filter_funnel": corpus.corpus_filter_funnel,
         "corpus_filter_funnel_gopher": corpus.corpus_filter_funnel_gopher,
+        "pack_fragmentation_report": corpus.pack_fragmentation_report,
         "events_first_last_per_user": windows.first_last_event_per_user,
         "doc_tfidf_top_terms": text.tfidf_top_terms,
         "events_range_sum_1h": windows.range_sum_1h,

@@ -212,7 +212,9 @@ _PACK_SCHEMA = pa.schema(
 )
 
 
-def _pack_triples(triples, nsub: int, global_offsets: bool):
+def _pack_triples(
+    triples, nsub: int, global_offsets: bool, with_n_tokens: bool = False
+):
     """Two-level offset-stitched packing over a (part, sub, doc_id,
     n_tokens) Dataset.
 
@@ -268,20 +270,26 @@ def _pack_triples(triples, nsub: int, global_offsets: bool):
         g = g.sort_values("doc_id")
         n_tok = g["n_tokens"].to_numpy().astype(np.int64)
         before = off + np.cumsum(n_tok) - n_tok
-        return pd.DataFrame(
-            {
-                "doc_id": g["doc_id"].to_numpy(),
-                "part": g["part"].to_numpy(),
-                "seq_id": before // PACK_BUDGET_TOKENS,
-                "seq_offset": before % PACK_BUDGET_TOKENS,
-            }
-        )
+        out = {
+            "doc_id": g["doc_id"].to_numpy(),
+            "part": g["part"].to_numpy(),
+            "seq_id": before // PACK_BUDGET_TOKENS,
+            "seq_offset": before % PACK_BUDGET_TOKENS,
+        }
+        if with_n_tokens:
+            out["n_tokens"] = n_tok
+        return pd.DataFrame(out)
 
+    schema = (
+        _PACK_SCHEMA.append(pa.field("n_tokens", pa.int64()))
+        if with_n_tokens
+        else _PACK_SCHEMA
+    )
     return ensure_schema(
         triples.groupby(["part", "sub"]).map_groups(
             kernel, batch_format="pandas"
         ),
-        _PACK_SCHEMA,
+        schema,
     )
 
 
@@ -827,4 +835,73 @@ def corpus_filter_funnel_gopher(sf_dir: str):
             "n_docs": pa.array([counts[k] for k in sorted(counts)], pa.int64()),
         },
         schema=_FUNNEL_GOPHER_SCHEMA,
+    )
+
+
+_FRAG_SCHEMA = pa.schema(
+    [
+        ("n_docs", pa.int64()),
+        ("n_split", pa.int64()),
+        ("split_ppm", pa.int64()),
+        ("max_windows", pa.int64()),
+    ]
+)
+
+
+def pack_fragmentation_report(sf_dir: str, n_subparts: int | None = None):
+    """Packing-quality report: how many documents the concat-and-chunk
+    layout SPLITS across context-window boundaries (a split doc loses
+    cross-boundary attention; every pretraining team tracks this before
+    committing a budget).  For a doc starting at in-window offset ``o``
+    with ``n`` tokens, windows spanned = (o + n - 1) // BUDGET + 1;
+    zero-token docs occupy no window and are excluded.  Reports
+    (n_docs, n_split, split_ppm, max_windows) — one typed row.
+
+    Scale shape: the ``pack_sequences`` offset stitch (32 B/doc rows,
+    subpartition kernels) with n_tokens riding along, folded map-side to
+    (count, split-count, max) partials — one <= blocks-row exchange."""
+    from ray.data.aggregate import Max, Sum
+
+    nsub, assign = _sub_assigner(sf_dir, n_subparts)
+    packed = _pack_triples(
+        _token_triples(sf_dir, assign), nsub, global_offsets=False,
+        with_n_tokens=True,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        nt = b["n_tokens"].to_numpy(zero_copy_only=False)
+        off = b["seq_offset"].to_numpy(zero_copy_only=False)
+        m = nt > 0
+        w = (off[m] + nt[m] - 1) // PACK_BUDGET_TOKENS + 1
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n_docs": pa.array([int(m.sum())], pa.int64()),
+                "n_split": pa.array([int((w >= 2).sum())], pa.int64()),
+                "max_windows": pa.array(
+                    [int(w.max()) if len(w) else 0], pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        packed.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n_docs"), Sum("n_split"), Max("max_windows"))
+        .take_all()
+    )
+    if not rows or not int(rows[0]["sum(n_docs)"] or 0):
+        return _FRAG_SCHEMA.empty_table()
+    n_docs = int(rows[0]["sum(n_docs)"])
+    n_split = int(rows[0]["sum(n_split)"])
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_split": pa.array([n_split], pa.int64()),
+            "split_ppm": pa.array([n_split * 1_000_000 // n_docs], pa.int64()),
+            "max_windows": pa.array(
+                [int(rows[0]["max(max_windows)"])], pa.int64()
+            ),
+        },
+        schema=_FRAG_SCHEMA,
     )

@@ -85,3 +85,51 @@ def test_explicit_nsub_survives_missing_stats(tmp_path, ray_session):
     base = _sorted(pack_sequences(SF, n_subparts=1).to_pandas())
     got = _sorted(pack_sequences(str(tmp_path), n_subparts=8).to_pandas())
     pd.testing.assert_frame_equal(got, base)
+
+
+def test_pack_fragmentation_vs_bruteforce(ray_session, tmp_path):
+    """Fragmentation report vs a Python brute force over a planted corpus
+    with a doc exactly filling a window, one straddling a boundary, one
+    spanning three windows, and a zero-token doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import layout_analysis_ray.pipelines.corpus as C
+
+    B = C.PACK_BUDGET_TOKENS
+    texts = {
+        1: "w " * B,            # exactly one window
+        2: "w " * (B // 2),     # together with 1: straddles
+        3: "w " * (2 * B + 5),  # spans >= 3 windows
+        4: "  .  ",             # zero tokens
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = C.pack_fragmentation_report(str(tmp_path)).to_pandas()
+
+    import hashlib
+    import re
+    parts = {}
+    for d in sorted(texts):
+        n = len(re.findall("[a-z0-9]+", texts[d].lower()))
+        p = int(hashlib.md5(str(d).encode()).hexdigest()[0], 16)
+        parts.setdefault(p, []).append((d, n))
+    spans = []
+    for p, docs in parts.items():
+        before = 0
+        for _d, n in sorted(docs):
+            if n > 0:
+                spans.append((before % B + n - 1) // B + 1)
+            before += n
+    exp_split = sum(w >= 2 for w in spans)
+    assert got.n_docs.iloc[0] == len(spans) == 3
+    assert got.n_split.iloc[0] == exp_split
+    assert got.split_ppm.iloc[0] == exp_split * 1_000_000 // len(spans)
+    assert got.max_windows.iloc[0] == max(spans)
