@@ -370,3 +370,23 @@ def test_corpus_filter_funnel_planted(ray_session, tmp_path):
         (2, 3),
         (3, 2),
     ]
+
+
+def test_chunk_and_features_empty_corpus_schemas(ray_session, tmp_path):
+    """An all-punctuation corpus yields ZERO chunks / features but the
+    Dataset schemas survive (the map UDF runs on non-empty input blocks
+    and returns typed empty tables)."""
+    from layout_analysis_ray.functions.text import (
+        chunk_documents,
+        hashed_features,
+    )
+
+    sf = _write_docs(tmp_path, [(1, " .!? "), (2, "---")])
+    ds = chunk_documents(sf)
+    assert ds.count() == 0
+    assert ds.schema().names == [
+        "doc_id", "chunk_idx", "start_tok", "n_toks", "chunk_hash",
+    ]
+    ds = hashed_features(sf)
+    assert ds.count() == 0
+    assert ds.schema().names == ["doc_id", "feat_idx", "cnt"]
