@@ -1200,16 +1200,41 @@ def q18_large_orders(sf_dir: str):
             }
         )
 
-    big = _partial_then_global(
-        li.map_batches(lprep, batch_format="pyarrow"),
-        ["l_orderkey"],
-        ["sum_qty_cents"],
-    ).map_batches(
-        lambda b: b.filter(
-            pc.greater(b["sum_qty_cents"], pa.scalar(Q18_QTY_MIN_C, pa.int64()))
-        ),
-        batch_format="pyarrow",
+    # the HAVING side is materialized (it is tiny — one row per
+    # QUALIFYING order) and normalized to drop 0-row blocks: a typed
+    # 0-row block still loses its schema inside the hash-join shuffle
+    # (Ray 2.49 quirk, CLAUDE.md) and the post-filter stream produces
+    # them freely; the count probe then guards the fully-empty case
+    # before the join (the q7/q8 pattern).
+    big = (
+        _partial_then_global(
+            li.map_batches(lprep, batch_format="pyarrow"),
+            ["l_orderkey"],
+            ["sum_qty_cents"],
+        )
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater(
+                    b["sum_qty_cents"], pa.scalar(Q18_QTY_MIN_C, pa.int64())
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
+    out_schema = pa.schema(
+        [
+            ("c_name", pa.string()),
+            ("o_custkey", pa.int64()),
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate_day", pa.int64()),
+            ("total_price_cents", pa.int64()),
+            ("sum_qty_cents", pa.int64()),
+        ]
+    )
+    if big.count() == 0:
+        return out_schema.empty_table()
+    big = big.repartition(4)  # re-blocks away 0-row post-filter blocks
 
     def oprep(b: pa.Table) -> pa.Table:
         days = (
