@@ -418,6 +418,14 @@ def test_new_join_shapes_survive_degenerate_predicates(ray_session, monkeypatch,
     assert list(t.columns) == ["s_suppkey", "s_name", "numwait"]
     assert len(t) == 0
 
+    monkeypatch.setattr(rel, "Q18_QTY_MIN_C", 10**15)  # nothing qualifies
+    t = rel.q18_large_orders(sf).to_pandas()
+    assert list(t.columns) == [
+        "c_name", "o_custkey", "o_orderkey", "o_orderdate_day",
+        "total_price_cents", "sum_qty_cents",
+    ]
+    assert len(t) == 0
+
     monkeypatch.setattr(rel, "Q7_NATION_A", "NATION_NOPE")
     t = rel.q7_volume_shipping(sf).to_pandas()
     assert list(t.columns) == [
